@@ -1,24 +1,45 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"value":total_sec,"queries":{...}}.
+  *
+  * Execution is forced through the `noop` sink — a plain `.count()` would let
+  * Catalyst prune away most of each query's actual work (column pruning to
+  * zero columns), under-measuring by 10×.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm the JVM/codegen paths once on the smallest SF so per-query times
+    // measure the engine, not first-call classloading.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.allDefs.map { d =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+      }
+      d.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

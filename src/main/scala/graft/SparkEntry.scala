@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 (and the LLM-pipeline extensions) is a
+  * [[QueryDef]]: a Spark implementation plus, where SQL-expressible, a DuckDB
+  * oracle over the same parquet tables. Modules register their defs here.
+  */
 object SparkEntry {
+
+  def allDefs: Seq[QueryDef] =
+    graft.queries.Relational.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.Multimodal.defs ++
+      streaming.Events.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.Relational.defs.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (hash-seeded MinHash/SimHash/LSH) → driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.functions.Exprs
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash-groupBy), word-n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: shuffles a 16-byte fingerprint per doc, never the text;
+  *  - n-gram Jaccard: exact pairwise overlap via a shingle-equality
+  *    self-join — the correctness baseline, O(sum bucket²) pairs;
+  *  - MinHash+LSH: fixed-width signature (K minhashes) per doc, candidate
+  *    generation via band-bucket join — the 100 TB path: work is linear in
+  *    docs + candidate pairs, never all-pairs;
+  *  - SimHash: one 64-bit signature per doc, candidates via 16-bit band
+  *    equality (any pair with hamming ≤ 3 shares a band by pigeonhole).
+  *
+  * MinHash/SimHash signatures are built on Spark's `xxhash64` (not
+  * reproducible in DuckDB), so those two are rows-only checks; their
+  * semantics are pinned by ScalaTest specs with planted near-duplicates.
+  */
+object Dedup {
+
+  /** Distinct (doc_id, shingle) pairs. array_distinct runs per-row BEFORE the
+    * explode, so the distinct needs no shuffle.
+    */
+  private[operators] def docShingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    docShinglesOf(s, Tables.documents(s, dir), n)
+
+  private[operators] def docShinglesOf(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
+    import s.implicits._
+    docs
+      .select($"doc_id", Exprs.words(Exprs.normText($"text")).as("w"))
+      .filter(size($"w") >= n)
+      .select($"doc_id", explode(array_distinct(Exprs.shingles($"w", n))).as("shingle"))
+  }
+
+  /** MinHash signature column m0..m{k-1} per doc from (doc_id, shingle). */
+  private[operators] def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val hashed = sh.select(
+      col("doc_id") +: (0 until k).map(i => xxhash64(lit(i), col("shingle")).as(s"h$i")): _*)
+    hashed.groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
+
+  /** Exact Jaccard for candidate pairs (doc_a, doc_b) given doc shingles. */
+  private[operators] def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+        && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double")
+          / (col("ca.n") + col("cb.n") - col("common")), 6).as("jaccard"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: group on the canonical-form fingerprint, keep min doc_id.
+    sqlChecked(
+      "dd_exact",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY content_hash ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(Exprs.fingerprint($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keep_id")
+    },
+
+    // Word-3-gram Jaccard near-dup pairs (exact overlap via shingle join).
+    sqlChecked(
+      "dd_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                w -> w <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(w)-2),
+        |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |    FROM toks WHERE len(w) >= 3)),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common,
+        |  round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+        |FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+        |           JOIN counts cb ON doc_b = cb.doc_id
+        |WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = docShingles(s, dir).cache()
+      val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
+        .join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
+        .withColumn("jaccard",
+          round($"common".cast("double") / ($"ca.n" + $"cb.n" - $"common").cast("double"), 6))
+        .filter($"jaccard" >= 0.2)
+        .select($"doc_a", $"doc_b", $"common", $"jaccard")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // MinHash (K=32) + LSH (8 bands × 4 rows) candidate pairs, then exact
+    // Jaccard verification of candidates only. Signature build is one
+    // map-side-combinable aggregate; bucket join touches only colliding docs.
+    rowsOnly("dd_minhash_lsh") { (s, dir) =>
+      import s.implicits._
+      val K = 32; val bands = 8; val rows = K / bands
+      val sh = docShingles(s, dir).cache()
+      val sig = minhashSignatures(sh, K)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("sig"))
+      }
+      val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.sig".as("sig"))
+      val cands = buckets.as("x")
+        .join(buckets.as("y"),
+          $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .distinct()
+      jaccardFor(cands, sh)
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // SimHash-64 near-dup: one signature per doc from word hashes, candidate
+    // pairs via 4×16-bit band equality (pigeonhole: hamming ≤ 3 ⇒ some band
+    // equal), exact hamming filter on candidates.
+    rowsOnly("dd_simhash") { (s, dir) =>
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
+        .distinct()
+        .select($"doc_id", xxhash64($"word").as("h"))
+      val bitVotes = (0 until 64).map { j =>
+        sum(when($"h".bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+      }
+      val sigExpr = (0 until 64)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+      val sigs = words.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+        .select($"doc_id", sigExpr.as("sig"))
+      val chunks = (0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+      }
+      val banded = sigs.select($"doc_id", $"sig", explode(array(chunks: _*)).as("bk"))
+        .select($"doc_id", $"sig", $"bk.chunk".as("chunk"), $"bk.v".as("v"))
+      banded.as("x")
+        .join(banded.as("y"),
+          $"x.chunk" === $"y.chunk" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+          expr("bit_count(x.sig ^ y.sig)").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // Embedding-cosine near-dup pairs — exact all-pairs baseline (the LSH
+    // scale path lives in Similarity.sim_lsh_topk). Decimal-free: cosine is
+    // computed with a sequential double fold on both engines, rounded to 6dp
+    // before compare/filter.
+    sqlChecked(
+      "dd_embedding_cosine",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+          round(Exprs.cosine($"a.v", $"b.v"), 6).as("cos"))
+        .filter($"cos" >= 0.8)
+        .orderBy($"id_a", $"id_b")
+    }
+  )
+}

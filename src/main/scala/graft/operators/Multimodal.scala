@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlChecked
+
+/** Input row for the decode stage: an opaque binary payload plus typed
+  * metadata — the shape a real image/audio/video column takes at scale.
+  */
+final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
+
+/** Output of the (stubbed) decoder. */
+final case class DecodedMedia(
+    doc_id: Long, byte_len: Long, width: Long, height: Long, channels: Long)
+
+/** Multimodal-column plumbing: treat media as opaque `binary` columns with
+  * typed metadata, decoded via a per-partition batch function.
+  *
+  * The Spark-side plumbing is real — binary column, metadata, a
+  * `mapPartitions` decode stage (the Scala analog of `mapInPandas`: one
+  * iterator per partition, so a real decoder would amortize codec/model
+  * initialization across the batch). The decode itself is a clearly-marked
+  * DETERMINISTIC STUB (this container has no image/audio libraries): it
+  * derives "dimensions" arithmetically from the payload bytes, which is what
+  * makes the stage oracle-checkable end-to-end.
+  *
+  * Scale: decode is embarrassingly parallel; no shuffle until the final
+  * presentation sort. Partition sizing (`files.maxPartitionBytes`) is the
+  * only knob that matters at 100 TB of media bytes.
+  */
+object Multimodal {
+
+  /** STUB decoder — replace with a real codec when libraries are available.
+    * Deterministic arithmetic on payload length stands in for decoded
+    * image geometry.
+    */
+  private def decodeStub(r: MediaRow): DecodedMedia = {
+    val n = r.payload.length.toLong
+    DecodedMedia(r.doc_id, n, (n % 640) + 1, ((n * 7) % 480) + 1, 3L)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Binary-column feature extraction (pure expressions, no decode).
+    sqlChecked(
+      "mm_features",
+      """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          octet_length($"text").cast("long").as("byte_len"),
+          md5($"text".cast("binary")).as("content_hash"))
+        .orderBy($"doc_id")
+    },
+
+    // Full decode pipeline: binary payload + metadata → mapPartitions decode
+    // stub → typed features. Oracle mirrors the stub arithmetic in SQL.
+    sqlChecked(
+      "mm_decode",
+      """SELECT doc_id, strlen(text) AS byte_len,
+        | (strlen(text) % 640) + 1 AS width,
+        | ((strlen(text) * 7) % 480) + 1 AS height,
+        | CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"),
+          lit("fake/raw").as("format"))
+        .as[MediaRow]
+      media
+        .mapPartitions(it => it.map(decodeStub))
+        .toDF()
+        .orderBy($"doc_id")
+    }
+  )
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlChecked
+import graft.functions.Exprs
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting. All are pure per-row `Column` expressions —
+  * embarrassingly parallel, no shuffle except the final presentation sort,
+  * fully inside whole-stage codegen. At 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private val stopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+  private val stopEs = Seq("el", "la", "los", "de", "y", "un", "una", "es")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token + char counts (whitespace tokenizer, empty tokens dropped).
+    sqlChecked(
+      "ta_tokens",
+      """SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |     w -> w <> '')) AS n_tokens,
+        | length(text) AS char_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          Exprs.tokenCount(Exprs.normText($"text")).as("n_tokens"),
+          length($"text").cast("long").as("char_len"))
+        .orderBy($"doc_id")
+    },
+
+    // Quality scoring: punctuation ratio, stopword ratio, length saturation.
+    sqlChecked(
+      "ta_quality",
+      """SELECT doc_id, char_len, n_tokens, punct_ratio, stop_ratio,
+        | round(0.4 * (1.0 - punct_ratio) + 0.3 * stop_ratio
+        |       + 0.3 * least(1.0, n_tokens / 100.0), 6) AS quality
+        |FROM (
+        |  SELECT doc_id, length(text) AS char_len,
+        |   len(toks) AS n_tokens,
+        |   CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+        |                   / CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+        |   CASE WHEN len(toks) = 0 THEN 0.0
+        |        ELSE round(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it')))
+        |                   / CAST(len(toks) AS DOUBLE), 6) END AS stop_ratio
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                      w -> w <> '') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Exprs.words(Exprs.normText($"text"))
+      val charLen = length($"text").cast("long")
+      val nTokens = size(toks).cast("long")
+      val punctRatio = when(charLen === 0, 0.0).otherwise(
+        round((charLen - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))).cast("double")
+          / charLen.cast("double"), 6))
+      val stopRatio = when(nTokens === 0, 0.0).otherwise(
+        round(size(filter(toks, w => w.isin(stopEn: _*))).cast("double")
+          / nTokens.cast("double"), 6))
+      Tables.documents(s, dir)
+        .select($"doc_id", charLen.as("char_len"), nTokens.as("n_tokens"),
+          punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"))
+        .withColumn("quality",
+          round(lit(0.4) * (lit(1.0) - $"punct_ratio") + lit(0.3) * $"stop_ratio"
+            + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0)), 6))
+        .orderBy($"doc_id")
+    },
+
+    // Language ID: stopword-hit voting across 4 language profiles with a
+    // deterministic tie order (en > fr > de > es; no hits → 'und').
+    sqlChecked(
+      "ta_langid",
+      s"""SELECT doc_id, lang AS lang_declared,
+         | CASE WHEN n_en = 0 AND n_fr = 0 AND n_de = 0 AND n_es = 0 THEN 'und'
+         |      WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
+         |      WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
+         |      WHEN n_de >= n_es THEN 'de'
+         |      ELSE 'es' END AS lang_detected,
+         | n_en, n_fr, n_de, n_es
+         |FROM (
+         |  SELECT doc_id, lang,
+         |   len(list_filter(toks, w -> w IN ${sqlList(stopEn)})) AS n_en,
+         |   len(list_filter(toks, w -> w IN ${sqlList(stopFr)})) AS n_fr,
+         |   len(list_filter(toks, w -> w IN ${sqlList(stopDe)})) AS n_de,
+         |   len(list_filter(toks, w -> w IN ${sqlList(stopEs)})) AS n_es
+         |  FROM (SELECT doc_id, lang,
+         |          list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+         |                      w -> w <> '') AS toks
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Exprs.words(Exprs.normText($"text"))
+      def hits(ws: Seq[String]) = size(filter(toks, w => w.isin(ws: _*))).cast("long")
+      val base = Tables.documents(s, dir)
+        .select($"doc_id", $"lang".as("lang_declared"),
+          hits(stopEn).as("n_en"), hits(stopFr).as("n_fr"),
+          hits(stopDe).as("n_de"), hits(stopEs).as("n_es"))
+      base.withColumn("lang_detected",
+          when($"n_en" === 0 && $"n_fr" === 0 && $"n_de" === 0 && $"n_es" === 0, "und")
+            .when($"n_en" >= $"n_fr" && $"n_en" >= $"n_de" && $"n_en" >= $"n_es", "en")
+            .when($"n_fr" >= $"n_de" && $"n_fr" >= $"n_es", "fr")
+            .when($"n_de" >= $"n_es", "de")
+            .otherwise("es"))
+        .select($"doc_id", $"lang_declared", $"lang_detected", $"n_en", $"n_fr", $"n_de", $"n_es")
+        .orderBy($"doc_id")
+    },
+
+    // Canonical-form content fingerprint (128-bit md5 of normalized text).
+    // At scale this is THE dedup key: 16 bytes shuffle instead of documents.
+    sqlChecked(
+      "ta_fingerprint",
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", Exprs.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }
+  )
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlChecked
+import graft.functions.Exprs
+
+/** The reference's relational operator surface (SURVEY §2.1-§2.10) re-expressed
+  * over the driver testdata star schema, one verifiable query per operator
+  * family. Design notes for 100 TB scale are on each query:
+  *
+  *  - filters/projections are plain `Column` predicates so Catalyst pushes
+  *    them into the parquet scan (PushedFilters / ReadSchema pruning);
+  *  - small dimension tables are `broadcast()` so the probe side never
+  *    shuffles;
+  *  - aggregates are hash aggregates with map-side partial rows (free from
+  *    Catalyst), keyed on the natural join/group keys;
+  *  - every measure-sum runs in DECIMAL so results are bit-stable under any
+  *    partitioning (float sums are order-dependent; decimal sums are not).
+  */
+object Relational {
+
+  /** Exact, order-independent money sum: decimal in, double out. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(20,8)")).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1/A3 — grouped multi-aggregate over the fact table (TPC-H Q1 shape).
+    // Scale: single shuffle on (returnflag, linestatus); partial aggregation
+    // reduces 100 TB of lineitem to O(groups) per partition before exchange.
+    sqlChecked(
+      "q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // P1/P3/P6 — projection + equality filter + rename. Scale: both the
+    // predicate and the 4-column projection reach the parquet scan.
+    sqlChecked(
+      "q02_filter_project",
+      """SELECT o_orderkey, o_custkey, o_totalprice AS total_eur,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter($"o_orderstatus" === "F")
+        .select(
+          $"o_orderkey", $"o_custkey",
+          $"o_totalprice".as("total_eur"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+        .orderBy($"o_orderkey")
+    },
+
+    // J1/P5 — fact×dim equi-join with a dim-side predicate. Scale: customer
+    // is ~1.5% of lineitem bytes; explicit broadcast() keeps the orders side
+    // shuffle-free on any cluster size (mirrors the reference's cached
+    // 800-row customers join, pipeline_pyspark.py:150-154).
+    sqlChecked(
+      "q03_join_filter",
+      """SELECT o_orderkey, c_name, c_acctbal, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select($"o_orderkey", $"c_name", $"c_acctbal", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
+    // J2/A2/P7 — left join against a pre-aggregated side + null fill
+    // (reference refund roll-up shape, pipeline_pyspark.py:156-173).
+    // Scale: aggregate BEFORE the join so the join input is one row per key.
+    sqlChecked(
+      "q04_leftjoin_nullfill",
+      """SELECT o_orderkey, COALESCE(t.total_qty, 0.0) AS total_qty
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey) t
+        |ON o_orderkey = t.l_orderkey ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val qty = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey").agg(dsum($"l_quantity").as("total_qty"))
+      Tables.orders(s, dir)
+        .join(qty, $"o_orderkey" === $"l_orderkey", "left")
+        .na.fill(Map("total_qty" -> 0.0))
+        .select($"o_orderkey", $"total_qty")
+        .orderBy($"o_orderkey")
+    },
+
+    // W1 — dedup-by-first-occurrence via row_number with a deterministic
+    // tie-breaker (SURVEY §7.1.1: the reference's ordering ties; we add
+    // l_linenumber so "first" is well-defined). Scale: one shuffle on the
+    // partition key; no global sort before the window.
+    sqlChecked(
+      "q05_window_dedup",
+      """SELECT l_orderkey, l_linenumber,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+        |      FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_shipdate".asc, $"l_linenumber".asc)
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"), $"l_quantity")
+        .orderBy($"l_orderkey")
+    },
+
+    // O2 — top-k by aggregate. Scale: Catalyst plans TakeOrderedAndProject —
+    // each partition keeps k rows, only k×partitions reach the driver.
+    sqlChecked(
+      "q06_topk",
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY total_qty DESC, l_partkey LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_partkey").agg(dsum($"l_quantity").as("total_qty"))
+        .orderBy($"total_qty".desc, $"l_partkey".asc)
+        .limit(20)
+    },
+
+    // T3 — distinct (hash aggregate on all columns, map-side partials).
+    sqlChecked(
+      "q07_distinct",
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_nationkey", $"c_mktsegment").distinct()
+        .orderBy($"c_nationkey", $"c_mktsegment")
+    },
+
+    // T1 — union (no shuffle: pure partition concatenation).
+    sqlChecked(
+      "q08_union",
+      """SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |UNION ALL SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val a = Tables.customer(s, dir).select($"c_custkey".as("id"), lit("customer").as("kind"))
+      val b = Tables.supplier(s, dir).select($"s_suppkey".as("id"), lit("supplier").as("kind"))
+      a.union(b).orderBy($"kind", $"id")
+    },
+
+    // T2/J5 — set intersection (Catalyst rewrites to left-semi + distinct).
+    sqlChecked(
+      "q09_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+
+    // A3 — countDistinct rollup (reference daily_city_sales shape,
+    // pipeline_pyspark.py:175-181). Scale: Catalyst's RewriteDistinctAggregates
+    // expands the two distincts into one two-phase plan; no per-group sets
+    // ever materialize on one node.
+    sqlChecked(
+      "q10_month_countdistinct",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY order_month ORDER BY order_month""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+        .agg(
+          countDistinct($"o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("revenue"))
+        .orderBy($"order_month")
+    },
+
+    // U1 — dirty-boolean normalization truth table exercised end-to-end
+    // (string path; numeric/boolean paths are covered by the unit specs).
+    sqlChecked(
+      "q11_bool_norm",
+      """SELECT o_orderkey, raw,
+        | CASE WHEN raw IS NULL THEN false
+        |      ELSE lower(trim(raw)) IN ('1','true','yes','y','t') END AS is_active
+        |FROM (SELECT o_orderkey,
+        |        CASE o_orderkey % 8
+        |          WHEN 0 THEN '1' WHEN 1 THEN 'true' WHEN 2 THEN ' T '
+        |          WHEN 3 THEN 'no' WHEN 4 THEN '0.5' WHEN 5 THEN '0'
+        |          WHEN 6 THEN 'YES' ELSE NULL END AS raw
+        |      FROM orders) ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = $"o_orderkey" % 8
+      val raw = when(m === 0, "1").when(m === 1, "true").when(m === 2, " T ")
+        .when(m === 3, "no").when(m === 4, "0.5").when(m === 5, "0")
+        .when(m === 6, "YES").otherwise(lit(null))
+      Tables.orders(s, dir)
+        .select($"o_orderkey", raw.as("raw"), Exprs.boolNormString(raw).as("is_active"))
+        .orderBy($"o_orderkey")
+    },
+
+    // U2 — two-format date parse (both formats occur, as in the reference's
+    // created_at column — pipeline_pyspark.py:48-56).
+    sqlChecked(
+      "q12_date_parse",
+      """SELECT o_orderkey, raw_ts,
+        | strftime(COALESCE(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+        |                   try_strptime(raw_ts, '%Y-%m-%d')), '%Y-%m-%d') AS order_date
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 2 = 0
+        |          THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |          ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw_ts
+        |      FROM orders) ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val raw = when($"o_orderkey" % 2 === 0,
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(date_format($"o_orderdate", "yyyy-MM-dd"))
+      Tables.orders(s, dir)
+        .select($"o_orderkey", raw.as("raw_ts"), Exprs.orderDateStr(raw).as("order_date"))
+        .orderBy($"o_orderkey")
+    },
+
+    // S3/F4-F7/A4/O2 — the tutorial word-count surface: normalize, split,
+    // explode, group-count, top-k. Scale: explode is a Generator (no
+    // materialized intermediate); count has map-side partials.
+    sqlChecked(
+      "q13_wordcount",
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |    w -> w <> '')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(Exprs.words(Exprs.normText($"text"))).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word".asc)
+        .limit(50)
+    },
+
+    // F1 — array→rows with position (posexplode; the deterministic variant
+    // SURVEY §7.1.1 calls for as the dedup tie-breaker).
+    sqlChecked(
+      "q14_explode_pos",
+      """SELECT vec_id, unnest(generate_series(0, len(embedding)-1)) AS pos,
+        | CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .filter($"vec_id" < 10)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "val")))
+        .select($"vec_id", $"pos".cast("long").as("pos"), $"val".cast("double").as("val"))
+        .orderBy($"vec_id", $"pos")
+    },
+
+    // J2/A2/P2/P7 — the reference's full refund-rollup shape: aggregate all
+    // "refunds" (negative amounts), left-join, fill 0, net = gross + refunds
+    // (ADDITION — amounts are negative; SURVEY §7.1.2).
+    sqlChecked(
+      "q15_refund_rollup",
+      """SELECT o_orderkey, o_totalprice, COALESCE(r.refunds_eur, 0.0) AS refunds_eur,
+        | CAST(CAST(o_totalprice AS DECIMAL(20,8))
+        |      + CAST(COALESCE(r.refunds_eur, 0.0) AS DECIMAL(20,8)) AS DOUBLE) AS net_eur
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(-(l_extendedprice * l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS refunds_eur
+        |  FROM lineitem GROUP BY l_orderkey) r
+        |ON o_orderkey = r.l_orderkey ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val refunds = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(dsum(-($"l_extendedprice" * $"l_discount")).as("refunds_eur"))
+      Tables.orders(s, dir)
+        .join(refunds, $"o_orderkey" === $"l_orderkey", "left")
+        .na.fill(Map("refunds_eur" -> 0.0))
+        .withColumn("net_eur",
+          ($"o_totalprice".cast("decimal(20,8)") + $"refunds_eur".cast("decimal(20,8)"))
+            .cast("double"))
+        .select($"o_orderkey", $"o_totalprice", $"refunds_eur", $"net_eur")
+        .orderBy($"o_orderkey")
+    }
+  )
+}
