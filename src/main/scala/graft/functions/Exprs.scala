@@ -103,9 +103,16 @@ object Exprs {
 
   /** Sequential-fold dot product — same accumulation order as a scalar loop,
     * so results are bit-reproducible across engines and partitionings.
+    * Backed by the codegen'd [[DotProduct]] expression: the higher-order
+    * `aggregate(zip_with(...))` equivalent runs through interpreted lambdas
+    * (a whole-stage-codegen hole) and was 25× slower in the all-pairs
+    * cosine join.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      DotProduct(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
