@@ -12,6 +12,7 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++
+      freshkart.FreshKartQueries.defs ++
       operators.TextAnalysis.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
