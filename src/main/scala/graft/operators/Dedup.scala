@@ -21,7 +21,9 @@ import graft.functions.Exprs
   *
   * MinHash/SimHash signatures are built on Spark's `xxhash64` (not
   * reproducible in DuckDB), so those two are rows-only checks; their
-  * semantics are pinned by ScalaTest specs with planted near-duplicates.
+  * semantics are pinned by PlantedNearDupSpec (src/test/scala/graft/
+  * operators/PlantedNearDupSpec.scala): planted near-duplicate documents
+  * must collide, disjoint documents must not.
   */
 object Dedup {
 
@@ -61,6 +63,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double")
           / (col("ca.n") + col("cb.n") - col("common")), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs over any (doc_id, text) DataFrame:
+    * K-minhash signature per doc, banded bucket join for candidates, exact
+    * Jaccard verify on candidates only. `threshold` is on verified Jaccard.
+    */
+  def minhashLshPairs(
+      s: SparkSession, docs: DataFrame,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val rows = k / bands
+    val sh = docShinglesOf(s, docs, 3).cache()
+    val sig = minhashSignatures(sh, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.sig".as("sig"))
+    val cands = buckets.as("x")
+      .join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    jaccardFor(cands, sh).filter($"jaccard" >= threshold)
+  }
+
+  /** SimHash-64 near-dup pairs over any (doc_id, text) DataFrame: one 64-bit
+    * signature per doc from per-word hash votes, candidates via 4×16-bit
+    * band equality (pigeonhole: hamming ≤ 3 ⇒ some band equal), exact
+    * hamming filter on candidates.
+    */
+  def simhashPairs(s: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val words = docs
+      .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
+      .distinct()
+      .select($"doc_id", xxhash64($"word").as("h"))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when($"h".bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sigExpr = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    val sigs = words.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select($"doc_id", sigExpr.as("sig"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }
+    val banded = sigs.select($"doc_id", $"sig", explode(array(chunks: _*)).as("bk"))
+      .select($"doc_id", $"sig", $"bk.chunk".as("chunk"), $"bk.v".as("v"))
+    banded.as("x")
+      .join(banded.as("y"),
+        $"x.chunk" === $"y.chunk" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -125,22 +186,7 @@ object Dedup {
     // map-side-combinable aggregate; bucket join touches only colliding docs.
     rowsOnly("dd_minhash_lsh") { (s, dir) =>
       import s.implicits._
-      val K = 32; val bands = 8; val rows = K / bands
-      val sh = docShingles(s, dir).cache()
-      val sig = minhashSignatures(sh, K)
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("sig"))
-      }
-      val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.sig".as("sig"))
-      val cands = buckets.as("x")
-        .join(buckets.as("y"),
-          $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .distinct()
-      jaccardFor(cands, sh)
-        .filter($"jaccard" >= 0.5)
+      minhashLshPairs(s, Tables.documents(s, dir))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -149,31 +195,7 @@ object Dedup {
     // equal), exact hamming filter on candidates.
     rowsOnly("dd_simhash") { (s, dir) =>
       import s.implicits._
-      val words = Tables.documents(s, dir)
-        .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
-        .distinct()
-        .select($"doc_id", xxhash64($"word").as("h"))
-      val bitVotes = (0 until 64).map { j =>
-        sum(when($"h".bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
-      }
-      val sigExpr = (0 until 64)
-        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-      val sigs = words.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-        .select($"doc_id", sigExpr.as("sig"))
-      val chunks = (0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
-      }
-      val banded = sigs.select($"doc_id", $"sig", explode(array(chunks: _*)).as("bk"))
-        .select($"doc_id", $"sig", $"bk.chunk".as("chunk"), $"bk.v".as("v"))
-      banded.as("x")
-        .join(banded.as("y"),
-          $"x.chunk" === $"y.chunk" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-          expr("bit_count(x.sig ^ y.sig)").as("hamming"))
-        .distinct()
-        .filter($"hamming" <= 3)
+      simhashPairs(s, Tables.documents(s, dir))
         .orderBy($"doc_a", $"doc_b")
     },
 

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM, one session — Spark startup
+  * dominates test wall-clock otherwise). S4 (local-collection source) is
+  * exercised implicitly: every spec builds inputs with `Seq(...).toDF`.
+  */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSuite.session
+  def sf(dir: String): String = s"/root/testdata/$dir"
+}
+
+object SparkSuite {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
