@@ -175,14 +175,16 @@ object Relational {
         .orderBy($"nationkey")
     },
 
-    // A3 — countDistinct rollup (reference daily_city_sales shape,
-    // pipeline_pyspark.py:175-181). Scale: Catalyst's RewriteDistinctAggregates
-    // expands the two distincts into one two-phase plan; no per-group sets
-    // ever materialize on one node.
+    // A3 — TWO-countDistinct rollup (the reference daily_city_sales shape
+    // has two distinct aggs, pipeline_pyspark.py:176-177). Scale: Catalyst's
+    // RewriteDistinctAggregates expands multiple distinct children into one
+    // Expand-based two-phase plan; no per-group sets ever materialize on one
+    // node.
     sqlChecked(
       "q10_month_countdistinct",
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         | COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(DISTINCT o_orderpriority) AS n_priorities,
         | COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY order_month ORDER BY order_month""".stripMargin) { (s, dir) =>
@@ -191,6 +193,7 @@ object Relational {
         .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
         .agg(
           countDistinct($"o_custkey").as("n_customers"),
+          countDistinct($"o_orderpriority").as("n_priorities"),
           count(lit(1)).as("n_orders"),
           dsum($"o_totalprice").as("revenue"))
         .orderBy($"order_month")
@@ -299,6 +302,103 @@ object Relational {
             .cast("double"))
         .select($"o_orderkey", $"o_totalprice", $"refunds_eur", $"net_eur")
         .orderBy($"o_orderkey")
+    },
+
+    // F2 — try_cast on actual garbage (the reference guards every refund
+    // amount with try_cast, pipeline_pyspark.py:106; round 1 never fed it a
+    // bad value). Mixed parseable/garbage strings → null → filled 0.0.
+    sqlChecked(
+      "q16_trycast_garbage",
+      """SELECT o_orderkey, raw,
+        | COALESCE(TRY_CAST(raw AS DOUBLE), 0.0) AS amount
+        |FROM (SELECT o_orderkey,
+        |        CASE o_orderkey % 6
+        |          WHEN 0 THEN '12.5' WHEN 1 THEN '-3.25' WHEN 2 THEN 'n/a'
+        |          WHEN 3 THEN '' WHEN 4 THEN '1e2' ELSE 'abc' END AS raw
+        |      FROM orders) ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = $"o_orderkey" % 6
+      val raw = when(m === 0, "12.5").when(m === 1, "-3.25").when(m === 2, "n/a")
+        .when(m === 3, "").when(m === 4, "1e2").otherwise("abc")
+      Tables.orders(s, dir)
+        .select($"o_orderkey", raw.as("raw"))
+        .withColumn("amount", coalesce(expr("try_cast(raw AS double)"), lit(0.0)))
+        .orderBy($"o_orderkey")
+    },
+
+    // J4 — FULL OUTER join (tutorial surface, tutoriel_pandas.ipynb#45):
+    // per-nation customer counts vs supplier counts, neither side guaranteed
+    // to cover all nations. Scale: full outer forces a shuffle join on the
+    // key (broadcast is impossible for outer-both sides); counts are
+    // pre-aggregated so the join input is one row per key per side.
+    sqlChecked(
+      "q17_full_outer",
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+        | COALESCE(c.n_customers, 0) AS n_customers,
+        | COALESCE(s.n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+        |      WHERE c_nationkey < 20 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier
+        |      WHERE s_nationkey >= 5 GROUP BY s_nationkey) s
+        |ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir).filter($"c_nationkey" < 20)
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+      val sup = Tables.supplier(s, dir).filter($"s_nationkey" >= 5)
+        .groupBy($"s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+      c.join(sup, $"c_nationkey" === $"s_nationkey", "full_outer")
+        .select(
+          coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+          coalesce($"n_customers", lit(0L)).as("n_customers"),
+          coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+        .orderBy($"nationkey")
+    },
+
+    // A7 — describe/corr-style stats. stddev and corr are computed from
+    // DECIMAL-summed co-moments (sum, sum of squares, sum of products), not
+    // the float stddev_samp/corr aggregates: a float moment accumulated over
+    // 32 partitions is summation-order-dependent, the decimal one is exact,
+    // so the result is bit-stable on any engine/partitioning. Single
+    // aggregate pass (describe() would scan once per metric family).
+    sqlChecked(
+      "q18_stats",
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sqp,
+        |    MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |  FROM lineitem)
+        |SELECT n, round(sq / n, 6) AS mean_qty,
+        | round(sqrt((sqq - sq*sq/n) / (n - 1)), 6) AS stddev_qty,
+        | min_qty, max_qty,
+        | round((sqp - sq*sp/n) / (sqrt(sqq - sq*sq/n) * sqrt(spp - sp*sp/n)), 6) AS corr_qty_price
+        |FROM m""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // Products in DOUBLE (bit-identical scalar multiply on any engine),
+      // sums in DECIMAL (order-independent) — the q01 sum_disc_price pattern.
+      val q = $"l_quantity"
+      val p = $"l_extendedprice"
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(q).as("sq"),
+          dsum(q * q).as("sqq"),
+          dsum(p).as("sp"),
+          dsum(p * p).as("spp"),
+          dsum(q * p).as("sqp"),
+          min($"l_quantity").as("min_qty"),
+          max($"l_quantity").as("max_qty"))
+        .select(
+          $"n", round($"sq" / $"n", 6).as("mean_qty"),
+          round(sqrt(($"sqq" - $"sq" * $"sq" / $"n") / ($"n" - 1)), 6).as("stddev_qty"),
+          $"min_qty", $"max_qty",
+          round(($"sqp" - $"sq" * $"sp" / $"n")
+            / (sqrt($"sqq" - $"sq" * $"sq" / $"n") * sqrt($"spp" - $"sp" * $"sp" / $"n")), 6)
+            .as("corr_qty_price"))
     }
   )
 }

@@ -13,4 +13,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drop a query's top-level global Sort, if any. Every graft query ends in
+    * a deterministic ORDER BY for the oracle hash-compare; the bench also
+    * times the plan WITHOUT that final sort, so a regression in the real
+    * operator work can't hide under a dominating global sort (VERDICT r01).
+    */
+  def stripTopSort(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val stripped = cdf.queryExecution.analyzed match {
+      case s: Sort if s.global => Some(s.child)
+      case p @ Project(_, s: Sort) if s.global => Some(p.copy(child = s.child))
+      case _ => None
+    }
+    stripped
+      .map(plan => org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, plan))
+      .getOrElse(df)
+  }
 }
