@@ -19,9 +19,12 @@ object SparkEntry {
       operators.Multimodal.defs ++
       streaming.Events.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the FreshKart daily_city_sales pipeline end-to-end (reads its
+    * committed fixtures; the sfDir argument is unused by fk queries).
+    * Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.defs.head.fn(spark, "/root/testdata/sf0.001")
+    freshkart.FreshKartQueries.defs.head.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -144,16 +144,20 @@ object Dedup {
         .orderBy($"keep_id")
     },
 
-    // Word-3-gram Jaccard near-dup pairs. Candidate pairs come from a
-    // shingle-equality self-join over COLD shingles only (document frequency
-    // <= HotShingleDfCap); common/jaccard are then computed exactly over the
-    // FULL shingle sets of the candidates. The cap bounds the join fan-out
-    // by df_cap² per shingle — without it, one stop-phrase shingle shared by
-    // 1M docs produces 10^12 pairs at 100 TB. The (documented) recall
-    // tradeoff: a pair whose ONLY shared shingles are hot is never
-    // considered — on the testdata the cap is far above the max df (25 at
-    // sf0.1), so the output is unchanged; the cap is mirrored in the oracle
-    // so the semantics stay pinned at any df.
+    // Word-3-gram Jaccard near-dup pairs over DISCRIMINATIVE shingles:
+    // shingles with document frequency > HotShingleDfCap are dropped before
+    // anything else, and jaccard is defined over the remaining (cold)
+    // shingle sets. The cap bounds the self-join fan-out by df_cap² per
+    // shingle — without it, one stop-phrase shingle shared by 1M docs
+    // produces 10^12 pairs at 100 TB. Dropping hot shingles from the
+    // DENOMINATOR too (not just candidate generation) keeps the operator a
+    // single self-join + group-by — no second verification pass over the
+    // full sets, which costs a candidates×shingles blow-up. Tradeoff,
+    // documented: similarity contributed by ubiquitous shingles is ignored —
+    // which is also why the capped jaccard is the better near-DUPLICATE
+    // signal. The cap is mirrored in the oracle so the semantics stay pinned
+    // at any df; on the testdata (max df 25) the output equals the uncapped
+    // result.
     sqlChecked(
       "dd_ngram_jaccard",
       s"""WITH toks AS (
@@ -161,24 +165,20 @@ object Dedup {
         |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
         |                w -> w <> '') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id,
         |      unnest(list_transform(generate_series(1, len(w)-2),
         |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
         |    FROM toks WHERE len(w) >= 3)),
-        |cold AS (
-        |  SELECT doc_id, shingle FROM sh
+        |sh AS (
+        |  SELECT doc_id, shingle FROM sh0
         |  WHERE shingle NOT IN (
-        |    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $HotShingleDfCap)),
+        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $HotShingleDfCap)),
         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |cands AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
         |pairs AS (
-        |  SELECT doc_a, doc_b, count(*) AS common
-        |  FROM cands c JOIN sh sa ON sa.doc_id = c.doc_a
-        |               JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, common,
         |  round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
@@ -187,20 +187,16 @@ object Dedup {
         |WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = docShingles(s, dir).cache()
-      val hot = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val sh0 = docShingles(s, dir)
+      val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" > HotShingleDfCap).select($"shingle")
-      val cold = sh.join(hot, Seq("shingle"), "left_anti")
-      val cands = cold.as("a")
-        .join(cold.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
+      val sh = sh0.join(hot, Seq("shingle"), "left_anti").cache()
       val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val common = cands
-        .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
-      common
+      val pairs = sh.as("a")
+        .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
         .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
         .join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
         .withColumn("jaccard",

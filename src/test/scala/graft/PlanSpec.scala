@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan shape assertions — the 100 TB properties the queries are
+  * designed around, pinned so a refactor can't silently regress them:
+  * filters and projections must reach the parquet scan, small dims must
+  * broadcast, top-k must plan TakeOrderedAndProject, and the all-pairs
+  * cosine must keep its codegen'd dot product.
+  */
+class PlanSpec extends SparkSuite with Matchers {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection are pushed into the parquet scan") {
+    val p = plan("q02_filter_project")
+    p should include("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]")
+    // pruned read schema: only the 4 referenced columns, not the full table
+    p should include("o_orderkey")
+    (p should not).include("o_orderpriority")
+  }
+
+  test("q03: dimension side is broadcast (fact side never shuffles)") {
+    plan("q03_join_filter") should include("BroadcastHashJoin")
+  }
+
+  test("q06: top-k plans TakeOrderedAndProject, not a global sort") {
+    plan("q06_topk") should include("TakeOrderedAndProject")
+  }
+
+  test("q04: aggregation happens below the join (aggregate-before-join)") {
+    val p = plan("q04_leftjoin_nullfill")
+    val joinPos = p.indexOf("Join")
+    val aggPos = p.lastIndexOf("HashAggregate")
+    joinPos should be >= 0
+    aggPos should be > joinPos // child plans print below their parent
+  }
+
+  test("dd_embedding_cosine: codegen'd graft_dot, no interpreted HOF lambda") {
+    val p = plan("dd_embedding_cosine")
+    p should include("graft_dot")
+    (p should not).include("aggregate(zip_with")
+  }
+
+  test("fk pipeline: customer dim broadcast; single window shuffle for dedup") {
+    val p = SparkEntry.queries("fk_daily_city_sales")(spark, dir)
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    p should include("row_number()")
+  }
+}
