@@ -1,10 +1,11 @@
 package graft.streaming
 
 import java.nio.file.Files
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.{QueryDef, Tables}
-import graft.QueryDef.sqlChecked
+import graft.QueryDef.{rowsOnly, sqlChecked}
 
 /** Structured-Streaming surface over the `events` table. The reference has no
   * streaming (SURVEY §2.11); this is the north-star extension: the same
@@ -48,6 +49,32 @@ object Events {
       |HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
       |ORDER BY hour, event_type""".stripMargin
 
+  // --- sessionization shared pieces -----------------------------------------
+
+  /** 12 hours in microseconds. */
+  val SessionGapUs: Long = 12L * 3600 * 1000 * 1000
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private val sessionizeOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                             ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM e)
+       |SELECT user_id,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
+       |FROM s GROUP BY user_id, sess
+       |ORDER BY user_id, session_start""".stripMargin
+
+
   val defs: Seq[QueryDef] = Seq(
 
     sqlChecked("ev_window_agg", batchOracle) { (s, dir) =>
@@ -79,6 +106,116 @@ object Events {
         .start()
       q.awaitTermination()
       s.read.parquet(outDir).orderBy($"hour", $"event_type")
+    },
+
+    // Gap-based sessionization, batch: consecutive events of a user with
+    // ts-gap <= 12h form one session (lag → new-session flag → running sum
+    // as session id → per-session rollup). Scale: two window passes and the
+    // final aggregate all share ONE hash-partitioning on user_id — a single
+    // shuffle; no global sort except the deterministic output ORDER BY.
+    sqlChecked("ev_sessionize", sessionizeOracle) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("new_s",
+          when($"prev".isNull
+            || unix_micros($"ts") - unix_micros($"prev") > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum($"new_s").over(run))
+        .groupBy($"user_id", $"sess")
+        .agg(
+          date_format(min($"ts"), TsFmt).as("session_start"),
+          date_format(max($"ts"), TsFmt).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum($"value").as("total_value"))
+        .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_start")
+    },
+
+    // The SAME sessionization as a STATEFUL streaming query:
+    // groupByKey(user).flatMapGroupsWithState with event-time timeout. State
+    // per user = the open (not-yet-closable) tail of their event buffer; a
+    // session is emitted exactly once, when the watermark passes
+    // session_end + gap, and its events leave the state — bounded state, the
+    // 100 TB shape for custom session logic that windowed aggs can't
+    // express. No DuckDB oracle (emission depends on watermark mechanics);
+    // SessionizeSpec pins stream == batch restricted to closed sessions.
+    rowsOnly("ev_sessionize_stream") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val outDir = Files.createTempDirectory("ev-sess-out").toString
+      val ckDir = Files.createTempDirectory("ev-sess-ck").toString
+      val src = Tables.eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .as[SessEvent]
+      val q = src.groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessBuffer, Session](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionizeGroup)
+        .select($"user_id",
+          date_format($"start", TsFmt).as("session_start"),
+          date_format($"end", TsFmt).as("session_end"),
+          $"n_events",
+          $"total_value")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy($"user_id", $"session_start")
     }
   )
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class SessBuffer(events: List[SessEvent])
+  case class Session(
+      user_id: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Per-user stateful sessionizer. Buffers events (sorted replay on each
+    * call keeps it correct under out-of-order arrival within the watermark),
+    * closes every session whose end + gap <= current watermark, keeps the
+    * open tail in state, and arms an event-time timeout at
+    * last_event + gap so the final session closes with no further input.
+    */
+  def sessionizeGroup(
+      userId: Long,
+      newEvents: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessBuffer]): Iterator[Session] = {
+    val buffered = state.getOption.map(_.events).getOrElse(Nil) ++ newEvents
+    val sorted = buffered.sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id))
+    def us(e: SessEvent): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+    // split into sessions
+    val sessions = sorted.foldLeft(List.empty[List[SessEvent]]) {
+      case (acc, e) => acc match {
+        case cur :: rest if us(e) - us(cur.head) <= SessionGapUs => (e :: cur) :: rest
+        case _ => List(e) :: acc
+      }
+    }.map(_.reverse).reverse // sessions in time order, events ascending (head of each = last appended)
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    val (closed, open) = sessions.partition(sess => us(sess.last) + SessionGapUs <= wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessBuffer(open.flatten))
+      // arm at the EARLIEST close point over open sessions — arming at the
+      // last one would strand already-closable earlier sessions of a user
+      // whose final session outlives the watermark
+      val nextCloseUs = open.map(sess => us(sess.last)).min + SessionGapUs
+      state.setTimeoutTimestamp(nextCloseUs / 1000 + 1) // ms, just past close point
+    }
+    closed.iterator.map { sess =>
+      // mirror the batch dsum: each double rounded to decimal(.,8) HALF_UP
+      // before the (order-independent) exact sum
+      val total = sess.foldLeft(BigDecimal(0)) { (acc, e) =>
+        acc + BigDecimal(e.value).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }
+      Session(userId, sess.head.ts, sess.last.ts, sess.size.toLong, total.toDouble)
+    }
+  }
 }
