@@ -399,6 +399,24 @@ object Relational {
           round(($"sqp" - $"sq" * $"sp" / $"n")
             / (sqrt($"sqq" - $"sq" * $"sq" / $"n") * sqrt($"spp" - $"sp" * $"sp" / $"n")), 6)
             .as("corr_qty_price"))
+    },
+
+    // J3 — explicit-condition left join with BOTH key columns kept in the
+    // output (the reference notebook's variant, pipeline_pyspark_test
+    // .ipynb#20 — unlike the USING-style J1, the duplicate key survives and
+    // the right copy is null on unmatched rows).
+    sqlChecked(
+      "q19_join_dupkeys",
+      """SELECT o_orderkey, o_custkey, c_custkey, c_acctbal
+        |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select($"o_orderkey", $"o_custkey", $"c_custkey", $"c_acctbal")
+        .orderBy($"o_orderkey")
     }
   )
 }
