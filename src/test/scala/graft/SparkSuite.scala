@@ -17,6 +17,8 @@ object SparkSuite {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
