@@ -96,7 +96,9 @@ object Dedup {
   }
 
   /** SimHash-64 near-dup pairs over any (doc_id, text) DataFrame: one 64-bit
-    * signature per doc from per-word hash votes, candidates via 4×16-bit
+    * signature per doc from per-word hash votes (custom
+    * [[graft.functions.SimHashAgg]] imperative aggregate — one 256-byte
+    * buffer per group instead of 64 sum columns), candidates via 4×16-bit
     * band equality (pigeonhole: hamming ≤ 3 ⇒ some band equal), exact
     * hamming filter on candidates.
     */
@@ -106,14 +108,8 @@ object Dedup {
       .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
       .distinct()
       .select($"doc_id", xxhash64($"word").as("h"))
-    val bitVotes = (0 until 64).map { j =>
-      sum(when($"h".bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
-    }
-    val sigExpr = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    val sigs = words.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-      .select($"doc_id", sigExpr.as("sig"))
+    val sigs = words.groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg($"h").as("sig"))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))

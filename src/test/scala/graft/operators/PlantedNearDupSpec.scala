@@ -65,6 +65,28 @@ class PlantedNearDupSpec extends SparkSuite with Matchers {
     all(pairs.toSeq.map(p => p._1 / 2 == p._2 / 2)) shouldBe true
   }
 
+  test("imperative SimHashAgg equals the composable 64-column formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = docs
+      .select($"doc_id", explode(graft.functions.Exprs.words(
+        graft.functions.Exprs.normText($"text"))).as("word"))
+      .distinct()
+      .select($"doc_id", xxhash64($"word").as("h"))
+    val fast = words.groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg($"h").as("sig"))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when($"h".bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sigExpr = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a.bitwiseOR(b))
+    val slow = words.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select($"doc_id", sigExpr.as("sig"))
+    fast.except(slow).count() shouldBe 0
+    slow.except(fast).count() shouldBe 0
+  }
+
   test("exact-dedup fingerprint groups case/spacing variants of one text") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
