@@ -93,6 +93,16 @@ object Sinks {
   def writeText(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").text(dir)
 
+  /** The DISTRIBUTED analog of [[writePerDayCsv]]: Hive-style
+    * date-partitioned parquet (`date=YYYY-MM-DD/` subdirs). The per-day CSV
+    * writer exists for byte-exact reference parity on driver-sized finals;
+    * this is the shape the same fan-out takes at 100 TB — executors write
+    * their own partitions, downstream readers get partition pruning on
+    * `date` for free.
+    */
+  def writePartitionedParquet(daily: DataFrame, dir: String): Unit =
+    daily.write.mode("overwrite").partitionBy("date").parquet(dir)
+
   private[freshkart] def deleteRecursively(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

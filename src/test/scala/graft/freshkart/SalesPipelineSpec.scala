@@ -111,6 +111,24 @@ class SalesPipelineSpec extends SparkSuite with Matchers {
     Sinks.deleteRecursively(new java.io.File(out))
   }
 
+  test("partitioned parquet sink: date= subdirs, pruned scan, round-trip") {
+    val out = Files.createTempDirectory("fk-part").toString + "/daily"
+    val daily = result.dailyCitySales.cache()
+    Sinks.writePartitionedParquet(daily, out)
+    val dirs = new java.io.File(out).listFiles.map(_.getName).filter(_.startsWith("date=")).sorted
+    dirs.length shouldBe 31
+    dirs.head shouldBe "date=2025-03-01"
+    val back = spark.read.parquet(out)
+    back.count() shouldBe daily.count()
+    // partition pruning: a date filter scans one partition only
+    val pruned = back.filter(col("date") === "2025-03-15")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    prunedPlan should include("PartitionFilters")
+    prunedPlan should include("= 2025-03-15")
+    pruned.count() shouldBe daily.filter(col("date") === "2025-03-15").count()
+    Sinks.deleteRecursively(new java.io.File(out).getParentFile)
+  }
+
   test("Config: yaml subset parse + relative path resolution") {
     val dir = Files.createTempDirectory("fk-cfg")
     val yaml = dir.resolve("settings.yaml")
