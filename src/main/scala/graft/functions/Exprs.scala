@@ -29,8 +29,12 @@ object Exprs {
     case BooleanType    => coalesce(c, lit(false))
     case _: NumericType => coalesce(c =!= lit(0), lit(false))
     case _ =>
+      // regexp strip, not trim(): Python str.strip() removes ALL whitespace
+      // (tabs, newlines) while Spark's trim() removes only spaces — a
+      // divergence found by the U1 property spec on "\ttrue\n".
       when(c.isNull, lit(false))
-        .otherwise(lower(trim(c)).isin("1", "true", "yes", "y", "t"))
+        .otherwise(lower(regexp_replace(c, "^\\s+|\\s+$", ""))
+          .isin("1", "true", "yes", "y", "t"))
   }
 
   /** String-path boolNorm for a column already known to be a string. */
