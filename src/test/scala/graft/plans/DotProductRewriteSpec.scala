@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+import graft.functions.Exprs
+
+/** The optimizer rule must turn the user-facing composable dot-product idiom
+  * into the codegen'd DotProduct — same results, faster plan. Inputs come
+  * from parquet (not local Seqs): ConvertToLocalRelation constant-folds
+  * local inputs before any custom rule can be observed.
+  */
+class DotProductRewriteSpec extends SparkSuite with Matchers {
+
+  private val dir = sf("sf0.001")
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DotProductRewrite
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == DotProductRewrite)
+  }
+
+  private def vectors = {
+    import spark.implicits._
+    graft.Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 20)
+      .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+  }
+
+  test("rewrites aggregate(zip_with(*)) to graft_dot with identical results") {
+    import spark.implicits._
+    val q = vectors.select($"vec_id", hofDot($"v", $"v").as("d")).orderBy($"vec_id")
+    val plain = q.collect().map(_.getDouble(1)).toSeq
+    withRule {
+      val optimized = vectors.select($"vec_id", hofDot($"v", $"v").as("d")).orderBy($"vec_id")
+      optimized.queryExecution.optimizedPlan.toString should include("graft_dot")
+      // bitwise-identical: both forms fold sequentially in index order
+      optimized.collect().map(_.getDouble(1)).toSeq shouldBe plain
+    }
+  }
+
+  test("ragged lengths: documented divergence — HOF nulls, rewrite min-length folds") {
+    import spark.implicits._
+    // zip_with pads the shorter array with null and null*x propagates, so
+    // the HOF form yields null; DotProduct folds min(len) instead. The
+    // library only builds equal-length dense vectors, where both agree —
+    // this pins the (documented) ragged-input divergence.
+    val ragged = vectors.filter($"vec_id" === 0)
+      .select($"v".as("a"), slice($"v", 1, 1).as("b"))
+    ragged.select(hofDot($"a", $"b").as("d")).collect().head.isNullAt(0) shouldBe true
+    withRule {
+      val expect = vectors.filter($"vec_id" === 0)
+        .select(element_at($"v", 1).as("x")).collect().head.getDouble(0)
+      ragged.select(hofDot($"a", $"b").as("d"))
+        .collect().head.getDouble(0) shouldBe (expect * expect)
+    }
+  }
+
+  test("rule does not fire on non-dot aggregates") {
+    import spark.implicits._
+    withRule {
+      // sum of pairwise MAX — shares the shape but not the multiply lambda
+      val q = vectors.select(
+        aggregate(zip_with($"v", $"v", (x, y) => greatest(x, y)), lit(0.0), (acc, x) => acc + x).as("m"))
+      (q.queryExecution.optimizedPlan.toString should not).include("graft_dot")
+      q.collect().length shouldBe 20
+    }
+  }
+}
