@@ -417,6 +417,23 @@ object Relational {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
         .select($"o_orderkey", $"o_custkey", $"c_custkey", $"c_acctbal")
         .orderBy($"o_orderkey")
+    },
+
+    // Sketch aggregates — the 100 TB substitutes for exact distinct counts
+    // and sorted percentiles: HyperLogLog++ (bounded state per group vs a
+    // per-group hash set) and approx_percentile (mergeable quantile sketch
+    // vs a global sort). No DuckDB oracle — sketch internals differ between
+    // engines by construction; SketchSpec pins relative error vs the exact
+    // answers (< 5% for HLL at default rsd, exact-rank tolerance for the
+    // quantiles).
+    graft.QueryDef.rowsOnly("q20_sketch_stats") { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .agg(
+          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_price"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95_price"))
     }
   )
 }
