@@ -434,6 +434,62 @@ object Relational {
           approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
           percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_price"),
           percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95_price"))
+    },
+
+    // TPC-H Q3 shape — 3-way fact join with dim filter, aggregate, top-k.
+    // Scale: the customer dim (filtered) broadcasts; orders⋈lineitem is the
+    // only real shuffle, keyed on orderkey; TakeOrderedAndProject caps
+    // driver results at k×partitions.
+    sqlChecked(
+      "q21_shipping_priority",
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |             JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1995-03-15").cast("date"))
+      val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1995-03-15").cast("date"))
+      broadcast(c)
+        .join(o, $"c_custkey" === $"o_custkey")
+        .join(l, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .select($"l_orderkey", $"revenue",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape — 5-way snowflake join (region→nation→customer→orders→
+    // lineitem) with a region filter. Scale: the whole dimension snowflake
+    // (region⋈nation⋈customer) collapses into one broadcast side; lineitem
+    // joins orders on the natural key. One wide shuffle total.
+    sqlChecked(
+      "q22_regional_revenue",
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |            JOIN customer ON n_nationkey = c_nationkey
+        |            JOIN orders ON c_custkey = o_custkey
+        |            JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dims = Tables.region(s, dir).filter($"r_name" === "ASIA")
+        .join(Tables.nation(s, dir), $"r_regionkey" === $"n_regionkey")
+        .join(Tables.customer(s, dir), $"n_nationkey" === $"c_nationkey")
+      broadcast(dims)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name".asc)
     }
   )
 }
