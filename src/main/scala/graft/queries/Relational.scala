@@ -490,6 +490,41 @@ object Relational {
         .groupBy($"n_name")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
         .orderBy($"revenue".desc, $"n_name".asc)
+    },
+
+    // ROLLUP — hierarchical subtotals (group, per-flag, grand total) in one
+    // pass. Scale: Catalyst plans one Expand + single hash aggregate — not
+    // one scan per grouping level.
+    sqlChecked(
+      "q23_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"sum_qty", $"n")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
+    // EXCEPT — set difference (Catalyst rewrites to left-anti + distinct).
+    sqlChecked(
+      "q24_except",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_nationkey < 10
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .except(Tables.supplier(s, dir).filter($"s_nationkey" < 10)
+          .select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
     }
   )
 }
