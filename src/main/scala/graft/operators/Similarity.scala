@@ -85,6 +85,75 @@ object Similarity {
         .filter($"rk" <= 10)
         .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
         .orderBy($"query_id", $"rk")
+    },
+
+    // Per-label embedding centroids — the training half of IVF/k-means-style
+    // partitioned ANN and of cluster-based data curation. One posexplode +
+    // one (label, pos) aggregate: the mean is decimal-summed / count, so the
+    // centroid is bit-identical under any partitioning. Output is scalar
+    // rows (label, pos, mu), not an array column — exact hash-compare
+    // friendly.
+    sqlChecked(
+      "sim_label_centroids",
+      """SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+        |FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+        |      FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings))
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .select($"label", ($"pos" + 1).cast("long").as("pos"), $"mu")
+        .orderBy($"label", $"pos")
+    },
+
+    // Nearest-centroid assignment (the probe half of IVF, and the cluster
+    // assignment step of curation): centroids are re-assembled into arrays
+    // and BROADCAST — a 10×64 "model" joins the full vector table without
+    // shuffling it; scoring is the codegen'd dot product. At 100 TB the
+    // vector side streams through map tasks only.
+    sqlChecked(
+      "sim_centroid_assign",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(mu ORDER BY pos) AS c FROM (
+        |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+        |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+        |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                FROM embeddings))
+        |    GROUP BY label, pos) GROUP BY label),
+        |scored AS (
+        |  SELECT vec_id, label,
+        |    round(list_sum(list_transform(generate_series(1, len(v.v)), i -> v.v[i] * c.c[i]))
+        |      / (sqrt(list_sum(list_transform(v.v, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(c.c, x -> x*x)))), 6) AS cos
+        |  FROM v CROSS JOIN cent c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label) AS rk
+        |  FROM scored)
+        |SELECT vec_id, label AS assigned_label, cos FROM ranked WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+        .withColumn("nrm", Exprs.l2norm($"v"))
+      val centroids = Tables.embeddings(s, dir)
+        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+        .withColumn("cnrm", Exprs.l2norm($"c"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"label".asc)
+      e.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"label".as("assigned_label"), $"cos")
+        .orderBy($"vec_id")
     }
   )
 }

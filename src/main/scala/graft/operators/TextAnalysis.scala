@@ -127,6 +127,55 @@ object TextAnalysis {
       Tables.documents(s, dir)
         .select($"doc_id", Exprs.fingerprint($"text").as("fp"))
         .orderBy($"doc_id")
+    },
+
+    // The composed curation flow a training-data pipeline actually runs:
+    // score → quality gate (>= 0.6) + token floor (>= 20) → exact-dedup
+    // keep-first. One scan computes everything per-row; the only shuffle is
+    // the fingerprint window (16-byte key, not text). At 100 TB this is the
+    // canonical "clean the crawl" plan shape.
+    sqlChecked(
+      "ta_curation",
+      """SELECT doc_id, n_tokens, quality FROM (
+        |  SELECT doc_id, n_tokens, quality,
+        |    min(doc_id) OVER (PARTITION BY fp) AS keep_id
+        |  FROM (
+        |    SELECT doc_id,
+        |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |      len(toks) AS n_tokens,
+        |      round(0.4 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |          ELSE round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+        |                     / CAST(length(text) AS DOUBLE), 6) END)
+        |        + 0.3 * CASE WHEN len(toks) = 0 THEN 0.0
+        |          ELSE round(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it')))
+        |                     / CAST(len(toks) AS DOUBLE), 6) END
+        |        + 0.3 * least(1.0, len(toks) / 100.0), 6) AS quality
+        |    FROM (SELECT doc_id, text,
+        |            list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                        w -> w <> '') AS toks
+        |          FROM documents)))
+        |WHERE quality >= 0.6 AND n_tokens >= 20 AND doc_id = keep_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = Exprs.words(Exprs.normText($"text"))
+      val charLen = length($"text").cast("long")
+      val nTokens = size(toks).cast("long")
+      val punctRatio = when(charLen === 0, 0.0).otherwise(
+        round((charLen - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))).cast("double")
+          / charLen.cast("double"), 6))
+      val stopRatio = when(nTokens === 0, 0.0).otherwise(
+        round(size(filter(toks, w => w.isin(stopEn: _*))).cast("double")
+          / nTokens.cast("double"), 6))
+      val quality = round(lit(0.4) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio
+        + lit(0.3) * least(lit(1.0), nTokens / lit(100.0)), 6)
+      Tables.documents(s, dir)
+        .select($"doc_id", Exprs.fingerprint($"text").as("fp"),
+          nTokens.as("n_tokens"), quality.as("quality"))
+        .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"fp")))
+        .filter($"quality" >= 0.6 && $"n_tokens" >= 20 && $"doc_id" === $"keep_id")
+        .select($"doc_id", $"n_tokens", $"quality")
+        .orderBy($"doc_id")
     }
   )
 }
