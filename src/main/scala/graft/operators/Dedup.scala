@@ -125,6 +125,28 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** Winnowed fingerprint set per document: distinct per-window minima of
+    * the rolling 3-gram hash stream (window w=4).
+    */
+  def winnowFingerprints(s: SparkSession, docs: DataFrame, w: Int = 4): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashes = docs
+      .select($"doc_id", Exprs.words(Exprs.normText($"text")).as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", posexplode(Exprs.shingles($"ws", 3)).as(Seq("pos", "shingle")))
+      .select($"doc_id", $"pos", xxhash64($"shingle").as("h"))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(0, w - 1)
+    hashes
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("fp", min($"h").over(win))
+      // only complete windows select a fingerprint (pos ≤ n-w)
+      .filter($"pos" <= $"n" - w)
+      .select($"doc_id", $"fp")
+      .distinct()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: group on the canonical-form fingerprint, keep min doc_id.
@@ -247,6 +269,22 @@ object Dedup {
           round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
         .filter($"cos" >= 0.3)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // Winnowing fingerprints (Schleimer et al., SIGMOD'03): the rolling-hash
+    // document fingerprinting scheme — hash every 3-gram shingle, slide a
+    // w=4 window over the hash stream, keep each window's MINIMUM. Guarantees
+    // any shared run of ≥ w+2 tokens between two documents yields a shared
+    // fingerprint, with ~2/(w+1) of positions selected. Scale: per-doc
+    // expression work + one window partitioned by doc_id; the output is a
+    // small fingerprint set per doc (the join key for copy detection —
+    // shuffle fingerprints, never text). xxhash-seeded → rows-only for the
+    // driver; selection semantics pinned by WinnowingSpec (planted overlap
+    // shares fingerprints, disjoint docs share none).
+    rowsOnly("dd_winnow") { (s, dir) =>
+      import s.implicits._
+      winnowFingerprints(s, Tables.documents(s, dir))
+        .orderBy($"doc_id", $"fp")
     },
 
     // Embedding near-dup, LSH scale path: candidate pairs via bucket
