@@ -108,6 +108,42 @@ object Events {
       s.read.parquet(outDir).orderBy($"hour", $"event_type")
     },
 
+    // AS-OF join — an operator Spark has no native join type for,
+    // re-expressed by composition (the brief's preference (a)): for each
+    // 'purchase' event, the most recent 'signup' of the same user at or
+    // before it. A sorted union of both sides + a running max over the
+    // signup timestamps turns the point-in-time lookup into ONE window pass
+    // over ONE hash-partitioning on user_id — no range join, no per-row
+    // probe. The oracle is DuckDB's NATIVE `ASOF JOIN`, i.e. a fully
+    // independent implementation of the semantics.
+    sqlChecked(
+      "ev_asof_join",
+      """SELECT p.event_id, p.user_id,
+        | strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        | strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter($"event_type".isin("purchase", "signup"))
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+      // signups sort before purchases at identical ts (rank 0 < 1), matching
+      // ASOF's inclusive `>=`
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts", when($"event_type" === "signup", 0).otherwise(1), $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("signup_ts",
+          max(when($"event_type" === "signup", $"ts")).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id",
+          date_format($"ts", TsFmt).as("purchase_ts"),
+          date_format($"signup_ts", TsFmt).as("signup_ts"))
+        .orderBy($"event_id")
+    },
+
     // Gap-based sessionization, batch: consecutive events of a user with
     // ts-gap <= 12h form one session (lag → new-session flag → running sum
     // as session id → per-session rollup). Scale: two window passes and the
