@@ -144,6 +144,44 @@ object Events {
         .orderBy($"event_id")
     },
 
+    // RANGE join — the second join type Spark lacks a native operator for.
+    // Naively `a.ts BETWEEN b.ts - 1h AND b.ts + 1h` plans a nested-loop
+    // join (O(n²) at scale). The scale shape: quantize both sides to hour
+    // buckets, explode the probe side into its 3 adjacent buckets, equi-join
+    // on (user_id, bucket) — bounded fan-out, hash-shuffle partitionable —
+    // then apply the EXACT range predicate on the matches. The oracle is the
+    // naive BETWEEN join in DuckDB: independent plan, same semantics.
+    sqlChecked(
+      "ev_range_join",
+      """SELECT p.event_id, p.user_id, COUNT(e.event_id) AS errors_within_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hourUs = 3600L * 1000 * 1000
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts".as("e_ts"),
+          (unix_micros($"ts") / hourUs).cast("long").as("bucket"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts".as("p_ts"),
+          explode(array((-1 to 1).map(d =>
+            (unix_micros($"ts") / hourUs).cast("long") + d): _*)).as("bucket"))
+      purchases
+        .join(errors, Seq("user_id", "bucket"), "left")
+        // no pre-agg range filter: it would drop a purchase entirely when
+        // all its probe rows match only out-of-range errors — the
+        // conditional count below applies the exact range instead
+        .groupBy($"event_id", $"user_id")
+        .agg(count(when($"e_ts".isNotNull
+          && $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")
+          && $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"), 1)).as("errors_within_1h"))
+        .orderBy($"event_id")
+    },
+
     // Gap-based sessionization, batch: consecutive events of a user with
     // ts-gap <= 12h form one session (lag → new-session flag → running sum
     // as session id → per-session rollup). Scale: two window passes and the
