@@ -525,6 +525,49 @@ object Relational {
         .except(Tables.supplier(s, dir).filter($"s_nationkey" < 10)
           .select($"s_nationkey".as("nationkey")))
         .orderBy($"nationkey")
+    },
+
+    // PIVOT — long→wide reshape with an EXPLICIT value list (an open-ended
+    // pivot needs a distinct-values pre-pass = an extra job; fixing the
+    // columns keeps it one aggregate). Oracle uses the portable
+    // CASE-aggregation equivalent.
+    sqlChecked(
+      "q25_pivot",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(20,8))) AS DOUBLE) AS F,
+        | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END AS DECIMAL(20,8))) AS DOUBLE) AS O,
+        | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END AS DECIMAL(20,8))) AS DOUBLE) AS P
+        |FROM orders GROUP BY order_month ORDER BY order_month""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum($"o_totalprice"))
+        .na.fill(0.0) // absent (month, status) cells: null → 0.0, matching the oracle's ELSE 0.0
+        .orderBy($"order_month")
+    },
+
+    // UNPIVOT — wide→long melt (Spark 4 native unpivot / DuckDB UNION ALL
+    // equivalent). Scale: a Generator-style row expansion, no shuffle.
+    sqlChecked(
+      "q26_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+        |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_orderkey" < 100)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_extendedprice".as("price"), $"l_quantity".as("qty"), $"l_tax".as("tax"))
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"price", $"qty", $"tax"),
+          "measure", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure")
     }
   )
 }
