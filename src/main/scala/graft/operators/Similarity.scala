@@ -154,6 +154,62 @@ object Similarity {
         .filter($"rk" === 1)
         .select($"vec_id", $"label".as("assigned_label"), $"cos")
         .orderBy($"vec_id")
+    },
+
+    // One full k-means (Lloyd) step: assign every vector to its nearest
+    // centroid, then recompute each cluster's mean — the iterative-ML
+    // primitive expressed as two aggregates and a broadcast join, no driver
+    // loop over data. Iterating = repeating this plan; each step is one
+    // vector-table scan + one (cluster, pos) shuffle. Deterministic
+    // end-to-end (decimal means, rounded cosine, label tie-break), so the
+    // full step is oracle-checked.
+    sqlChecked(
+      "sim_kmeans_step",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(mu ORDER BY pos) AS c FROM (
+        |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+        |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+        |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                FROM embeddings))
+        |    GROUP BY label, pos) GROUP BY label),
+        |assigned AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT vec_id, label,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, len(v.v)), i -> v.v[i] * c.c[i]))
+        |          / (sqrt(list_sum(list_transform(v.v, x -> x*x)))
+        |             * sqrt(list_sum(list_transform(c.c, x -> x*x)))), 6) DESC, label) AS rk
+        |    FROM v CROSS JOIN cent c) WHERE rk = 1)
+        |SELECT cluster, pos, round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+        |FROM (SELECT a.cluster, unnest(generate_series(1, len(v.v))) AS pos, unnest(v.v) AS x
+        |      FROM assigned a JOIN v USING (vec_id))
+        |GROUP BY cluster, pos ORDER BY cluster, pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+        .withColumn("nrm", Exprs.l2norm($"v"))
+      val centroids = Tables.embeddings(s, dir)
+        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+        .withColumn("cnrm", Exprs.l2norm($"c"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"label".asc)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"label".as("cluster"))
+      assigned
+        .join(e.select($"vec_id", $"v"), Seq("vec_id"))
+        .select($"cluster", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cluster", $"pos")
+        .agg(round(sum($"x".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .select($"cluster", ($"pos" + 1).cast("long").as("pos"), $"mu")
+        .orderBy($"cluster", $"pos")
     }
   )
 }

@@ -547,6 +547,26 @@ object Relational {
         .orderBy($"order_month")
     },
 
+    // CUBE — all 2^k grouping combinations in one Expand + one aggregate
+    // (rollup's sibling; completes the grouping-sets family).
+    sqlChecked(
+      "q27_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
     // UNPIVOT — wide→long melt (Spark 4 native unpivot / DuckDB UNION ALL
     // equivalent). Scale: a Generator-style row expansion, no shuffle.
     sqlChecked(
