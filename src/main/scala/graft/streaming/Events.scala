@@ -108,6 +108,40 @@ object Events {
       s.read.parquet(outDir).orderBy($"hour", $"event_type")
     },
 
+    // Streaming DEDUP — `dropDuplicates` keyed on event_id over a stream
+    // that deliberately duplicates every input event (the same parquet read
+    // by two stream sources, unioned). State holds one key per seen
+    // event_id inside the watermark horizon; the oracle is the plain batch
+    // aggregate over the ORIGINAL events — exactly-once semantics mean the
+    // doubled input must collapse back to it. The 100 TB shape for
+    // at-least-once ingestion (Kafka replays, retried batches).
+    sqlChecked(
+      "ev_stream_dedup",
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val outDir = Files.createTempDirectory("ev-dedup-out").toString
+      val ckDir = Files.createTempDirectory("ev-dedup-ck").toString
+      val doubled = Tables.eventsStream(s, dir).union(Tables.eventsStream(s, dir))
+      val q = doubled
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicates("event_id")
+        .select($"event_id", $"event_type", $"value")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .orderBy($"event_type")
+    },
+
     // AS-OF join — an operator Spark has no native join type for,
     // re-expressed by composition (the brief's preference (a)): for each
     // 'purchase' event, the most recent 'signup' of the same user at or
