@@ -207,7 +207,11 @@ object SalesPipeline {
     val r = build(spark, config.inputDir)
     val rejectCount = r.rejects.count()
     if (rejectCount > 0)
-      Sinks.writeSingleCsv(r.rejects.orderBy("order_id", "pos").drop("pos"),
+      // (order_id, created_at, pos) is a total order over the fixtures (the
+      // fk_rejects oracle uses the same); (order_id, pos) alone ties between
+      // an order's original and duplicate records, and Spark's sort is not
+      // stable on ties — the golden-file byte compare would be plan-dependent.
+      Sinks.writeSingleCsv(r.rejects.orderBy("order_id", "created_at", "pos").drop("pos"),
         s"${config.outputDir}/rejects_items.csv", config)
     val daily = r.dailyCitySales.cache()
     Sinks.writeDbTable(r.ordersClean, config.dbPath, "orders_clean")

@@ -15,13 +15,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * surrounding WholeStageCodegen stage: ~64 fused multiply-adds per pair
   * instead of per-element lambda dispatch.
   *
-  * Accumulation is a sequential left-to-right fold — the same order as a
-  * scalar loop in any engine — so results are bit-identical to the DuckDB
-  * oracle's `list_sum(list_transform(...))` and independent of partitioning.
-  *
-  * Null array elements are not supported (embeddings are dense); a null in
-  * either input array yields an undefined element read, matching the
-  * guarantee level of Spark's own ML vector ops.
+  * Semantics are EXACTLY those of the HOF form, so [[graft.plans.DotProductRewrite]]
+  * is a pure plan rewrite:
+  *  - equal-length, non-null elements: sequential left-to-right fold in index
+  *    order — bit-identical to the DuckDB oracle's
+  *    `list_sum(list_transform(...))` and independent of partitioning;
+  *  - mismatched lengths: NULL (zip_with pads the shorter array with nulls
+  *    and `null * x` then `acc + null` propagate);
+  *  - any null element in either array: NULL (same propagation).
+  * The per-element null checks are only emitted when the input's static
+  * `ArrayType.containsNull` says nulls are possible, so dense
+  * `array<double NOT NULL>` inputs keep the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,15 +43,28 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null even for non-null inputs (length mismatch / null element).
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -56,13 +73,22 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

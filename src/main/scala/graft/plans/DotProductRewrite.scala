@@ -18,10 +18,11 @@ import graft.functions.DotProduct
   * rule gives any such query the fast path without the user knowing
   * DotProduct exists — the same contract as Catalyst's own
   * expression-normalization rules: pure plan surgery, identical semantics
-  * (both forms are a sequential left fold over index order; null and
-  * length-mismatch behavior match because DotProduct folds
-  * min(len(a), len(b)) exactly like zip_with-then-aggregate folds the
-  * zipped — see the equivalence spec's mismatched-length case).
+  * in ALL cases, including the edge ones: both forms are a sequential left
+  * fold over index order, and DotProduct returns NULL on mismatched lengths
+  * and on null elements exactly as zip_with's null-padding +
+  * null-propagating lambdas do (pinned by the equivalence spec's ragged and
+  * null-element cases).
   *
   * Registered through [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions`) or per-session via

@@ -108,13 +108,19 @@ object Events {
       s.read.parquet(outDir).orderBy($"hour", $"event_type")
     },
 
-    // Streaming DEDUP — `dropDuplicates` keyed on event_id over a stream
-    // that deliberately duplicates every input event (the same parquet read
-    // by two stream sources, unioned). State holds one key per seen
-    // event_id inside the watermark horizon; the oracle is the plain batch
-    // aggregate over the ORIGINAL events — exactly-once semantics mean the
-    // doubled input must collapse back to it. The 100 TB shape for
-    // at-least-once ingestion (Kafka replays, retried batches).
+    // Streaming DEDUP — `dropDuplicatesWithinWatermark` keyed on event_id
+    // over a stream that deliberately duplicates every input event (the same
+    // parquet read by two stream sources, unioned). The WithinWatermark
+    // variant is the part that scales: plain dropDuplicates("event_id") only
+    // evicts state when the event-time column is part of the dedup key, so
+    // with a key of just event_id its state grows forever; WithinWatermark
+    // expires each key once the watermark passes its event time + delay,
+    // bounding state to the dedup horizon (here both copies arrive in the
+    // same micro-batch, so a 0-second horizon already collapses them). The
+    // oracle is the plain batch aggregate over the ORIGINAL events —
+    // exactly-once semantics mean the doubled input must collapse back to
+    // it. The 100 TB shape for at-least-once ingestion (Kafka replays,
+    // retried batches).
     sqlChecked(
       "ev_stream_dedup",
       """SELECT event_type, COUNT(*) AS n_events,
@@ -126,7 +132,7 @@ object Events {
       val doubled = Tables.eventsStream(s, dir).union(Tables.eventsStream(s, dir))
       val q = doubled
         .withWatermark("ts", "0 seconds")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
         .select($"event_id", $"event_type", $"value")
         .writeStream
         .outputMode("append")

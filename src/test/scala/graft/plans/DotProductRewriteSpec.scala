@@ -44,20 +44,35 @@ class DotProductRewriteSpec extends SparkSuite with Matchers {
     }
   }
 
-  test("ragged lengths: documented divergence — HOF nulls, rewrite min-length folds") {
+  test("ragged lengths: both forms yield NULL — rewrite is semantics-preserving") {
     import spark.implicits._
-    // zip_with pads the shorter array with null and null*x propagates, so
-    // the HOF form yields null; DotProduct folds min(len) instead. The
-    // library only builds equal-length dense vectors, where both agree —
-    // this pins the (documented) ragged-input divergence.
+    // zip_with pads the shorter array with null and null*x then acc+null
+    // propagate, so the HOF form yields null; DotProduct must match (it
+    // returns null on length mismatch), or the globally-registered rule
+    // would silently change user query results on ragged inputs.
     val ragged = vectors.filter($"vec_id" === 0)
       .select($"v".as("a"), slice($"v", 1, 1).as("b"))
     ragged.select(hofDot($"a", $"b").as("d")).collect().head.isNullAt(0) shouldBe true
     withRule {
-      val expect = vectors.filter($"vec_id" === 0)
-        .select(element_at($"v", 1).as("x")).collect().head.getDouble(0)
-      ragged.select(hofDot($"a", $"b").as("d"))
-        .collect().head.getDouble(0) shouldBe (expect * expect)
+      val optimized = ragged.select(hofDot($"a", $"b").as("d"))
+      optimized.queryExecution.optimizedPlan.toString should include("graft_dot")
+      optimized.collect().head.isNullAt(0) shouldBe true
+    }
+  }
+
+  test("null elements: both forms yield NULL — rewrite is semantics-preserving") {
+    import spark.implicits._
+    // A null element makes the zipped product null and the fold null.
+    val withNullElem = vectors.filter($"vec_id" === 0)
+      .select($"v".as("a"),
+        concat(slice($"v", 1, 3), array(lit(null).cast("double")),
+          slice($"v", 5, 60)).as("b"))
+    withNullElem.select(hofDot($"a", $"b").as("d"))
+      .collect().head.isNullAt(0) shouldBe true
+    withRule {
+      val optimized = withNullElem.select(hofDot($"a", $"b").as("d"))
+      optimized.queryExecution.optimizedPlan.toString should include("graft_dot")
+      optimized.collect().head.isNullAt(0) shouldBe true
     }
   }
 
