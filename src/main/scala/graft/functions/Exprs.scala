@@ -87,6 +87,19 @@ object Exprs {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Engine-portable 60-bit hash: the first 15 hex digits of md5 parsed as
+    * a long. Unlike xxhash64/murmur (Spark-specific), md5 is bit-identical
+    * in every engine — DuckDB computes the same value as
+    * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)` — so operators built on
+    * it (MinHash, SimHash, winnowing, hash sampling) are fully
+    * oracle-checkable AND reproducible across re-ingestions, which is the
+    * property a curation pipeline actually needs from its hashes. 15 hex
+    * digits (60 bits) keep the value inside a signed 64-bit long in both
+    * engines.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word n-gram shingles over a tokenized array (for Jaccard/MinHash dedup).
     * Returns empty array when there are fewer than n tokens.
     */

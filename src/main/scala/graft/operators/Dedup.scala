@@ -19,11 +19,12 @@ import graft.functions.Exprs
   *  - SimHash: one 64-bit signature per doc, candidates via 16-bit band
   *    equality (any pair with hamming ≤ 3 shares a band by pigeonhole).
   *
-  * MinHash/SimHash signatures are built on Spark's `xxhash64` (not
-  * reproducible in DuckDB), so those two are rows-only checks; their
-  * semantics are pinned by PlantedNearDupSpec (src/test/scala/graft/
-  * operators/PlantedNearDupSpec.scala): planted near-duplicate documents
-  * must collide, disjoint documents must not.
+  * MinHash/SimHash/winnowing hashes are [[Exprs.hash60]] (md5-derived, engine
+  * portable), so all three are FULLY oracle-checked in DuckDB — the oracle
+  * re-derives the signatures, bands, candidate joins, and verification from
+  * scratch in SQL. Collision/robustness semantics are additionally pinned by
+  * PlantedNearDupSpec and WinnowingSpec (planted near-duplicate documents
+  * must collide, disjoint documents must not).
   */
 object Dedup {
 
@@ -31,6 +32,112 @@ object Dedup {
     * pairs (the shingle self-join is quadratic in the hottest shingle's df).
     */
   val HotShingleDfCap = 128
+
+  /** DuckDB twin of `Exprs.normText + Exprs.words` as a CTE over documents. */
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+      |                w -> w <> '') AS w
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of `Exprs.hash60(expr)`. */
+  private def sqlHash60(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr),1,15)) AS BIGINT)"
+
+  /** DuckDB oracle for [[minhashLshPairs]] — re-derives the K md5-minhash
+    * signature, the banded bucket join, and the exact-Jaccard verification
+    * entirely in SQL.
+    */
+  private def minhashOracle(k: Int, bands: Int, threshold: Double): String = {
+    val rows = k / bands
+    val minCols = (0 until k)
+      .map(i => s"min(${sqlHash60(s"'$i:' || shingle")}) AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bsig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $ToksCte,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+       |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |    FROM toks WHERE len(w) >= 3)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT doc_a, doc_b, count(*) AS common
+       |  FROM cands JOIN sh sa ON doc_a = sa.doc_id
+       |             JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+       |FROM common JOIN counts ca ON doc_a = ca.doc_id
+       |            JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB oracle for [[simhashPairs]] — rebuilds the 60-bit vote-based
+    * signature (60 generated per-bit sum terms), the 4×16-bit band join, and
+    * the exact hamming filter.
+    */
+  private def simhashOracle(maxHamming: Int): String = {
+    val sigTerms = (0 until 60).map(j =>
+      s"(CASE WHEN SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n    + ")
+    s"""WITH $ToksCte,
+       |wrds AS (
+       |  SELECT DISTINCT doc_id, word FROM (
+       |    SELECT doc_id, unnest(w) AS word FROM toks)),
+       |h AS (SELECT doc_id, ${sqlHash60("word")} AS h FROM wrds),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigTerms AS sig
+       |  FROM h GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig, band, ((sig >> (band*16)) & 65535) AS v
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB oracle for [[winnowFingerprints]] — positional 3-gram hash
+    * stream, per-window minima over complete windows, distinct.
+    */
+  private def winnowOracle(w: Int): String =
+    s"""WITH $ToksCte,
+       |idx AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+       |  FROM toks WHERE len(w) >= 3),
+       |hs AS (
+       |  SELECT doc_id, i,
+       |    ${sqlHash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+       |  FROM idx),
+       |wm AS (
+       |  SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM hs)
+       |SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - $w + 1
+       |ORDER BY doc_id, fp""".stripMargin
 
   /** Distinct (doc_id, shingle) pairs. array_distinct runs per-row BEFORE the
     * explode, so the distinct needs no shuffle.
@@ -46,10 +153,15 @@ object Dedup {
       .select($"doc_id", explode(array_distinct(Exprs.shingles($"w", n))).as("shingle"))
   }
 
-  /** MinHash signature column m0..m{k-1} per doc from (doc_id, shingle). */
+  /** MinHash signature column m0..m{k-1} per doc from (doc_id, shingle).
+    * Hash i of a shingle is the portable `hash60("i:" + shingle)` — one md5
+    * per (seed, shingle), min-reduced per doc in a single map-side-
+    * combinable aggregate.
+    */
   private[operators] def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val hashed = sh.select(
-      col("doc_id") +: (0 until k).map(i => xxhash64(lit(i), col("shingle")).as(s"h$i")): _*)
+      col("doc_id") +: (0 until k).map(i =>
+        Exprs.hash60(concat_ws(":", lit(i), col("shingle"))).as(s"h$i")): _*)
     hashed.groupBy(col("doc_id"))
       .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
@@ -83,7 +195,8 @@ object Dedup {
     val sig = minhashSignatures(sh, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("sig"))
+        md5(concat_ws("|",
+          (b * rows until (b + 1) * rows).map(i => col(s"m$i").cast("string")): _*)).as("sig"))
     }
     val buckets = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.sig".as("sig"))
@@ -107,7 +220,7 @@ object Dedup {
     val words = docs
       .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
       .distinct()
-      .select($"doc_id", xxhash64($"word").as("h"))
+      .select($"doc_id", Exprs.hash60($"word").as("h"))
     val sigs = words.groupBy($"doc_id")
       .agg(graft.functions.SimHashAgg($"h").as("sig"))
     val chunks = (0 until 4).map { c =>
@@ -120,7 +233,7 @@ object Dedup {
       .join(banded.as("y"),
         $"x.chunk" === $"y.chunk" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
+        expr("bit_count(x.sig ^ y.sig)").cast("long").as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
   }
@@ -135,7 +248,7 @@ object Dedup {
       .select($"doc_id", Exprs.words(Exprs.normText($"text")).as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", posexplode(Exprs.shingles($"ws", 3)).as(Seq("pos", "shingle")))
-      .select($"doc_id", $"pos", xxhash64($"shingle").as("h"))
+      .select($"doc_id", $"pos", Exprs.hash60($"shingle").as("h"))
     val win = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(0, w - 1)
     hashes
@@ -227,16 +340,20 @@ object Dedup {
     // MinHash (K=32) + LSH (8 bands × 4 rows) candidate pairs, then exact
     // Jaccard verification of candidates only. Signature build is one
     // map-side-combinable aggregate; bucket join touches only colliding docs.
-    rowsOnly("dd_minhash_lsh") { (s, dir) =>
+    // Fully oracle-checked: the portable md5-based hash lets DuckDB re-derive
+    // signatures, bands, and verification independently.
+    sqlChecked("dd_minhash_lsh", minhashOracle(k = 32, bands = 8, threshold = 0.5)) { (s, dir) =>
       import s.implicits._
       minhashLshPairs(s, Tables.documents(s, dir))
         .orderBy($"doc_a", $"doc_b")
     },
 
-    // SimHash-64 near-dup: one signature per doc from word hashes, candidate
-    // pairs via 4×16-bit band equality (pigeonhole: hamming ≤ 3 ⇒ some band
-    // equal), exact hamming filter on candidates.
-    rowsOnly("dd_simhash") { (s, dir) =>
+    // SimHash near-dup: one 60-bit vote-based signature per doc from word
+    // hashes (custom SimHashAgg imperative aggregate), candidate pairs via
+    // 4×16-bit band equality (pigeonhole: hamming ≤ 3 ⇒ some band equal),
+    // exact hamming filter on candidates. Oracle rebuilds the signature from
+    // 60 per-bit vote sums in SQL.
+    sqlChecked("dd_simhash", simhashOracle(maxHamming = 3)) { (s, dir) =>
       import s.implicits._
       simhashPairs(s, Tables.documents(s, dir))
         .orderBy($"doc_a", $"doc_b")
@@ -278,10 +395,10 @@ object Dedup {
     // fingerprint, with ~2/(w+1) of positions selected. Scale: per-doc
     // expression work + one window partitioned by doc_id; the output is a
     // small fingerprint set per doc (the join key for copy detection —
-    // shuffle fingerprints, never text). xxhash-seeded → rows-only for the
-    // driver; selection semantics pinned by WinnowingSpec (planted overlap
-    // shares fingerprints, disjoint docs share none).
-    rowsOnly("dd_winnow") { (s, dir) =>
+    // shuffle fingerprints, never text). Oracle-checked via the portable
+    // hash; the winnowing guarantee (planted overlap shares fingerprints,
+    // disjoint docs share none) is additionally pinned by WinnowingSpec.
+    sqlChecked("dd_winnow", winnowOracle(w = 4)) { (s, dir) =>
       import s.implicits._
       winnowFingerprints(s, Tables.documents(s, dir))
         .orderBy($"doc_id", $"fp")

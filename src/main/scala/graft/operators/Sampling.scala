@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.QueryDef.sqlChecked
 
 /** Sampling and splitting for training-data curation.
   *
@@ -12,14 +12,23 @@ import graft.QueryDef.{rowsOnly, sqlChecked}
   *    stable across runs, engines, partitionings, and re-ingestions, which
   *    is what makes downstream eval honest. md5 is identical in every
   *    engine, so the split is fully oracle-checked.
-  *  - `ta_stratified_sample`: per-stratum Bernoulli sampling via
-  *    `sampleBy` (seeded). The RNG is Spark-specific → rows-only for the
-  *    driver; StratifiedSampleSpec pins per-stratum proportions.
+  *  - `ta_stratified_sample`: per-stratum Bernoulli sampling decided by a
+  *    CONTENT HASH instead of an RNG — row kept iff
+  *    `hash60("strat:" + doc_id) mod 10000 < stratum_fraction × 10000`.
+  *    Same Bernoulli statistics as a seeded `sampleBy`, but the decision is
+  *    a pure function of the row: stable across runs, engines,
+  *    partitionings, and re-ingestions (an RNG-based sample changes under
+  *    repartitioning), and therefore fully oracle-checked in DuckDB.
+  *    StratifiedSampleSpec additionally pins per-stratum proportions.
   *
   * Scale: both are per-row expression work — no shuffle, no coordination;
   * the split is exactly as parallel as the scan.
   */
 object Sampling {
+
+  /** (lang → keep-threshold out of 10000) for ta_stratified_sample. */
+  val StratFractions: Seq[(String, Int)] =
+    Seq("de" -> 10000, "en" -> 5000, "es" -> 10000, "fr" -> 10000, "zh" -> 2500)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -47,11 +56,23 @@ object Sampling {
         .orderBy($"split")
     },
 
-    rowsOnly("ta_stratified_sample") { (s, dir) =>
+    sqlChecked(
+      "ta_stratified_sample", {
+        val thresholds = StratFractions
+          .map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+        s"""SELECT lang, COUNT(*) AS n_sampled FROM documents
+           |WHERE (CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10000)
+           |      < CASE lang $thresholds ELSE 0 END
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, dir) =>
       import s.implicits._
-      val fractions = Map("en" -> 0.5, "fr" -> 1.0, "de" -> 1.0, "es" -> 1.0, "zh" -> 0.25)
+      val u = conv(substring(md5(concat(lit("strat:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10000
+      val threshold = StratFractions.foldLeft(lit(0)) { case (acc, (l, t)) =>
+        when($"lang" === l, t).otherwise(acc)
+      }
       Tables.documents(s, dir)
-        .stat.sampleBy("lang", fractions, 42L)
+        .filter(u < threshold)
         .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy($"lang")
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.QueryDef.sqlChecked
 
 /** Structured-Streaming surface over the `events` table. The reference has no
   * streaming (SURVEY §2.11); this is the north-star extension: the same
@@ -73,6 +73,16 @@ object Events {
        |  CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
        |FROM s GROUP BY user_id, sess
        |ORDER BY user_id, session_start""".stripMargin
+
+  /** Streaming twin of [[sessionizeOracle]]: only sessions CLOSED at the
+    * final watermark (= max event time under a 0-delay watermark) are
+    * emitted by the append-mode stateful query — a session is closed once
+    * `session_end + gap <= watermark`. Same rollup, plus that cutoff.
+    */
+  private val closedSessionOracle = sessionizeOracle.replace(
+    "FROM s GROUP BY user_id, sess",
+    s"""FROM s GROUP BY user_id, sess
+       |HAVING epoch_us(MAX(ts)) + $SessionGapUs <= (SELECT epoch_us(MAX(ts)) FROM events)""".stripMargin)
 
 
   val defs: Seq[QueryDef] = Seq(
@@ -255,9 +265,10 @@ object Events {
     // session is emitted exactly once, when the watermark passes
     // session_end + gap, and its events leave the state — bounded state, the
     // 100 TB shape for custom session logic that windowed aggs can't
-    // express. No DuckDB oracle (emission depends on watermark mechanics);
-    // SessionizeSpec pins stream == batch restricted to closed sessions.
-    rowsOnly("ev_sessionize_stream") { (s, dir) =>
+    // express. Oracle: the batch sessionization restricted to sessions
+    // closed at the final watermark (closedSessionOracle); SessionizeSpec
+    // additionally pins stream ≡ batch-restricted equality in-process.
+    sqlChecked("ev_sessionize_stream", closedSessionOracle) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val outDir = Files.createTempDirectory("ev-sess-out").toString

@@ -3,9 +3,11 @@ package graft.operators
 import org.scalatest.matchers.should.Matchers
 import graft.SparkSuite
 
-/** Planted-near-duplicate specs for the hash-seeded dedup operators (which
-  * have no DuckDB oracle): near-identical documents MUST collide, disjoint
-  * documents MUST NOT.
+/** Planted-near-duplicate specs for the signature-based dedup operators:
+  * near-identical documents MUST collide, disjoint documents MUST NOT.
+  * (These operators are also DuckDB-oracle-checked end-to-end; this spec
+  * pins the collision semantics on adversarially-constructed inputs the
+  * testdata may not contain.)
   */
 class PlantedNearDupSpec extends SparkSuite with Matchers {
 
@@ -16,10 +18,10 @@ class PlantedNearDupSpec extends SparkSuite with Matchers {
       "the quick brown fox jumps over the lazy dog while rain falls gently on the quiet village roofs " +
         "and the baker prepares fresh warm bread for the early morning market crowd"
     // One-word append. "softly" is chosen so the pair also lands within
-    // SimHash's banding guarantee (hamming 2 ≤ 3 with the fixed xxhash64
-    // seed); SimHash on ~30-word docs flips ~5 bits for an arbitrary
-    // one-word change (vote sums near zero), which is expected algorithm
-    // behavior, not a bug — MinHash/ngram cover that regime.
+    // SimHash's banding guarantee (hamming ≤ 3 under the deterministic
+    // md5-based word hash); SimHash on ~30-word docs flips ~5 bits for an
+    // arbitrary one-word change (vote sums near zero), which is expected
+    // algorithm behavior, not a bug — MinHash/ngram cover that regime.
     val nearDup = base + " softly"
     val base2 =
       "deep in the mountain mine the old engineer counts copper wagons rolling past the flickering " +
