@@ -87,6 +87,100 @@ object Similarity {
         .orderBy($"query_id", $"rk")
     },
 
+    // IVF (inverted-file) top-k ANN — the third ANN regime next to
+    // brute-force (exact) and LSH (hash buckets): vectors are PARTITIONED by
+    // nearest coarse centroid (here the deterministic per-label centroids =
+    // the trained quantizer), a query probes only its nprobe=3 closest
+    // centroids' partitions, and only those vectors are exactly scored. At
+    // 100 TB the cluster id is the STORAGE partition key, so a probe reads
+    // nprobe/K of the data and never shuffles the vector table; recall is
+    // traded via nprobe, not via hash luck. Every step (decimal centroid
+    // means, rounded cosines, label/id tie-breaks) is deterministic, so —
+    // unlike an RNG-trained IVF — the whole operator is oracle-checked, and
+    // IvfRecallSpec additionally measures recall vs the exact baseline.
+    sqlChecked(
+      "sim_ivf_topk",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+        |cent AS (
+        |  SELECT label, list(mu ORDER BY pos) AS c FROM (
+        |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+        |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+        |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                FROM embeddings))
+        |    GROUP BY label, pos) GROUP BY label),
+        |cn AS (SELECT label, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm FROM cent),
+        |assigned AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT n.vec_id, cn.label,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cn.c[i]))
+        |          / (n.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+        |    FROM n CROSS JOIN cn) WHERE rk = 1),
+        |probes AS (
+        |  SELECT query_id, cluster FROM (
+        |    SELECT q.vec_id AS query_id, cn.label AS cluster,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * cn.c[i]))
+        |          / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+        |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+        |      / (q.nrm * c.nrm), 6) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+        |  JOIN n q ON q.vec_id = p.query_id
+        |  JOIN n c ON c.vec_id = a.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+        .withColumn("nrm", Exprs.l2norm($"v"))
+      val centroids = Tables.embeddings(s, dir)
+        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+        .withColumn("cnrm", Exprs.l2norm($"c"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"label".asc)
+      // index build: every vector → its nearest centroid's partition
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"label".as("cluster"))
+      // probe: each query → its nprobe=3 nearest centroids
+      val probes = e.filter($"vec_id" < 5).crossJoin(broadcast(centroids))
+        .select($"vec_id".as("query_id"), $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
+        .filter($"rk" <= 3)
+        .select($"query_id", $"label".as("cluster"))
+      val q = e.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+        .filter($"query_id" < 5)
+      val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+      broadcast(probes)
+        .join(assigned, Seq("cluster"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("cand_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .join(e.as("c"), $"cand_id" === $"c.vec_id")
+        .select($"query_id", $"cand_id",
+          round(Exprs.dot($"qv", $"c.v") / ($"qnrm" * $"c.nrm"), 6).as("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter($"rk" <= 10)
+        .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+        .orderBy($"query_id", $"rk")
+    },
+
     // Per-label embedding centroids — the training half of IVF/k-means-style
     // partitioned ANN and of cluster-based data curation. One posexplode +
     // one (label, pos) aggregate: the mean is decimal-summed / count, so the

@@ -176,6 +176,100 @@ object TextAnalysis {
         .filter($"quality" >= 0.6 && $"n_tokens" >= 20 && $"doc_id" === $"keep_id")
         .select($"doc_id", $"n_tokens", $"quality")
         .orderBy($"doc_id")
+    },
+
+    // Gopher-style rule-based document filter (Rae et al. 2021 §A1.1, the
+    // published heuristic family): per-doc structural metrics, one boolean
+    // per rule, and the conjunction. English-centric stopword rule by
+    // design, like the original. Pure per-row expression work — at 100 TB
+    // this runs at scan speed with the keep flag pushed into the next
+    // stage's filter.
+    sqlChecked(
+      "ta_gopher_rules",
+      """SELECT doc_id, n_words, mean_word_len, distinct_ratio, n_stop,
+        | (n_words >= 20 AND n_words <= 100000) AS ok_len,
+        | (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+        | (distinct_ratio >= 0.3) AS ok_repetition,
+        | (n_stop >= 2) AS ok_stopwords,
+        | (n_words >= 20 AND n_words <= 100000
+        |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |  AND distinct_ratio >= 0.3 AND n_stop >= 2) AS keep
+        |FROM (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE round(length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE), 6) END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) END AS distinct_ratio,
+        |    len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                      w -> w <> '') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Exprs.words(Exprs.normText($"text"))
+      val nWords = size(toks).cast("long")
+      val meanWordLen = when(nWords === 0, 0.0).otherwise(
+        round(length(concat_ws("", toks)).cast("double") / nWords.cast("double"), 6))
+      val distinctRatio = when(nWords === 0, 0.0).otherwise(
+        round(size(array_distinct(toks)).cast("double") / nWords.cast("double"), 6))
+      val nStop = size(filter(toks, w => w.isin(stopEn: _*))).cast("long")
+      Tables.documents(s, dir)
+        .select($"doc_id", nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+          distinctRatio.as("distinct_ratio"), nStop.as("n_stop"))
+        .withColumn("ok_len", $"n_words" >= 20 && $"n_words" <= 100000)
+        .withColumn("ok_word_len", $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
+        .withColumn("ok_repetition", $"distinct_ratio" >= 0.3)
+        .withColumn("ok_stopwords", $"n_stop" >= 2)
+        .withColumn("keep",
+          $"ok_len" && $"ok_word_len" && $"ok_repetition" && $"ok_stopwords")
+        .orderBy($"doc_id")
+    },
+
+    // PII-style scrubbing: redact URLs then emails with typed placeholders,
+    // count each. The testdata contains neither, so the input is a DERIVED
+    // VIEW planting a deterministic contact line on every 7th document —
+    // mirrored exactly in the oracle — so the check is non-vacuous (the
+    // round-1 lesson: a transform verified on rows it never fires on is
+    // verified by nothing). Output carries md5(scrubbed), not the text:
+    // exact content equality without dumping documents.
+    sqlChecked(
+      "ta_scrub",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        |  FROM d)
+        |SELECT doc_id, n_urls, n_emails, length(scrubbed) AS scrubbed_len,
+        |  md5(scrubbed) AS scrub_fp
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val urlRe = "https?://[^\\s]+"
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val planted = when($"doc_id" % 7 === 0,
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com or https://example.org/doc/"), $"doc_id".cast("string")))
+        .otherwise($"text")
+      Tables.documents(s, dir)
+        .select($"doc_id", planted.as("text"))
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(urlRe), lit(0))).cast("long").as("n_urls"),
+          size(regexp_extract_all($"text", lit(emailRe), lit(0))).cast("long").as("n_emails"),
+          regexp_replace(regexp_replace($"text", urlRe, "<URL>"), emailRe, "<EMAIL>")
+            .as("scrubbed"))
+        .select($"doc_id", $"n_urls", $"n_emails",
+          length($"scrubbed").cast("long").as("scrubbed_len"),
+          md5($"scrubbed").as("scrub_fp"))
+        .orderBy($"doc_id")
     }
   )
 }

@@ -588,6 +588,108 @@ object Relational {
           Array($"price", $"qty", $"tax"),
           "measure", "value")
         .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+    },
+
+    // LEFT SEMI join — "rows with a match", no right columns, each left row
+    // at most once. Scale: Catalyst builds/broadcasts only the DISTINCT join
+    // keys of the filtered right side — no fan-out, no dedup-after-join (the
+    // EXISTS rewrite a user would otherwise hand-build with join+distinct).
+    sqlChecked(
+      "q28_semijoin",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // LEFT ANTI join — "rows with NO match" (NOT EXISTS). The scale shape
+    // for subtracting a blocklist/already-processed set from a 100 TB fact:
+    // one broadcast of the small key set, no shuffle of the left side.
+    sqlChecked(
+      "q29_antijoin",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // Analytic window family the reference never used (SURVEY §2.5 "not
+    // present"): rank/dense_rank under ties, lag/lead navigation, and a
+    // rowsBetween running total — five window functions, ONE window sort:
+    // all frames share the (o_custkey → o_orderdate) partitioning, so
+    // Catalyst plans a single Exchange + sort for the whole family.
+    sqlChecked(
+      "q30_window_analytics",
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | rank() OVER wt AS rk,
+        | dense_rank() OVER wt AS drk,
+        | lag(o_totalprice) OVER wu AS prev_price,
+        | lead(o_totalprice) OVER wu AS next_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+        |       wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // wt ranks by date alone (ties ⇒ rank gaps vs dense_rank — the
+      // semantics this query pins); wu adds the key for a deterministic
+      // total order under lag/lead and the running sum.
+      val wt = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+      val wu = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wrun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 200)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+          rank().over(wt).cast("long").as("rk"),
+          dense_rank().over(wt).cast("long").as("drk"),
+          lag($"o_totalprice", 1).over(wu).as("prev_price"),
+          lead($"o_totalprice", 1).over(wu).as("next_price"),
+          sum($"o_totalprice".cast("decimal(20,8)")).over(wrun)
+            .cast("double").as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // GROUPING SETS — arbitrary grouping combinations (here: by flag, by
+    // status, and the grand total — a set ROLLUP/CUBE cannot express) in one
+    // Expand + one aggregate; grouping_id disambiguates the all-null rows.
+    sqlChecked(
+      "q31_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        | COALESCE(l_linestatus, 'ALL') AS linestatus,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          dsum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"gid", $"sum_qty", $"n")
+        .orderBy($"gid", $"returnflag", $"linestatus")
     }
   )
 }
