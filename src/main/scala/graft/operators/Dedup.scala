@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.QueryDef.sqlChecked
 import graft.functions.Exprs
 
 /** Deduplication operators for a training-data pipeline over `documents`:
@@ -425,8 +425,26 @@ object Dedup {
     // never all-pairs — so the plan survives a 100× scale-up where
     // dd_embedding_cosine (the labeled exact baseline above) cannot.
     // Precision is 1.0 by construction (exact verify); recall vs the exact
-    // baseline is measured and pinned ≥ 0.9 by LshRecallSpec.
-    rowsOnly("dd_embedding_lsh") { (s, dir) =>
+    // baseline is measured and pinned by LshRecallSpec. The md5-derived
+    // planes make the WHOLE pipeline — planes, buckets, candidate join,
+    // verification — independently reproducible by the DuckDB oracle.
+    sqlChecked(
+      "dd_embedding_lsh",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+         |${HyperplaneLsh.BucketSqlCtes},
+         |cands AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bucketed x JOIN bucketed y
+         |    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b,
+         |  round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+         |    / (a.nrm * b.nrm), 6) AS cos
+         |FROM cands JOIN n a ON id_a = a.vec_id
+         |           JOIN n b ON id_b = b.vec_id
+         |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+         |    / (a.nrm * b.nrm), 6) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))

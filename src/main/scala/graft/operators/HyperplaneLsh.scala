@@ -22,8 +22,15 @@ import graft.functions.Exprs
   * to near-neighbors only; the plan shape, not the testdata selectivity, is
   * the 100 TB argument.
   *
-  * Hyperplanes are a fixed-seed constant folded into the plan as literals —
-  * identical on every executor, every run, every engine.
+  * Hyperplane component (p, d) is derived from md5("plane:p:d") — the same
+  * portable 60-bit construction as [[Exprs.hash60]], mapped to uniform
+  * (-1, 1) — so the planes are not just run-deterministic but ENGINE-
+  * reproducible: the DuckDB oracle rebuilds the identical planes, buckets,
+  * candidate join, and verification from scratch in SQL (a JVM-RNG plane
+  * set can only ever be rows-only checked). Sign-random-projection needs
+  * symmetric random directions, not specifically Gaussian ones; uniform
+  * cube directions trade a few recall points (re-measured by LshRecallSpec)
+  * for full cross-engine verifiability.
   */
 object HyperplaneLsh {
 
@@ -31,11 +38,41 @@ object HyperplaneLsh {
   val Tables = 24
   val PlanesPerTable = 4
 
-  /** Fixed-seed Gaussian hyperplanes (deterministic: java.util.Random(42)). */
-  private lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    IndexedSeq.fill(Tables * PlanesPerTable)(IndexedSeq.fill(Dim)(rnd.nextGaussian()))
+  /** 2^60 — the hash60 range; exact as a double. */
+  private val H60Range = (1L << 60).toDouble
+
+  /** JVM twin of Exprs.hash60 for plan-time constants. */
+  private def h60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
+
+  /** md5-derived uniform(-1,1) hyperplanes, identical in Spark and SQL. */
+  private lazy val planes: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(Tables * PlanesPerTable)(p =>
+      IndexedSeq.tabulate(Dim)(d => h60(s"plane:$p:$d").toDouble / H60Range * 2 - 1))
+
+  /** DuckDB CTEs rebuilding the planes and each vector's L (table, bucket)
+    * keys from scratch — prepend after a CTE `n(vec_id, v, nrm)` exists.
+    */
+  val BucketSqlCtes: String =
+    s"""planes AS (
+       |  SELECT p, list(w ORDER BY d) AS pv FROM (
+       |    SELECT p, d,
+       |      CAST(CAST(('0x' || substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,15)) AS BIGINT) AS DOUBLE)
+       |        / ${H60Range.toLong}.0 * 2 - 1 AS w
+       |    FROM (SELECT unnest(generate_series(0, ${Tables * PlanesPerTable - 1})) AS p)
+       |    CROSS JOIN (SELECT unnest(generate_series(0, ${Dim - 1})) AS d))
+       |  GROUP BY p),
+       |dots AS (
+       |  SELECT n.vec_id, pl.p,
+       |    list_sum(list_transform(generate_series(1, ${Dim}), j -> n.v[j] * pl.pv[j])) AS dp
+       |  FROM n CROSS JOIN planes pl),
+       |bucketed AS (
+       |  SELECT vec_id, (p // ${PlanesPerTable}) AS t,
+       |    SUM(CASE WHEN dp > 0 THEN (1 << (p % ${PlanesPerTable})) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, (p // ${PlanesPerTable}))""".stripMargin
 
   private def planeCol(p: Int): Column = array(planes(p).map(lit): _*)
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.QueryDef.{rowsOnly, sqlChecked}
+import graft.QueryDef.sqlChecked
 import graft.functions.Exprs
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -56,7 +56,30 @@ object Similarity {
         .orderBy($"query_id", $"rk")
     },
 
-    rowsOnly("sim_lsh_topk") { (s, dir) =>
+    // OR-amplified hyperplane-LSH top-k: bucket-equality candidates in any
+    // of the L tables, exact scoring of candidates only. md5-derived planes
+    // ⇒ the oracle rebuilds the full index + probe + rank in SQL.
+    sqlChecked(
+      "sim_lsh_topk",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+         |${HyperplaneLsh.BucketSqlCtes},
+         |qc AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bucketed q JOIN bucketed c
+         |    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+         |      / (q.nrm * c.nrm), 6) AS cos
+         |  FROM qc JOIN n q ON query_id = q.vec_id
+         |          JOIN n c ON cand_id = c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= 10
+         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
