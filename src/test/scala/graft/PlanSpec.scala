@@ -45,6 +45,29 @@ class PlanSpec extends SparkSuite with Matchers {
     (p should not).include("aggregate(zip_with")
   }
 
+  test("q28/q29: semi and anti joins plan as LeftSemi/LeftAnti (no fan-out + dedup)") {
+    plan("q28_semijoin") should include("LeftSemi")
+    plan("q29_antijoin") should include("LeftAnti")
+  }
+
+  test("q30: all five window functions share ONE hash-partitioning exchange") {
+    val p = plan("q30_window_analytics")
+    "Exchange hashpartitioning".r.findAllMatchIn(p).size shouldBe 1
+  }
+
+  test("q31: grouping sets plan one Expand over one scan, not one scan per set") {
+    val p = plan("q31_grouping_sets")
+    p should include("Expand")
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
+  test("q22: every dimension of the snowflake broadcasts; the fact never exchanges") {
+    val p = plan("q22_regional_revenue")
+    p should include("BroadcastHashJoin")
+    // the only hash exchange is the final aggregation's, never a join's
+    "Exchange hashpartitioning".r.findAllMatchIn(p).size should be <= 1
+  }
+
   test("fk pipeline: customer dim broadcast; single window shuffle for dedup") {
     val p = SparkEntry.queries("fk_daily_city_sales")(spark, dir)
       .queryExecution.executedPlan.toString
