@@ -464,6 +464,33 @@ object Dedup {
           round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
         .filter($"cos" >= 0.3)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // Fuzzy record linkage (edit-distance entity dedup) over the part
+    // catalog: distinct names, BLOCKED on the trailing noun so the
+    // quadratic levenshtein comparison runs inside small blocks
+    // (Σ block² pairs, never all-pairs — the same shape every record-linkage
+    // system uses at scale), then exact edit distance ≤ 2 on block-mates.
+    sqlChecked(
+      "dd_fuzzy_names",
+      """WITH names AS (
+        |  SELECT DISTINCT p_name, regexp_extract(p_name, '([a-z]+)$', 1) AS blk
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val names = Tables.part(s, dir)
+        .select($"p_name").distinct()
+        .withColumn("blk", regexp_extract($"p_name", "([a-z]+)$", 1))
+      names.as("a")
+        .join(names.as("b"), $"a.blk" === $"b.blk" && $"a.p_name" < $"b.p_name")
+        .select($"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+          levenshtein($"a.p_name", $"b.p_name").cast("long").as("dist"))
+        .filter($"dist" <= 2)
+        .orderBy($"name_a", $"name_b")
     }
   )
 }

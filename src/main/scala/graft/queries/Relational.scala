@@ -690,6 +690,60 @@ object Relational {
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
           $"gid", $"sum_qty", $"n")
         .orderBy($"gid", $"returnflag", $"linestatus")
+    },
+
+    // EXACT percentiles per group (continuous/interpolated — the classic
+    // p50/p90/p99 reporting shape). Scale note: exact percentile sorts each
+    // group's values; the bounded-state alternative for 100 TB dashboards is
+    // q20_sketch_stats's approx_percentile — this is the labeled exact
+    // baseline those sketches are error-gated against.
+    sqlChecked(
+      "q32_percentiles",
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+        .orderBy($"l_returnflag")
+    },
+
+    // JSON scalar functions — serialize a struct to a JSON string column,
+    // then extract fields back BOTH ways Spark offers (path-based
+    // get_json_object and schema-based from_json). The reference only
+    // touches JSON at scan time; a query-time JSON column is the shape
+    // semi-structured event payloads actually arrive in. Both engines
+    // serialize independently and must agree on every extracted value.
+    sqlChecked(
+      "q33_json_roundtrip",
+      """SELECT o_orderkey,
+        | json_extract_string(js, '$.o_orderstatus') AS status,
+        | round(CAST(json_extract_string(js, '$.o_totalprice') AS DOUBLE), 6) AS price_path,
+        | round(CAST(json_extract_string(js, '$.o_totalprice') AS DOUBLE), 6) AS price_struct
+        |FROM (
+        |  SELECT o_orderkey,
+        |    to_json(struct_pack(o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)) AS js
+        |  FROM orders WHERE o_orderkey < 100)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter($"o_orderkey" < 100)
+        .select($"o_orderkey",
+          to_json(struct($"o_orderstatus", $"o_totalprice")).as("js"))
+        .select($"o_orderkey",
+          get_json_object($"js", "$.o_orderstatus").as("status"),
+          round(get_json_object($"js", "$.o_totalprice").cast("double"), 6).as("price_path"),
+          round(from_json($"js",
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "o_orderstatus STRING, o_totalprice DOUBLE"))
+            .getField("o_totalprice"), 6).as("price_struct"))
+        .orderBy($"o_orderkey")
     }
   )
 }

@@ -158,6 +158,73 @@ object Events {
         .orderBy($"event_type")
     },
 
+    // SLIDING windows (1 h window, 15 min slide): each event lands in 4
+    // overlapping windows — the overlap factor, not the data, sizes the
+    // aggregate. Oracle replays the assignment rule (window starts are the
+    // 4 preceding 15-min buckets) relationally.
+    sqlChecked(
+      "ev_sliding_window",
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    time_bucket(INTERVAL 15 MINUTE, ts) - (k * INTERVAL 15 MINUTE) AS ws
+        |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k))
+        |GROUP BY ws, event_type ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("win_start"),
+          $"event_type", $"n_events", $"total_value")
+        .orderBy($"win_start", $"event_type")
+    },
+
+    // STREAM-STREAM inner join with event-time range + watermarks on both
+    // sides — the Structured Streaming feature none of the other queries
+    // exercise. The time-range condition is what BOUNDS the join state: each
+    // side holds only rows inside the 1 h horizon of the other's watermark,
+    // so state is O(rate × horizon) however long the streams run (an
+    // unconstrained stream-stream join would buffer both streams forever).
+    // Inner-join matches are emitted as found, so over a finite input the
+    // result is exactly the batch join — which is the oracle.
+    sqlChecked(
+      "ev_stream_join",
+      """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+        |ORDER BY p_id, e_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val outDir = Files.createTempDirectory("ev-ssj-out").toString
+      val ckDir = Files.createTempDirectory("ev-ssj-ck").toString
+      val purchases = Tables.eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val errors = Tables.eventsStream(s, dir)
+        .filter($"event_type" === "error")
+        .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+        .withWatermark("e_ts", "0 seconds")
+      val q = purchases
+        .join(errors,
+          $"user_id" === $"e_user"
+            && $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")
+            && $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"p_id", $"e_id", $"user_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy($"p_id", $"e_id")
+    },
+
     // AS-OF join — an operator Spark has no native join type for,
     // re-expressed by composition (the brief's preference (a)): for each
     // 'purchase' event, the most recent 'signup' of the same user at or
