@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       freshkart.FreshKartQueries.defs ++
       operators.TextAnalysis.defs ++
+      operators.Formats.defs ++
       operators.Sampling.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlChecked
+
+/** Distributed source/sink round-trips for the columnar and text formats the
+  * Spark distribution ships beyond parquet: ORC, newline-delimited JSON, and
+  * headered CSV (spark-avro is a separate module and is not in the
+  * sandbox's /opt/spark/jars — documented here rather than stubbed).
+  *
+  * Each query WRITES a projected slice of the fact table through the format
+  * (distributed write, one file per task), READS it back with an explicit
+  * schema (no inference re-scan), and aggregates — so a single row of
+  * corruption, truncation, or type drift anywhere in the round-trip breaks
+  * the oracle hash, which is computed from the original parquet. Text
+  * formats round-trip doubles via Spark's shortest-representation printer,
+  * which parses back bit-exactly.
+  *
+  * Scale: the write is as parallel as the upstream plan and the read-back
+  * scan is as parallel as the file count; nothing here touches the driver.
+  */
+object Formats {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(20,8)")).cast("double")
+
+  private val oracle =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_orderkey < 5000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Write the slice through `format`, read it back, aggregate. */
+  private def roundTrip(
+      s: org.apache.spark.sql.SparkSession, dir: String, format: String) = {
+    import s.implicits._
+    val out = Files.createTempDirectory(s"graft-$format-rt").toString
+    val slice = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" < 5000)
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+    slice.write.mode("overwrite").format(format)
+      .option("header", "true") // ignored by orc/json
+      .save(out)
+    s.read.format(format)
+      .option("header", "true")
+      .schema(slice.schema) // explicit: no inference re-scan, stable types
+      .load(out)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    sqlChecked("io_orc_roundtrip", oracle)((s, dir) => roundTrip(s, dir, "orc")),
+    sqlChecked("io_jsonl_roundtrip", oracle)((s, dir) => roundTrip(s, dir, "json")),
+    sqlChecked("io_csv_roundtrip", oracle)((s, dir) => roundTrip(s, dir, "csv"))
+  )
+}
