@@ -744,6 +744,26 @@ object Relational {
               "o_orderstatus STRING, o_totalprice DOUBLE"))
             .getField("o_totalprice"), 6).as("price_struct"))
         .orderBy($"o_orderkey")
+    },
+
+    // Correlated scalar subquery — orders beating 1.5× their own customer's
+    // average. Catalyst DECORRELATES this into an aggregate + join (one
+    // shuffle on o_custkey), not a per-row subquery probe; SURVEY §4 lists
+    // decorrelation as "free if ever needed" — this query makes that claim
+    // checkable. spark.sql is the right API surface here: the DataFrame API
+    // has no correlated-subquery syntax.
+    sqlChecked(
+      "q34_correlated_subquery",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+          |                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
     }
   )
 }

@@ -225,6 +225,57 @@ object Events {
       s.read.parquet(outDir).orderBy($"p_id", $"e_id")
     },
 
+    // LEFT-OUTER stream-stream join: the null-padded row for an unmatched
+    // purchase can only be emitted once the watermark proves no future error
+    // can still match (wm > p_ts + 1h), so purchases too close to
+    // end-of-input stay unemitted — exactly the append-mode contract. With
+    // TWO watermarked inputs the global watermark is the MIN of the two
+    // (spark.sql.streaming.multipleWatermarkPolicy defaults to min — the
+    // safe policy: no row is declared late until BOTH inputs have moved
+    // past it), so the final watermark is min(max p_ts, max e_ts), not the
+    // global max ts. The oracle states exactly that cutoff.
+    sqlChecked(
+      "ev_stream_join_left",
+      """SELECT p_id, e_id, user_id FROM (
+        |  SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id, p.ts AS p_ts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |    ON p.user_id = e.user_id
+        |   AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR)
+        |WHERE e_id IS NOT NULL
+        |   OR p_ts + INTERVAL 1 HOUR < (SELECT least(
+        |        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        |        (SELECT max(ts) FROM events WHERE event_type = 'error')))
+        |ORDER BY p_id, e_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val outDir = Files.createTempDirectory("ev-ssjl-out").toString
+      val ckDir = Files.createTempDirectory("ev-ssjl-ck").toString
+      val purchases = Tables.eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val errors = Tables.eventsStream(s, dir)
+        .filter($"event_type" === "error")
+        .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+        .withWatermark("e_ts", "0 seconds")
+      val q = purchases
+        .join(errors,
+          $"user_id" === $"e_user"
+            && $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")
+            && $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select($"p_id", $"e_id", $"user_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy($"p_id", $"e_id")
+    },
+
     // AS-OF join — an operator Spark has no native join type for,
     // re-expressed by composition (the brief's preference (a)): for each
     // 'purchase' event, the most recent 'signup' of the same user at or
