@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * per table under `<db_path>.parquet/`, overwrite-on-write like
   * `if_exists="replace"`, plus a manifest listing the tables. Identical
   * logical schema; swapping in a real JDBC sink is a one-line change where
-  * `writeDbTable` is called.
+  * `writeDbTable` is called. (A real JDBC write + partitioned read IS
+  * exercised elsewhere: io_jdbc_roundtrip in operators/Formats.scala uses
+  * the embedded Derby engine Spark ships; the Parquet fallback stays the
+  * byte-pinned golden sink here because Derby's on-disk format is not
+  * byte-comparable.)
   */
 object Sinks {
 
