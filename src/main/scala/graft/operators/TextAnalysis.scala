@@ -178,6 +178,36 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // BPE-ish token counting: a GPT-2-style pre-tokenizer regex (apostrophe
+    // suffixes, space-prefixed letter runs, digit runs, punctuation runs) —
+    // the cheap per-row estimator a data pipeline uses to budget sequence
+    // lengths BEFORE paying for a real tokenizer pass. Reported next to the
+    // whitespace count with their ratio (subword inflation ≈ tokens/word).
+    sqlChecked(
+      "ta_bpe_tokens",
+      """SELECT doc_id, ws_tokens, bpe_tokens,
+        | CASE WHEN ws_tokens = 0 THEN 0.0
+        |      ELSE round(bpe_tokens / CAST(ws_tokens AS DOUBLE), 6) END AS inflation
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |        w -> w <> '')) AS ws_tokens,
+        |    len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS bpe_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bpePat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          Exprs.tokenCount(Exprs.normText($"text")).as("ws_tokens"),
+          size(regexp_extract_all(lower($"text"), lit(bpePat), lit(0)))
+            .cast("long").as("bpe_tokens"))
+        .withColumn("inflation",
+          when($"ws_tokens" === 0, 0.0).otherwise(
+            round($"bpe_tokens".cast("double") / $"ws_tokens".cast("double"), 6)))
+        .orderBy($"doc_id")
+    },
+
     // Gopher-style rule-based document filter (Rae et al. 2021 §A1.1, the
     // published heuristic family): per-doc structural metrics, one boolean
     // per rule, and the conjunction. English-centric stopword rule by
