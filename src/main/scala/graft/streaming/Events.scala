@@ -31,6 +31,28 @@ object Events {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(20,8)")).cast("double")
 
+  /** Run a streaming query with a smaller state partition count, restoring
+    * the session's shuffle partitions after.
+    *
+    * `spark.sql.shuffle.partitions` decides the number of STATE STORE
+    * instances of every stateful streaming operator, and each instance pays
+    * per-micro-batch fixed costs (provider init, delta + commit files in the
+    * checkpoint). At the bench scale that fixed cost dominates: a
+    * stream-stream join at 32 partitions spends ~8 s mostly writing 64+
+    * checkpoint files per batch. 8 partitions is still plural (the
+    * correctness-under-parallelism property stays exercised) with 4× less
+    * fixed overhead. On a real cluster this is the knob you SIZE to the
+    * state volume — state partitions are a durability/recovery unit, not a
+    * throughput unit, and defaulting them to the batch shuffle width is a
+    * classic streaming misconfiguration.
+    */
+  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, old)
+  }
+
   private val batchOracle =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
       | COUNT(*) AS n_events,
@@ -101,20 +123,21 @@ object Events {
       import s.implicits._
       val outDir = Files.createTempDirectory("ev-stream-out").toString
       val ckDir = Files.createTempDirectory("ev-stream-ck").toString
-      val agg = Tables.eventsStream(s, dir)
+      val agg = withStreamPartitions(s) { Tables.eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
         .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("hour"),
           $"event_type", $"n_events", $"total_value")
-      val q = agg.writeStream
+        .writeStream
         .outputMode("append")
         .format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", ckDir)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+        .awaitTermination()
+      }
       s.read.parquet(outDir).orderBy($"hour", $"event_type")
     },
 
@@ -139,8 +162,8 @@ object Events {
       import s.implicits._
       val outDir = Files.createTempDirectory("ev-dedup-out").toString
       val ckDir = Files.createTempDirectory("ev-dedup-ck").toString
-      val doubled = Tables.eventsStream(s, dir).union(Tables.eventsStream(s, dir))
-      val q = doubled
+      withStreamPartitions(s) {
+      Tables.eventsStream(s, dir).union(Tables.eventsStream(s, dir))
         .withWatermark("ts", "0 seconds")
         .dropDuplicatesWithinWatermark("event_id")
         .select($"event_id", $"event_type", $"value")
@@ -151,7 +174,8 @@ object Events {
         .option("checkpointLocation", ckDir)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+        .awaitTermination()
+      }
       s.read.parquet(outDir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
@@ -200,6 +224,7 @@ object Events {
       import s.implicits._
       val outDir = Files.createTempDirectory("ev-ssj-out").toString
       val ckDir = Files.createTempDirectory("ev-ssj-ck").toString
+      withStreamPartitions(s) {
       val purchases = Tables.eventsStream(s, dir)
         .filter($"event_type" === "purchase")
         .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
@@ -208,7 +233,7 @@ object Events {
         .filter($"event_type" === "error")
         .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
         .withWatermark("e_ts", "0 seconds")
-      val q = purchases
+      purchases
         .join(errors,
           $"user_id" === $"e_user"
             && $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")
@@ -221,7 +246,8 @@ object Events {
         .option("checkpointLocation", ckDir)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+        .awaitTermination()
+      }
       s.read.parquet(outDir).orderBy($"p_id", $"e_id")
     },
 
@@ -250,6 +276,7 @@ object Events {
       import s.implicits._
       val outDir = Files.createTempDirectory("ev-ssjl-out").toString
       val ckDir = Files.createTempDirectory("ev-ssjl-ck").toString
+      withStreamPartitions(s) {
       val purchases = Tables.eventsStream(s, dir)
         .filter($"event_type" === "purchase")
         .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
@@ -258,7 +285,7 @@ object Events {
         .filter($"event_type" === "error")
         .select($"event_id".as("e_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
         .withWatermark("e_ts", "0 seconds")
-      val q = purchases
+      purchases
         .join(errors,
           $"user_id" === $"e_user"
             && $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")
@@ -272,7 +299,8 @@ object Events {
         .option("checkpointLocation", ckDir)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+        .awaitTermination()
+      }
       s.read.parquet(outDir).orderBy($"p_id", $"e_id")
     },
 
@@ -391,6 +419,7 @@ object Events {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       val outDir = Files.createTempDirectory("ev-sess-out").toString
       val ckDir = Files.createTempDirectory("ev-sess-ck").toString
+      withStreamPartitions(s) {
       val src = Tables.eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .select($"user_id", $"ts", $"event_id", $"value")
@@ -411,6 +440,7 @@ object Events {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      }
       s.read.parquet(outDir).orderBy($"user_id", $"session_start")
     }
   )

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+/** The format round-trips are value-checked by their oracles; this pins the
+  * PLAN property that matters at scale for the JDBC source: the read-back
+  * must be range-partitioned into concurrent per-executor cursors, not one
+  * serial result set.
+  */
+class FormatsSpec extends SparkSuite with Matchers {
+
+  test("jdbc round-trip reads back through 4 partitioned range scans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val db = java.nio.file.Files.createTempDirectory("graft-derby-spec").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val cust = graft.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    cust.write.mode("overwrite").jdbc(url, "customers", props)
+    val maxKey = cust.agg(max($"c_custkey")).collect().head.getLong(0)
+    val back = spark.read.jdbc(url, "customers",
+      columnName = "c_custkey", lowerBound = 0L, upperBound = maxKey + 1,
+      numPartitions = 4, connectionProperties = props)
+    back.rdd.getNumPartitions shouldBe 4
+    back.count() shouldBe cust.count()
+  }
+}
