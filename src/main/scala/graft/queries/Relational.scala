@@ -25,6 +25,27 @@ object Relational {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(20,8)")).cast("double")
 
+  /** Discounted price as EXACT decimal arithmetic on the 2-decimal money
+    * values: `dec(price) * (1.00 - dec(discount))`.
+    *
+    * The double product `price * (1.0 - discount)` carries ~12 significant
+    * decimals, and casting THAT to decimal lands near scale-8 rounding
+    * boundaries where Spark and DuckDB disagree (Spark casts through the
+    * shortest string representation, DuckDB rounds the binary value) —
+    * invisible at sf0.01, a ~5e-7 drift across 600k rows at sf0.1. Casting
+    * each 2-decimal factor to decimal FIRST is exact in both engines (a
+    * 2-decimal double's nearest-double error is far below the cast
+    * boundary), so every product and the sum are integer-exact and
+    * engine-independent. The DuckDB oracles use the same form.
+    */
+  private def discPrice =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(new java.math.BigDecimal("1.00")) - col("l_discount").cast("decimal(3,2)"))
+
+  /** Oracle twin of [[discPrice]] (1.00 is a DECIMAL(3,2) literal in DuckDB). */
+  private val DiscPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1/A3 — grouped multi-aggregate over the fact table (TPC-H Q1 shape).
@@ -32,10 +53,10 @@ object Relational {
     // reduces 100 TB of lineitem to O(groups) per partition before exchange.
     sqlChecked(
       "q01_pricing_summary",
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(20,8))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM($DiscPriceSql) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
@@ -45,7 +66,7 @@ object Relational {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -105,19 +126,26 @@ object Relational {
     },
 
     // W1 — dedup-by-first-occurrence via row_number with a deterministic
-    // tie-breaker (SURVEY §7.1.1: the reference's ordering ties; we add
-    // l_linenumber so "first" is well-defined). Scale: one shuffle on the
+    // tie-breaker (SURVEY §7.1.1: the reference's ordering ties; "first" is
+    // only well-defined under a TOTAL order). (l_orderkey, l_linenumber) is
+    // NOT unique in the testdata — duplicate line numbers appear from sf0.1
+    // up — so the order extends through (partkey, suppkey, quantity,
+    // extendedprice), which is verified unique; anything less leaves
+    // row_number engine- and partitioning-dependent (found as an sf0.1-only
+    // oracle mismatch that sf0.01 could not see). Scale: one shuffle on the
     // partition key; no global sort before the window.
     sqlChecked(
       "q05_window_dedup",
       """SELECT l_orderkey, l_linenumber,
         | strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
         |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+        |        PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber,
+        |                 l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
         |      FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"l_orderkey")
-        .orderBy($"l_shipdate".asc, $"l_linenumber".asc)
+        .orderBy($"l_shipdate".asc, $"l_linenumber".asc,
+          $"l_partkey".asc, $"l_suppkey".asc, $"l_quantity".asc, $"l_extendedprice".asc)
       Tables.lineitem(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -442,8 +470,8 @@ object Relational {
     // driver results at k×partitions.
     sqlChecked(
       "q21_shipping_priority",
-      """SELECT l_orderkey,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS revenue,
+      s"""SELECT l_orderkey,
+        | CAST(SUM($DiscPriceSql) AS DOUBLE) AS revenue,
         | strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |             JOIN lineitem ON l_orderkey = o_orderkey
@@ -459,7 +487,7 @@ object Relational {
         .join(o, $"c_custkey" === $"o_custkey")
         .join(l, $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey", $"o_orderdate")
-        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
         .select($"l_orderkey", $"revenue",
           date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
         .orderBy($"revenue".desc, $"l_orderkey".asc)
@@ -472,8 +500,8 @@ object Relational {
     // joins orders on the natural key. One wide shuffle total.
     sqlChecked(
       "q22_regional_revenue",
-      """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,8))) AS DOUBLE) AS revenue
+      s"""SELECT n_name,
+        | CAST(SUM($DiscPriceSql) AS DOUBLE) AS revenue
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |            JOIN customer ON n_nationkey = c_nationkey
         |            JOIN orders ON c_custkey = o_custkey
@@ -488,7 +516,7 @@ object Relational {
         .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
         .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
         .groupBy($"n_name")
-        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"n_name".asc)
     },
 
