@@ -45,11 +45,11 @@ object Dedup {
   private def sqlHash60(expr: String): String =
     s"CAST(('0x' || substr(md5($expr),1,15)) AS BIGINT)"
 
-  /** DuckDB oracle for [[minhashLshPairs]] — re-derives the K double-hashed
-    * minhash signature, the banded bucket join, and the exact-Jaccard
-    * verification entirely in SQL.
+  /** The minhash pair pipeline as a reusable WITH-clause body ending in a
+    * CTE `mh_pairs(doc_a, doc_b, jaccard)` — shared by the pair oracle and
+    * the connected-components oracle.
     */
-  private def minhashOracle(k: Int, bands: Int, threshold: Double): String = {
+  private def minhashPairsCtes(k: Int, bands: Int, threshold: Double): String = {
     val rows = k / bands
     val minCols = (0 until k)
       .map(i => s"min((h1 + $i * h2) % $MinhashP) AS m$i")
@@ -59,7 +59,7 @@ object Dedup {
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bsig FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $ToksCte,
+    s"""$ToksCte,
        |sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
@@ -85,14 +85,41 @@ object Dedup {
        |  SELECT doc_a, doc_b, count(*) AS common
        |  FROM cands JOIN sh sa ON doc_a = sa.doc_id
        |             JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
-       |  GROUP BY doc_a, doc_b)
-       |SELECT doc_a, doc_b,
-       |  round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
-       |FROM common JOIN counts ca ON doc_a = ca.doc_id
-       |            JOIN counts cb ON doc_b = cb.doc_id
-       |WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  GROUP BY doc_a, doc_b),
+       |mh_pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+       |  FROM common JOIN counts ca ON doc_a = ca.doc_id
+       |              JOIN counts cb ON doc_b = cb.doc_id
+       |  WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= $threshold)""".stripMargin
   }
+
+  /** DuckDB oracle for [[minhashLshPairs]] — re-derives the K double-hashed
+    * minhash signature, the banded bucket join, and the exact-Jaccard
+    * verification entirely in SQL.
+    */
+  private def minhashOracle(k: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashPairsCtes(k, bands, threshold)}
+       |SELECT doc_a, doc_b, jaccard FROM mh_pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB oracle for [[componentsOf]] over the minhash near-dup graph:
+    * transitive closure by recursive CTE, component id = min reachable
+    * doc_id — an INDEPENDENT algorithm (path enumeration) from the Spark
+    * side's label propagation, which is the strongest kind of oracle.
+    */
+  private def componentsOracle(k: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(k, bands, threshold)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+       |SELECT doc_id, min(r) AS component
+       |FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for [[simhashPairs]] — rebuilds the 60-bit vote-based
     * signature (60 generated per-bit sum terms), the 4×16-bit band join, and
@@ -273,6 +300,49 @@ object Dedup {
       .filter($"pos" <= $"n" - w)
       .select($"doc_id", $"fp")
       .distinct()
+  }
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: every node starts labeled with itself; each round, a node
+    * takes the minimum of its own and its neighbors' labels; fixpoint in
+    * O(component diameter) rounds.
+    *
+    * This is THE missing step between near-dup PAIR detection and actual
+    * deduplication: LSH emits pairs, but "keep one per duplicate group"
+    * needs the transitive closure (a~b, b~c ⇒ {a,b,c} is one group). Scale:
+    * each round is one equi-join + one aggregate on doc_id — no transitive
+    * closure materialization (closure is O(n·component_size); labels are
+    * O(n)) — and near-dup components have tiny diameters (duplicates of one
+    * source document), so the driver loop runs ~2-4 plans, the same
+    * iterate-over-plans shape as k-means. Deterministic (min is
+    * order-independent), so oracle-checkable.
+    */
+  def componentsOf(
+      s: SparkSession, nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    import s.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    var labels = nodes.select($"doc_id", $"doc_id".as("component")).cache()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels, $"src" === $"doc_id")
+        .groupBy($"dst").agg(min($"component").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, $"doc_id" === $"dst", "left")
+        .select($"doc_id",
+          least($"component", coalesce($"nbr_min", $"component")).as("component"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
+        .filter($"component" =!= $"prev").isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    labels
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -464,6 +534,22 @@ object Dedup {
           round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
         .filter($"cos" >= 0.3)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // Connected components over the MinHash near-dup graph — pair detection
+    // → duplicate GROUPS (component id = min member, i.e. the canonical
+    // keeper). Spark runs min-label propagation; the oracle computes the
+    // same components by a structurally different algorithm (recursive-CTE
+    // transitive closure), so agreement checks the semantics, not the
+    // implementation.
+    sqlChecked(
+      "dd_components",
+      componentsOracle(k = 32, bands = 8, threshold = 0.5)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id")
+      val pairs = minhashLshPairs(s, Tables.documents(s, dir))
+        .select($"doc_a", $"doc_b")
+      componentsOf(s, docs, pairs).orderBy($"doc_id")
     },
 
     // Fuzzy record linkage (edit-distance entity dedup) over the part
