@@ -774,6 +774,36 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // Custom WHOLE-OPERATOR Catalyst extension (tier (c) of the brief's
+    // preference ladder — LogicalPlan + SparkStrategy + SparkPlan, see
+    // graft.plans.TopKPerKey): per-key top-k via bounded heaps in ONE
+    // streaming pass after ONE hash exchange — no Sort node in the plan at
+    // all, where the composable row_number formulation sorts every
+    // partition's full data. The oracle is that composable formulation in
+    // DuckDB; TopKSpec additionally asserts plan shape and the in-Spark
+    // equivalence with the window form.
+    sqlChecked(
+      "q35_topk_per_key",
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY l_returnflag, l_linestatus
+        |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+        |                 l_partkey, l_suppkey, l_quantity, l_shipdate) AS rn
+        |      FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_returnflag, l_linestatus, l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.plans.TopKPerKey.perKey(
+          Tables.lineitem(s, dir),
+          keyNames = Seq("l_returnflag", "l_linestatus"),
+          order = Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+            "l_linenumber" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+            "l_quantity" -> true, "l_shipdate" -> true),
+          k = 3)
+        .select($"l_returnflag", $"l_linestatus", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_returnflag", $"l_linestatus", $"l_extendedprice".desc,
+          $"l_orderkey", $"l_linenumber", $"l_partkey")
+    },
+
     // Correlated scalar subquery — orders beating 1.5× their own customer's
     // average. Catalyst DECORRELATES this into an aggregate + join (one
     // shuffle on o_custkey), not a per-row subquery probe; SURVEY §4 lists

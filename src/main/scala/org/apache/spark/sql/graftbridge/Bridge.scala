@@ -14,6 +14,23 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The analyzed logical plan of a DataFrame (for building custom logical
+    * nodes over already-resolved output attributes).
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
+  /** Wrap a logical plan back into a DataFrame on `df`'s session. */
+  def ofRows(
+      df: org.apache.spark.sql.DataFrame,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    org.apache.spark.sql.classic.Dataset.ofRows(cdf.sparkSession, plan)
+  }
+
   /** Drop a query's top-level global Sort, if any. Every graft query ends in
     * a deterministic ORDER BY for the oracle hash-compare; the bench also
     * times the plan WITHOUT that final sort, so a regression in the real
