@@ -804,6 +804,62 @@ object Relational {
           $"l_orderkey", $"l_linenumber", $"l_partkey")
     },
 
+    // MERGE / upsert semantics without a table format: apply a change set
+    // (updates, inserts, deletes) to a base table in one FULL OUTER join —
+    // matched+not-deleted → updated row, unmatched-left → kept base row,
+    // unmatched-right → inserted row. The change set is DERIVED
+    // deterministically from the data (every 3rd customer's balance bumped,
+    // every 7th deleted, new keys appended past the max), mirrored in the
+    // oracle. Scale: one co-partitioned join on the key — the same plan a
+    // lakehouse MERGE plans for the non-file-pruned case; no driver work.
+    sqlChecked(
+      "q36_upsert",
+      """WITH maxk AS (SELECT max(c_custkey) AS mk FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS key,
+        |    round(CAST(c_acctbal + 100.0 AS DECIMAL(12,2)), 2) AS new_bal,
+        |    (c_custkey % 7 = 0) AS is_delete
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT mk + i AS key, CAST(1000.0 + i AS DECIMAL(12,2)), false
+        |  FROM maxk, (SELECT unnest(generate_series(1, 5)) AS i)),
+        |merged AS (
+        |  SELECT COALESCE(c.c_custkey, ch.key) AS c_custkey,
+        |    CASE WHEN ch.key IS NULL THEN c.c_acctbal
+        |         ELSE CAST(ch.new_bal AS DOUBLE) END AS acctbal,
+        |    CASE WHEN ch.key IS NULL THEN 'kept'
+        |         WHEN c.c_custkey IS NULL THEN 'inserted'
+        |         ELSE 'updated' END AS action
+        |  FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+        |  WHERE ch.is_delete IS NULL OR NOT ch.is_delete)
+        |SELECT c_custkey, round(acctbal, 2) AS acctbal, action
+        |FROM merged ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = Tables.customer(s, dir).select($"c_custkey", $"c_acctbal")
+      val maxKey = base.agg(max($"c_custkey")).collect().head.getLong(0)
+      val updates = base.filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey".as("key"),
+          round(($"c_acctbal" + 100.0).cast("decimal(12,2)"), 2).as("new_bal"),
+          ($"c_custkey" % 7 === 0).as("is_delete"))
+      val inserts = s.range(1, 6)
+        .select(($"id" + maxKey).as("key"),
+          (lit(1000.0) + $"id").cast("decimal(12,2)").as("new_bal"),
+          lit(false).as("is_delete"))
+      val changes = updates.union(inserts)
+      base
+        .join(changes, $"c_custkey" === $"key", "full_outer")
+        .filter($"is_delete".isNull || !$"is_delete")
+        .select(
+          coalesce($"c_custkey", $"key").as("c_custkey"),
+          when($"key".isNull, $"c_acctbal")
+            .otherwise($"new_bal".cast("double")).as("acctbal"),
+          when($"key".isNull, "kept")
+            .when($"c_custkey".isNull, "inserted")
+            .otherwise("updated").as("action"))
+        .select($"c_custkey", round($"acctbal", 2).as("acctbal"), $"action")
+        .orderBy($"c_custkey")
+    },
+
     // Correlated scalar subquery — orders beating 1.5× their own customer's
     // average. Catalyst DECORRELATES this into an aggregate + join (one
     // shuffle on o_custkey), not a per-row subquery probe; SURVEY §4 lists
