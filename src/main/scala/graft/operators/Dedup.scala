@@ -321,9 +321,12 @@ object Dedup {
       s: SparkSession, nodes: DataFrame, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     import s.implicits._
+    // materialize the (small) edge list once: every round joins it, and
+    // re-deriving it would re-run the whole pair pipeline per round
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .cache()
+    edges.count()
     var labels = nodes.select($"doc_id", $"doc_id".as("component")).cache()
     var round = 0
     var converged = false
@@ -331,14 +334,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"component").as("nbr_min"))
+      // convergence flag computed in the SAME pass that builds the next
+      // labels — no second join per round
       val next = labels
         .join(nbrMin, $"doc_id" === $"dst", "left")
         .select($"doc_id",
-          least($"component", coalesce($"nbr_min", $"component")).as("component"))
+          least($"component", coalesce($"nbr_min", $"component")).as("component"),
+          ($"nbr_min".isNotNull && $"nbr_min" < $"component").as("chg"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
-        .filter($"component" =!= $"prev").isEmpty
-      labels = next
+      converged = next.filter($"chg").isEmpty
+      labels.unpersist(blocking = false)
+      labels = next.drop("chg")
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
