@@ -860,6 +860,39 @@ object Relational {
         .orderBy($"c_custkey")
     },
 
+    // Column profiling — the "know your data" report every ingest runs
+    // first: per column count/nulls/distincts plus numeric min/max, in ONE
+    // scan (all aggregates share the pass; a naive per-column loop scans
+    // the table once per column). Long-format output: one row per metric.
+    sqlChecked(
+      "q37_profile",
+      """SELECT metric, value FROM (
+        |  SELECT '0_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+        |  UNION ALL SELECT '1_null_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT '2_distinct_custkey', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT '3_distinct_status', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT '4_min_totalprice', round(MIN(o_totalprice), 2) FROM orders
+        |  UNION ALL SELECT '5_max_totalprice', round(MAX(o_totalprice), 2) FROM orders
+        |  UNION ALL SELECT '6_min_orderdate_epoch', CAST(epoch(MIN(o_orderdate)) AS DOUBLE) FROM orders
+        |  UNION ALL SELECT '7_max_orderdate_epoch', CAST(epoch(MAX(o_orderdate)) AS DOUBLE) FROM orders)
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // one aggregate row wide, then unpivot to the long report — a single
+      // scan computes every metric
+      Tables.orders(s, dir)
+        .agg(
+          count(lit(1)).cast("double").as("0_rows"),
+          (count(lit(1)) - count($"o_custkey")).cast("double").as("1_null_custkey"),
+          countDistinct($"o_custkey").cast("double").as("2_distinct_custkey"),
+          countDistinct($"o_orderstatus").cast("double").as("3_distinct_status"),
+          round(min($"o_totalprice"), 2).as("4_min_totalprice"),
+          round(max($"o_totalprice"), 2).as("5_max_totalprice"),
+          unix_timestamp(min($"o_orderdate")).cast("double").as("6_min_orderdate_epoch"),
+          unix_timestamp(max($"o_orderdate")).cast("double").as("7_max_orderdate_epoch"))
+        .unpivot(Array.empty, "metric", "value")
+        .orderBy($"metric")
+    },
+
     // Correlated scalar subquery — orders beating 1.5× their own customer's
     // average. Catalyst DECORRELATES this into an aggregate + join (one
     // shuffle on o_custkey), not a per-row subquery probe; SURVEY §4 lists
