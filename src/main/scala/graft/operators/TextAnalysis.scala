@@ -256,6 +256,40 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // Unigram LM scoring (the CCNet-style quality signal): build the word
+    // distribution FROM the corpus itself (one aggregate), then score every
+    // document by its mean negative log-probability — low = typical text,
+    // high = outlier/noise. Two passes: the vocab aggregate (zipf-small →
+    // broadcast), then a scan that joins each doc's words against it — the
+    // vocabulary never shuffles the corpus. Deterministic end-to-end
+    // (exact counts, ln of identical doubles, rounded), so oracle-checked.
+    sqlChecked(
+      "ta_unigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                w -> w <> '') AS w
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+        |vocab AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        |total AS (SELECT sum(c) AS t FROM vocab)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(-ln(vocab.c / (SELECT t FROM total))), 4) AS mean_neg_logprob
+        |FROM words JOIN vocab USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
+      val vocab = words.groupBy($"word").agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum($"c")).collect().head.getLong(0)
+      words
+        .join(broadcast(vocab), Seq("word"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(-log($"c".cast("double") / total.toDouble)), 4).as("mean_neg_logprob"))
+        .orderBy($"doc_id")
+    },
+
     // PII-style scrubbing: redact URLs then emails with typed placeholders,
     // count each. The testdata contains neither, so the input is a DERIVED
     // VIEW planting a deterministic contact line on every 7th document —
