@@ -450,18 +450,45 @@ object Relational {
     // Sketch aggregates — the 100 TB substitutes for exact distinct counts
     // and sorted percentiles: HyperLogLog++ (bounded state per group vs a
     // per-group hash set) and approx_percentile (mergeable quantile sketch
-    // vs a global sort). No DuckDB oracle — sketch internals differ between
-    // engines by construction; SketchSpec pins relative error vs the exact
-    // answers (< 5% for HLL at default rsd, exact-rank tolerance for the
-    // quantiles).
-    graft.QueryDef.rowsOnly("q20_sketch_stats") { (s, dir) =>
+    // vs a global sort). Sketch internals differ between engines by
+    // construction, so the sketch estimates can't be hash-compared directly;
+    // instead the row carries BOTH the exact answers (hash-checked against
+    // DuckDB like any other query) and tolerance-gate booleans computed by
+    // Spark (|sketch − exact| within band → true) that the oracle pins as
+    // TRUE literals. A sketch drifting out of band flips a boolean and fails
+    // the row — the check is a real driver-side gate, not just SketchSpec.
+    // Bands: 5% for HLL at rsd 0.02 (≈2.5σ), 2% for the quantile sketch at
+    // accuracy 10000 (rank error ≤ n/10000).
+    sqlChecked(
+      "q20_sketch_stats",
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price_exact,
+        | round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price_exact,
+        | TRUE AS hll_orders_ok, TRUE AS hll_parts_ok,
+        | TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
       import s.implicits._
+      def banded(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column,
+          rel: Double): org.apache.spark.sql.Column =
+        abs(approx.cast("double") - exact.cast("double")) <=
+          abs(exact.cast("double")) * rel
       Tables.lineitem(s, dir)
         .agg(
-          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
-          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_price"),
-          percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95_price"))
+          countDistinct($"l_orderkey").as("exact_orders"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50_price_exact"),
+          round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("p95_price_exact"),
+          approx_count_distinct($"l_orderkey", 0.02).as("hll_orders"),
+          approx_count_distinct($"l_partkey", 0.02).as("hll_parts"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap95"))
+        .select(
+          $"exact_orders", $"exact_parts", $"p50_price_exact", $"p95_price_exact",
+          banded($"hll_orders", $"exact_orders", 0.05).as("hll_orders_ok"),
+          banded($"hll_parts", $"exact_parts", 0.05).as("hll_parts_ok"),
+          banded($"ap50", $"p50_price_exact", 0.02).as("p50_ok"),
+          banded($"ap95", $"p95_price_exact", 0.02).as("p95_ok"))
     },
 
     // TPC-H Q3 shape — 3-way fact join with dim filter, aggregate, top-k.
