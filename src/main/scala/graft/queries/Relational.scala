@@ -454,41 +454,141 @@ object Relational {
     // construction, so the sketch estimates can't be hash-compared directly;
     // instead the row carries BOTH the exact answers (hash-checked against
     // DuckDB like any other query) and tolerance-gate booleans computed by
-    // Spark (|sketch − exact| within band → true) that the oracle pins as
-    // TRUE literals. A sketch drifting out of band flips a boolean and fails
-    // the row — the check is a real driver-side gate, not just SketchSpec.
-    // Bands: 5% for HLL at rsd 0.02 (≈2.5σ), 2% for the quantile sketch at
-    // accuracy 10000 (rank error ≤ n/10000).
+    // Spark that the oracle pins as TRUE literals. A sketch drifting out of
+    // band flips a boolean and fails the row — a real driver-side gate.
+    //
+    // Plan shape (the scale-critical part): the sketch pass and each exact
+    // companion run as SEPARATE single-row aggregates cross-joined 1×1
+    // (free), never fused. Fusing them forces Catalyst's distinct-rewrite
+    // Expand (~3× input rows) and funnels every expanded row through the
+    // exact `percentile` buffer — the r05 plan that took 30 s at sf0.1.
+    // Exact distinct counts use a two-level agg (distinct → count): partial
+    // HashAggregate per partition, no Expand, no all-values buffer. The
+    // exact-percentile pass is VERIFICATION-SCALE ONLY (it buffers every
+    // value of one column once — fine at oracle sf, the thing the sketch
+    // replaces at 100 TB); the sketch pass alone is the 100 TB hot path.
+    //
+    // Gates: HLL at rsd 0.02 uses a 7% band (3.5σ — a 2.5σ band flips for
+    // ~1% of datasets; the gate is dataset-calibrated, not a per-run
+    // probability). The quantile gates derive from the sketch's ACTUAL
+    // guarantee — rank error ≤ n/10000 — not a distribution-dependent value
+    // band: a second conditional-count scan computes the returned value's
+    // true rank span [lt+1, le], which must intersect [(p−ε)n, (p+ε)n].
+    //
+    // Exact percentile companions round to 4 digits: interpolated values on
+    // 2-decimal money at multiple-of-0.05 fractions are exact multiples of
+    // 1e-4, so both engines' doubles sit ~1e-10 from the same multiple and
+    // round identically (round(…,6) left a last-ulp flake window).
     sqlChecked(
       "q20_sketch_stats",
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
         | count(DISTINCT l_partkey) AS exact_parts,
-        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price_exact,
-        | round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price_exact,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price_exact,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price_exact,
         | TRUE AS hll_orders_ok, TRUE AS hll_parts_ok,
         | TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem""".stripMargin) { (s, dir) =>
       import s.implicits._
-      def banded(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column,
-          rel: Double): org.apache.spark.sql.Column =
+      import org.apache.spark.sql.Column
+      val l = Tables.lineitem(s, dir)
+      val eps = 1.0 / 10000 // percentile_approx(accuracy=10000) rank error
+      val delta = 0.001     // bracket half-width for sketch-guided refinement
+      val smallN = 100000L  // below this the bracket is the whole domain
+      // 100 TB hot path: one Aggregate, bounded sketch state only. The
+      // quantile sketch also emits BRACKET values at p±δ that guide the
+      // exact refinement below (one sketch, array percentiles — no extra
+      // cost over the two plain calls).
+      val sketches = l.agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("hll_orders"),
+        approx_count_distinct($"l_partkey", 0.02).as("hll_parts"),
+        percentile_approx($"l_extendedprice",
+          array(lit(0.5 - delta), lit(0.5), lit(0.5 + delta),
+            lit(0.95 - delta), lit(0.95), lit(0.95 + delta)), lit(10000)).as("pa"))
+        .select(
+          $"hll_orders", $"hll_parts",
+          $"pa" (0).as("b50lo"), $"pa" (1).as("ap50"), $"pa" (2).as("b50hi"),
+          $"pa" (3).as("b95lo"), $"pa" (4).as("ap95"), $"pa" (5).as("b95hi"))
+      // Exact companions — separate passes so no Expand ever multiplies an
+      // all-values buffer. Two-level agg for the distincts.
+      val exactOrders =
+        l.select($"l_orderkey").distinct().agg(count(lit(1)).as("exact_orders"))
+      val exactParts =
+        l.select($"l_partkey").distinct().agg(count(lit(1)).as("exact_parts"))
+      // Exact interpolated percentiles WITHOUT the all-values buffer of
+      // Spark's `percentile` (whose single-threaded 600k-entry map merge
+      // alone cost ~5 s at sf0.1) and WITHOUT a full-domain single-task
+      // window — sketch-guided refinement, the two-pass exact quantile that
+      // survives 100 TB:
+      //  1. group to (value, count): parallel shuffle on the value domain;
+      //  2. one conditional agg over the grouped counts yields n, the true
+      //     rank spans of ap50/ap95 (the rank gates), and the count of rows
+      //     strictly below each bracket (the cum-rank base offsets);
+      //  3. the cumulative window runs ONLY over values inside the sketch
+      //     brackets [p−δ, p+δ] — O(δ·n) rows, 2 partitions — with the base
+      //     offset restoring global ranks; the sketch's rank guarantee
+      //     (ε=1e-4 ≪ δ) proves both order statistics v_⌊r⌋, v_⌊r⌋₊₁ fall
+      //     inside the bracket for n ≥ smallN; below smallN the bracket is
+      //     the whole (tiny) domain.
+      // Interpolation replicates Percentile.getPercentile / quantile_cont —
+      // r = p·(n−1), v_⌊r⌋ + (v_⌊r⌋₊₁ − v_⌊r⌋)·(r − ⌊r⌋), identical double
+      // ops in all engines, so results are bit-identical to the fused form.
+      val vc = l.groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum($"c").cast("long").as("n"))
+      val vcS = vc.crossJoin(broadcast(sketches)).crossJoin(broadcast(tot))
+      val small = $"n" < smallN
+      val stats = vcS.agg(
+        max($"n").as("n"),
+        sum(when($"v" < $"ap50", $"c").otherwise(0L)).as("lt50"),
+        sum(when($"v" <= $"ap50", $"c").otherwise(0L)).as("le50"),
+        sum(when($"v" < $"ap95", $"c").otherwise(0L)).as("lt95"),
+        sum(when($"v" <= $"ap95", $"c").otherwise(0L)).as("le95"),
+        sum(when(!small && $"v" < $"b50lo", $"c").otherwise(0L)).as("base50"),
+        sum(when(!small && $"v" < $"b95lo", $"c").otherwise(0L)).as("base95"))
+      val tagged = vcS
+        .select($"v", $"c", explode(filter(array(
+          when(small || ($"v" >= $"b50lo" && $"v" <= $"b50hi"), lit("p50")),
+          when(small || ($"v" >= $"b95lo" && $"v" <= $"b95hi"), lit("p95"))),
+          x => x.isNotNull)).as("tag"))
+      val cum = tagged
+        .withColumn("hiL", sum($"c").over(
+          Window.partitionBy($"tag").orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(stats))
+        .withColumn("hi", $"hiL" + when($"tag" === "p50", $"base50").otherwise($"base95"))
+        .withColumn("lo", $"hi" - $"c")
+      def brackets(p: Double, tag: String): Seq[Column] = {
+        val r = lit(p) * ($"n" - 1).cast("double")
+        val k = floor(r).cast("long")
+        val in = $"tag" === tag
+        Seq(
+          max(when(in && $"lo" <= k && k < $"hi", $"v")).as(s"vk_$tag"),
+          max(when(in && $"lo" <= k + 1 && k + 1 < $"hi", $"v")).as(s"vk1_$tag"),
+          max(r - k).as(s"f_$tag"))
+      }
+      def interp(tag: String): Column = {
+        val vk = col(s"vk_$tag"); val vk1 = col(s"vk1_$tag"); val f = col(s"f_$tag")
+        // f≈0 ⇒ r integral ⇒ vk1 unused (matches Percentile: lower + (higher-lower)*frac)
+        round(vk + (coalesce(vk1, vk) - vk) * f, 4)
+      }
+      val bcols = brackets(0.5, "p50") ++ brackets(0.95, "p95")
+      val exactPct = cum
+        .agg(bcols.head, bcols.tail: _*)
+        .select(
+          interp("p50").as("p50_price_exact"),
+          interp("p95").as("p95_price_exact"))
+      def rankOk(lt: Column, le: Column, p: Double): Column =
+        (lt + 1 <= ceil((lit(p) + eps) * $"n")) && (le >= floor((lit(p) - eps) * $"n"))
+      def hllOk(approx: Column, exact: Column): Column =
         abs(approx.cast("double") - exact.cast("double")) <=
-          abs(exact.cast("double")) * rel
-      Tables.lineitem(s, dir)
-        .agg(
-          countDistinct($"l_orderkey").as("exact_orders"),
-          countDistinct($"l_partkey").as("exact_parts"),
-          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50_price_exact"),
-          round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("p95_price_exact"),
-          approx_count_distinct($"l_orderkey", 0.02).as("hll_orders"),
-          approx_count_distinct($"l_partkey", 0.02).as("hll_parts"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("ap50"),
-          percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap95"))
+          abs(exact.cast("double")) * 0.07
+      sketches.crossJoin(exactOrders).crossJoin(exactParts)
+        .crossJoin(exactPct).crossJoin(stats)
         .select(
           $"exact_orders", $"exact_parts", $"p50_price_exact", $"p95_price_exact",
-          banded($"hll_orders", $"exact_orders", 0.05).as("hll_orders_ok"),
-          banded($"hll_parts", $"exact_parts", 0.05).as("hll_parts_ok"),
-          banded($"ap50", $"p50_price_exact", 0.02).as("p50_ok"),
-          banded($"ap95", $"p95_price_exact", 0.02).as("p95_ok"))
+          hllOk($"hll_orders", $"exact_orders").as("hll_orders_ok"),
+          hllOk($"hll_parts", $"exact_parts").as("hll_parts_ok"),
+          rankOk($"lt50", $"le50", 0.5).as("p50_ok"),
+          rankOk($"lt95", $"le95", 0.95).as("p95_ok"))
     },
 
     // TPC-H Q3 shape — 3-way fact join with dim filter, aggregate, top-k.

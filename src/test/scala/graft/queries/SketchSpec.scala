@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 import graft.SparkSuite
 
-/** Error gates for the sketch aggregates (q20). The query row itself now
-  * carries the tolerance verdicts (hll_*_ok / p*_ok booleans, pinned TRUE by
-  * the DuckDB oracle); this spec re-derives the exact answers independently
-  * and additionally checks the approximate answers' true rank, so a sketch
+/** Error gates for the sketch aggregates (q20). The query row itself carries
+  * the tolerance verdicts (hll_*_ok / p*_ok booleans, pinned TRUE by the
+  * DuckDB oracle); this spec re-derives the exact answers independently and
+  * additionally exercises the quantile sketch's actual guarantee — rank
+  * error ≤ n/10000 — directly on the approximate values, so a sketch
   * regression is caught both here and by the driver's hash compare.
   */
 class SketchSpec extends SparkSuite with Matchers {
@@ -33,6 +34,27 @@ class SketchSpec extends SparkSuite with Matchers {
       val rank = li.filter($"l_extendedprice" <= v).count().toDouble / n
       rank should be >= (q - 0.02)
       rank should be <= (q + 0.02)
+    }
+  }
+
+  test("q20: approx percentiles honor the rank-error guarantee (ε = 1/10000)") {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, dir).cache()
+    val n = li.count()
+    val eps = 1.0 / 10000
+    val ap = li.agg(
+      percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("ap50"),
+      percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("ap95"))
+      .collect().head
+    for ((q, v) <- Seq(0.5 -> ap.getDouble(0), 0.95 -> ap.getDouble(1))) {
+      // rank span [lt+1, le] of the returned value must intersect
+      // [(q-eps)*n, (q+eps)*n] — the sketch's documented guarantee.
+      val lt = li.filter($"l_extendedprice" < v).count()
+      val le = li.filter($"l_extendedprice" <= v).count()
+      withClue(s"q=$q v=$v span=[${lt + 1},$le] n=$n") {
+        (lt + 1).toDouble should be <= math.ceil((q + eps) * n)
+        le.toDouble should be >= math.floor((q - eps) * n)
+      }
     }
   }
 }
