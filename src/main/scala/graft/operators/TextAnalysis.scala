@@ -14,11 +14,51 @@ import graft.functions.Exprs
 object TextAnalysis {
 
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
-  private val stopFr = Seq("le", "la", "les", "de", "et", "un", "une", "est")
-  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
-  private val stopEs = Seq("el", "la", "los", "de", "y", "un", "una", "es")
 
-  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+  /** Committed trigram profile dir (absolute so the DuckDB oracle reads the
+    * same model; override with GRAFT_LANGID_DIR).
+    */
+  private val langidDir =
+    sys.env.getOrElse("GRAFT_LANGID_DIR", "/root/repo/fixtures/langid")
+  private val LangIdProfileGlob = s"$langidDir/profile.parquet/*.parquet"
+
+  /** Trigram language detector over (doc_id, lang, text) rows — the scoring
+    * half of ta_langid, reusable so LangIdSpec can run it on planted
+    * held-out sentences. Integer NLL sums (see [[LangIdProfileGen]]); the
+    * profile broadcasts; per-doc rollup is the only shuffle.
+    */
+  def detectLang(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val profile = s.read.parquet(s"$langidDir/profile.parquet")
+    val prof = profile.filter($"trigram" =!= "__OOV__")
+    val oov = profile.filter($"trigram" === "__OOV__")
+      .select($"w_en".as("o_en"), $"w_fr".as("o_fr"),
+        $"w_de".as("o_de"), $"w_es".as("o_es"))
+    val normed = docs.select($"doc_id", $"lang".as("lang_declared"),
+      trim(regexp_replace(lower($"text"), "[^a-z]+", " ")).as("norm"))
+    val tg = normed.select($"doc_id", $"lang_declared",
+      explode_outer(when(length($"norm") >= 3,
+        expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"))
+        .otherwise(array().cast("array<string>"))).as("tg"))
+    tg.join(broadcast(prof), tg("tg") === prof("trigram"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy($"doc_id", $"lang_declared")
+      .agg(
+        sum(when($"tg".isNull, 0L).otherwise(coalesce($"w_en", $"o_en"))).as("s_en"),
+        sum(when($"tg".isNull, 0L).otherwise(coalesce($"w_fr", $"o_fr"))).as("s_fr"),
+        sum(when($"tg".isNull, 0L).otherwise(coalesce($"w_de", $"o_de"))).as("s_de"),
+        sum(when($"tg".isNull, 0L).otherwise(coalesce($"w_es", $"o_es"))).as("s_es"),
+        sum(when($"tg".isNull, 0L).otherwise(1L)).as("n_tg"))
+      .withColumn("lang_detected",
+        when($"n_tg" === 0, "und")
+          .when($"s_en" <= $"s_fr" && $"s_en" <= $"s_de" && $"s_en" <= $"s_es", "en")
+          .when($"s_fr" <= $"s_de" && $"s_fr" <= $"s_es", "fr")
+          .when($"s_de" <= $"s_es", "de")
+          .otherwise("es"))
+      .select($"doc_id", $"lang_declared", $"lang_detected",
+        $"s_en", $"s_fr", $"s_de", $"s_es", $"n_tg")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -78,43 +118,52 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
-    // Language ID: stopword-hit voting across 4 language profiles with a
-    // deterministic tie order (en > fr > de > es; no hits → 'und').
+    // Language ID: character-trigram log-likelihood scoring against the
+    // committed per-language profiles (fixtures/langid, built by
+    // [[LangIdProfileGen]] from embedded training corpora — CLD-style n-gram
+    // text categorization, Cavnar & Trenkle 1994). Weights are INTEGER
+    // scaled negative log-probs, so both engines' score sums are exact and
+    // order-independent; min-NLL wins with deterministic tie order
+    // en > fr > de > es; no trigrams → 'und'.
+    //
+    // Scale: the profile (a few thousand rows) broadcasts; the trigram
+    // explosion stays inside the scan stage; the only shuffle is the
+    // per-doc partial-aggregated score rollup keyed on doc_id.
     sqlChecked(
       "ta_langid",
-      s"""SELECT doc_id, lang AS lang_declared,
-         | CASE WHEN n_en = 0 AND n_fr = 0 AND n_de = 0 AND n_es = 0 THEN 'und'
-         |      WHEN n_en >= n_fr AND n_en >= n_de AND n_en >= n_es THEN 'en'
-         |      WHEN n_fr >= n_de AND n_fr >= n_es THEN 'fr'
-         |      WHEN n_de >= n_es THEN 'de'
-         |      ELSE 'es' END AS lang_detected,
-         | n_en, n_fr, n_de, n_es
-         |FROM (
-         |  SELECT doc_id, lang,
-         |   len(list_filter(toks, w -> w IN ${sqlList(stopEn)})) AS n_en,
-         |   len(list_filter(toks, w -> w IN ${sqlList(stopFr)})) AS n_fr,
-         |   len(list_filter(toks, w -> w IN ${sqlList(stopDe)})) AS n_de,
-         |   len(list_filter(toks, w -> w IN ${sqlList(stopEs)})) AS n_es
-         |  FROM (SELECT doc_id, lang,
-         |          list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
-         |                      w -> w <> '') AS toks
-         |        FROM documents))
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang AS lang_declared,
+         |         trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |tg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, length(norm) - 1),
+         |                i -> substr(norm, CAST(i AS INTEGER), 3))) AS tg
+         |  FROM docs WHERE length(norm) >= 3),
+         |prof AS (SELECT * FROM read_parquet('$LangIdProfileGlob') WHERE trigram <> '__OOV__'),
+         |oov AS (SELECT w_en AS o_en, w_fr AS o_fr, w_de AS o_de, w_es AS o_es
+         |        FROM read_parquet('$LangIdProfileGlob') WHERE trigram = '__OOV__'),
+         |scores AS (
+         |  SELECT doc_id,
+         |    CAST(sum(coalesce(w_en, o_en)) AS BIGINT) AS s_en,
+         |    CAST(sum(coalesce(w_fr, o_fr)) AS BIGINT) AS s_fr,
+         |    CAST(sum(coalesce(w_de, o_de)) AS BIGINT) AS s_de,
+         |    CAST(sum(coalesce(w_es, o_es)) AS BIGINT) AS s_es,
+         |    count(*) AS n_tg
+         |  FROM tg LEFT JOIN prof ON tg.tg = prof.trigram CROSS JOIN oov
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang_declared,
+         |  CASE WHEN s.n_tg IS NULL THEN 'und'
+         |       WHEN s_en <= s_fr AND s_en <= s_de AND s_en <= s_es THEN 'en'
+         |       WHEN s_fr <= s_de AND s_fr <= s_es THEN 'fr'
+         |       WHEN s_de <= s_es THEN 'de' ELSE 'es' END AS lang_detected,
+         |  coalesce(s_en, 0) AS s_en, coalesce(s_fr, 0) AS s_fr,
+         |  coalesce(s_de, 0) AS s_de, coalesce(s_es, 0) AS s_es,
+         |  coalesce(n_tg, 0) AS n_tg
+         |FROM docs d LEFT JOIN scores s USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val toks = Exprs.words(Exprs.normText($"text"))
-      def hits(ws: Seq[String]) = size(filter(toks, w => w.isin(ws: _*))).cast("long")
-      val base = Tables.documents(s, dir)
-        .select($"doc_id", $"lang".as("lang_declared"),
-          hits(stopEn).as("n_en"), hits(stopFr).as("n_fr"),
-          hits(stopDe).as("n_de"), hits(stopEs).as("n_es"))
-      base.withColumn("lang_detected",
-          when($"n_en" === 0 && $"n_fr" === 0 && $"n_de" === 0 && $"n_es" === 0, "und")
-            .when($"n_en" >= $"n_fr" && $"n_en" >= $"n_de" && $"n_en" >= $"n_es", "en")
-            .when($"n_fr" >= $"n_de" && $"n_fr" >= $"n_es", "fr")
-            .when($"n_de" >= $"n_es", "de")
-            .otherwise("es"))
-        .select($"doc_id", $"lang_declared", $"lang_detected", $"n_en", $"n_fr", $"n_de", $"n_es")
-        .orderBy($"doc_id")
+      detectLang(s, Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
     },
 
     // Canonical-form content fingerprint (128-bit md5 of normalized text).
