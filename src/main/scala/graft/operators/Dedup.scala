@@ -250,6 +250,35 @@ object Dedup {
     jaccardFor(cands, sh).filter($"jaccard" >= threshold)
   }
 
+  /** Hyperplane-LSH near-dup pairs over any (vec_id, v: array&lt;double&gt;)
+    * DataFrame: bucket-equality candidates in any of L tables at the tight
+    * near-dup operating point ([[HyperplaneLsh.DedupPlanes]] — see there for
+    * the collision math), exact cosine verification on candidates only.
+    * Output: (id_a, id_b, cos) with cos rounded to 6 and ≥ `threshold`.
+    * Reused by LshRecallSpec on a clustered fixture.
+    */
+  def embeddingLshPairs(
+      s: SparkSession, vectors: DataFrame, threshold: Double,
+      tables: Int = HyperplaneLsh.DedupTables,
+      planes: Int = HyperplaneLsh.DedupPlanes): DataFrame = {
+    import s.implicits._
+    val e = vectors.withColumn("nrm", Exprs.l2norm($"v"))
+    val buckets = HyperplaneLsh.bucketed(e, $"v", tables, planes)
+      .select($"vec_id", $"lsh_table", $"lsh_bucket")
+    val cands = buckets.as("x")
+      .join(buckets.as("y"),
+        $"x.lsh_table" === $"y.lsh_table" && $"x.lsh_bucket" === $"y.lsh_bucket"
+          && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("id_a"), $"y.vec_id".as("id_b"))
+      .distinct()
+    cands
+      .join(e.as("a"), $"id_a" === $"a.vec_id")
+      .join(e.as("b"), $"id_b" === $"b.vec_id")
+      .select($"id_a", $"id_b",
+        round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
+      .filter($"cos" >= threshold)
+  }
+
   /** SimHash-64 near-dup pairs over any (doc_id, text) DataFrame: one 64-bit
     * signature per doc from per-word hash votes (custom
     * [[graft.functions.SimHashAgg]] imperative aggregate — one 256-byte
@@ -508,7 +537,7 @@ object Dedup {
       "dd_embedding_lsh",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
-         |${HyperplaneLsh.BucketSqlCtes},
+         |${HyperplaneLsh.bucketSqlCtes(HyperplaneLsh.DedupTables, HyperplaneLsh.DedupPlanes)},
          |cands AS (
          |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          |  FROM bucketed x JOIN bucketed y
@@ -524,21 +553,7 @@ object Dedup {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
-        .withColumn("nrm", Exprs.l2norm($"v"))
-      val buckets = HyperplaneLsh.bucketed(e, $"v")
-        .select($"vec_id", $"lsh_table", $"lsh_bucket")
-      val cands = buckets.as("x")
-        .join(buckets.as("y"),
-          $"x.lsh_table" === $"y.lsh_table" && $"x.lsh_bucket" === $"y.lsh_bucket"
-            && $"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("id_a"), $"y.vec_id".as("id_b"))
-        .distinct()
-      cands
-        .join(e.as("a"), $"id_a" === $"a.vec_id")
-        .join(e.as("b"), $"id_b" === $"b.vec_id")
-        .select($"id_a", $"id_b",
-          round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
-        .filter($"cos" >= 0.3)
+      embeddingLshPairs(s, e, threshold = 0.3)
         .orderBy($"id_a", $"id_b")
     },
 

@@ -9,18 +9,27 @@ import graft.functions.Exprs
   *
   * OR-amplification: `L` independent tables of `b` hyperplanes each. A pair
   * with angle θ collides in one table with prob (1-θ/π)^b and in at least one
-  * of L tables with prob 1-(1-(1-θ/π)^b)^L. Round 1 used a single 16-plane
-  * table — each vector landed in a 1-in-65k bucket, so candidate sets (and
-  * recall) were empty. With L=24, b=4 the collision probability for a
-  * cos ≥ 0.24 neighbor is ≥ 0.9; recall is pinned by LshRecallSpec.
+  * of L tables with prob 1-(1-(1-θ/π)^b)^L.
+  *
+  * The two consumers want DIFFERENT operating points, so `tables`/`planes`
+  * are parameters:
+  *
+  *  - near-dup ([[graft.operators.Dedup]], b=10, L=24): the target regime is
+  *    high-cosine duplicates (cos ≥ 0.85 ⇒ per-table hit ≥ 0.21 ⇒ ≥ 99.6%
+  *    recall across 24 tables) while RANDOM pairs collide with
+  *    1−(1−2⁻¹⁰)²⁴ ≈ 2.3% — the r05 default (b=4) let random pairs collide
+  *    at ≈79%, making the candidate set near-all-pairs on unclustered data
+  *    (the suite's second-slowest query);
+  *  - top-k ANN ([[graft.operators.Similarity]], b=4, L=24): a k-NN probe
+  *    wants a GENEROUS candidate pool (the 10 nearest of 500 random vectors
+  *    sit at modest cosines), so coarse buckets are the point, and the
+  *    probe side is a handful of query vectors, not n².
   *
   * Scale: each vector maps to exactly L (table, bucket) keys, so candidate
   * generation is an equi-join on a 2-int key — shuffle-partitionable, never
-  * all-pairs. The driver testdata is *random* (no cluster structure), the
-  * adversarial case for ANN: buckets stay balanced, and the candidate set is
-  * a large fraction of n. On real clustered embeddings the same plan prunes
-  * to near-neighbors only; the plan shape, not the testdata selectivity, is
-  * the 100 TB argument.
+  * all-pairs. On clustered embeddings (the real near-dup case) buckets
+  * prune to near-neighbors only; LshRecallSpec pins recall ≥ 0.9 on exactly
+  * such a clustered fixture, plus the adversarial random case for ANN.
   *
   * Hyperplane component (p, d) is derived from md5("plane:p:d") — the same
   * portable 60-bit construction as [[Exprs.hash60]], mapped to uniform
@@ -35,8 +44,16 @@ import graft.functions.Exprs
 object HyperplaneLsh {
 
   val Dim = 64
-  val Tables = 24
-  val PlanesPerTable = 4
+
+  /** ANN operating point (Similarity): coarse buckets, generous candidates. */
+  val AnnTables = 24
+  val AnnPlanes = 4
+
+  /** Near-dup operating point (Dedup): tight buckets, random-pair collision
+    * ≈ 2.3% instead of 79%.
+    */
+  val DedupTables = 24
+  val DedupPlanes = 10
 
   /** 2^60 — the hash60 range; exact as a double. */
   private val H60Range = (1L << 60).toDouble
@@ -48,21 +65,23 @@ object HyperplaneLsh {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  /** md5-derived uniform(-1,1) hyperplanes, identical in Spark and SQL. */
+  /** md5-derived uniform(-1,1) hyperplanes, identical in Spark and SQL.
+    * Sized for the largest consumer (DedupTables × DedupPlanes).
+    */
   private lazy val planes: IndexedSeq[IndexedSeq[Double]] =
-    IndexedSeq.tabulate(Tables * PlanesPerTable)(p =>
+    IndexedSeq.tabulate(DedupTables * DedupPlanes)(p =>
       IndexedSeq.tabulate(Dim)(d => h60(s"plane:$p:$d").toDouble / H60Range * 2 - 1))
 
   /** DuckDB CTEs rebuilding the planes and each vector's L (table, bucket)
     * keys from scratch — prepend after a CTE `n(vec_id, v, nrm)` exists.
     */
-  val BucketSqlCtes: String =
+  def bucketSqlCtes(tables: Int, planesPerTable: Int): String =
     s"""planes AS (
        |  SELECT p, list(w ORDER BY d) AS pv FROM (
        |    SELECT p, d,
        |      CAST(CAST(('0x' || substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,15)) AS BIGINT) AS DOUBLE)
        |        / ${H60Range.toLong}.0 * 2 - 1 AS w
-       |    FROM (SELECT unnest(generate_series(0, ${Tables * PlanesPerTable - 1})) AS p)
+       |    FROM (SELECT unnest(generate_series(0, ${tables * planesPerTable - 1})) AS p)
        |    CROSS JOIN (SELECT unnest(generate_series(0, ${Dim - 1})) AS d))
        |  GROUP BY p),
        |dots AS (
@@ -70,17 +89,17 @@ object HyperplaneLsh {
        |    list_sum(list_transform(generate_series(1, ${Dim}), j -> n.v[j] * pl.pv[j])) AS dp
        |  FROM n CROSS JOIN planes pl),
        |bucketed AS (
-       |  SELECT vec_id, (p // ${PlanesPerTable}) AS t,
-       |    SUM(CASE WHEN dp > 0 THEN (1 << (p % ${PlanesPerTable})) ELSE 0 END) AS bucket
-       |  FROM dots GROUP BY vec_id, (p // ${PlanesPerTable}))""".stripMargin
+       |  SELECT vec_id, (p // ${planesPerTable}) AS t,
+       |    SUM(CASE WHEN dp > 0 THEN (1 << (p % ${planesPerTable})) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, (p // ${planesPerTable}))""".stripMargin
 
   private def planeCol(p: Int): Column = array(planes(p).map(lit): _*)
 
   /** Bucket id (0..2^b-1) of vector column `v` in table `t`. */
-  private def bucketBits(v: Column, t: Int): Column =
-    (0 until PlanesPerTable)
+  private def bucketBits(v: Column, t: Int, planesPerTable: Int): Column =
+    (0 until planesPerTable)
       .map { i =>
-        val p = t * PlanesPerTable + i
+        val p = t * planesPerTable + i
         when(Exprs.dot(v, planeCol(p)) > 0, lit(1 << i)).otherwise(lit(0))
       }
       .reduce(_.bitwiseOR(_))
@@ -89,9 +108,9 @@ object HyperplaneLsh {
     * `lsh_bucket`. The L bucket ids are computed in a single projection
     * (L×b codegen'd dot products) then exploded — one scan, no shuffle.
     */
-  def bucketed(df: DataFrame, v: Column): DataFrame = {
-    val entries = (0 until Tables).map { t =>
-      struct(lit(t).as("t"), bucketBits(v, t).as("bk"))
+  def bucketed(df: DataFrame, v: Column, tables: Int, planesPerTable: Int): DataFrame = {
+    val entries = (0 until tables).map { t =>
+      struct(lit(t).as("t"), bucketBits(v, t, planesPerTable).as("bk"))
     }
     df.withColumn("lsh", explode(array(entries: _*)))
       .withColumn("lsh_table", col("lsh.t"))

@@ -63,7 +63,7 @@ object Similarity {
       "sim_lsh_topk",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
-         |${HyperplaneLsh.BucketSqlCtes},
+         |${HyperplaneLsh.bucketSqlCtes(HyperplaneLsh.AnnTables, HyperplaneLsh.AnnPlanes)},
          |qc AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
          |  FROM bucketed q JOIN bucketed c
@@ -84,7 +84,7 @@ object Similarity {
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
         .withColumn("nrm", Exprs.l2norm($"v"))
-      val buckets = HyperplaneLsh.bucketed(e, $"v")
+      val buckets = HyperplaneLsh.bucketed(e, $"v", HyperplaneLsh.AnnTables, HyperplaneLsh.AnnPlanes)
         .select($"vec_id", $"lsh_table", $"lsh_bucket")
       val qb = buckets.filter($"vec_id" < 5).select(
         $"vec_id".as("query_id"), $"lsh_table", $"lsh_bucket")
