@@ -199,9 +199,10 @@ object SalesPipeline {
   }
 
   /** Run with sinks, reference lifecycle (`:59-224`): count-gated rejects
-    * CSV, per-day `daily_summary_YYYYMMDD.csv` (`;` / utf-8 / `%.2f`), and
-    * the two DB tables via [[Sinks.writeDbTable]] (Parquet fallback — no
-    * SQLite JDBC driver resolvable offline; SURVEY §7.2.3).
+    * CSV, per-day `daily_summary_YYYYMMDD.csv` plus the concatenated
+    * `daily_summary_all.csv` (`;` / utf-8 / `%.2f`), and the two DB tables
+    * via [[Sinks.writeDbTable]] (Parquet fallback — no SQLite JDBC driver
+    * resolvable offline; SURVEY §7.2.3).
     */
   def run(spark: SparkSession, config: Config): Unit = {
     val r = build(spark, config.inputDir)
@@ -217,6 +218,10 @@ object SalesPipeline {
     Sinks.writeDbTable(r.ordersClean, config.dbPath, "orders_clean")
     Sinks.writeDbTable(daily, config.dbPath, "daily_city_sales")
     Sinks.writePerDayCsv(daily, config.outputDir, config)
+    // Concatenated twin of the per-day fan-out (pandas reference
+    // `src/pandas/pipeline_pandas.py:201-202` writes agg once more as
+    // daily_summary_all.csv) — same (date, city, channel) order.
+    Sinks.writeSingleCsv(daily, s"${config.outputDir}/daily_summary_all.csv", config)
     daily.unpersist()
   }
 

@@ -99,12 +99,35 @@ class SalesPipelineSpec extends SparkSuite with Matchers {
     Sinks.deleteRecursively(new java.io.File(out))
   }
 
+  test("golden: daily_summary_all.csv = header + per-day rows concatenated in date order") {
+    val out = Files.createTempDirectory("fk-all").toString
+    val cfg = Config(fixtures, out, s"$out/sales.db")
+    SalesPipeline.run(spark, cfg)
+    val all = Files.readString(Paths.get(out, "daily_summary_all.csv"), StandardCharsets.UTF_8)
+    // byte-identical to the golden snapshot…
+    val want = Files.readString(
+      Paths.get("src/test/resources/golden/daily_summary_all.csv"), StandardCharsets.UTF_8)
+    all shouldBe want
+    // …and structurally the concatenation of the (already golden-checked)
+    // per-day files: same header, data rows in filename (= date) order.
+    val perDay = new java.io.File(out).listFiles
+      .map(_.getName)
+      .filter(n => n.startsWith("daily_summary_2"))
+      .sorted
+      .flatMap(n => Files.readString(Paths.get(out, n), StandardCharsets.UTF_8)
+        .linesIterator.toSeq.tail)
+    val allLines = all.linesIterator.toSeq
+    allLines.head shouldBe "date;city;channel;orders_count;unique_customers;items_sold;gross_revenue_eur;refunds_eur;net_revenue_eur"
+    allLines.tail shouldBe perDay.toSeq
+    Sinks.deleteRecursively(new java.io.File(out))
+  }
+
   test("per-day fan-out writes one file per distinct date, all 31 days") {
     val out = Files.createTempDirectory("fk-days").toString
     val cfg = Config(fixtures, out, s"$out/sales.db")
     SalesPipeline.run(spark, cfg)
     val files = new java.io.File(out).listFiles
-      .map(_.getName).filter(_.startsWith("daily_summary_")).sorted
+      .map(_.getName).filter(_.startsWith("daily_summary_2")).sorted
     files.length shouldBe 31
     files.head shouldBe "daily_summary_20250301.csv"
     files.last shouldBe "daily_summary_20250331.csv"
