@@ -78,8 +78,37 @@ object Sinks {
     }
   }
 
-  /** Replace-table write into the Parquet fallback "database". */
-  def writeDbTable(df: DataFrame, dbPath: String, table: String): Unit = {
+  /** True when an org.sqlite JDBC driver is on the classpath. None ships in
+    * this offline environment (probe result: Spark's jars dir carries Derby
+    * only, and the coursier cache resolves nothing else), so the probe is
+    * what makes the sink honest: drop a sqlite-jdbc jar on the classpath
+    * and [[writeDbTable]] produces the reference's literal `.db` file
+    * (`src/pyspark/pipeline_pyspark.py:197-199`, `to_sql(if_exists=
+    * "replace")`) with no code change; absent the driver it falls back to
+    * the Parquet replace-table layout.
+    */
+  lazy val sqliteAvailable: Boolean =
+    try { Class.forName("org.sqlite.JDBC"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** Replace-table write: real SQLite when a driver is present (single
+    * partition — the inputs are final driver-sized aggregates and SQLite
+    * serializes writers anyway), else the Parquet fallback "database".
+    */
+  def writeDbTable(df: DataFrame, dbPath: String, table: String): Unit =
+    if (sqliteAvailable)
+      df.coalesce(1).write.mode("overwrite")
+        .format("jdbc")
+        .option("url", s"jdbc:sqlite:$dbPath")
+        .option("driver", "org.sqlite.JDBC")
+        .option("dbtable", table)
+        .save()
+    else writeDbTableParquet(df, dbPath, table)
+
+  /** Parquet replace-table fallback layout: `<dbPath>.parquet/<table>/` plus
+    * a MANIFEST of table names.
+    */
+  def writeDbTableParquet(df: DataFrame, dbPath: String, table: String): Unit = {
     val dbDir = s"$dbPath.parquet"
     df.write.mode("overwrite").parquet(s"$dbDir/$table")
     val manifest = Paths.get(dbDir, "MANIFEST")
