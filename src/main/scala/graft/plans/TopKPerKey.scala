@@ -45,6 +45,17 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** OPERATING ENVELOPE: task memory is O(distinct keys in the task × k) rows
+  * with NO spill path — the heaps are the operator's whole point (never hold
+  * more than the answer), so the answer itself must fit in a task. That
+  * holds when keys are group-like (dates, cities, categories: answer ≪
+  * input); it breaks when keys approach row cardinality (then the "answer"
+  * IS the input and a sort-based window plan with spill support is the
+  * right tool — [[TopKPerKey.windowed]] / [[TopKPerKey.perKeyAuto]]).
+  * Rather than let that misuse manifest as an executor OOM mid-shuffle, the
+  * exec counts held rows and fails fast with an actionable message past
+  * [[TopKPerKeyExec.MaxHeldRowsPerTask]].
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -62,6 +73,7 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val childOutput = child.output
     val kk = k
+    val maxHeld = TopKPerKeyExec.MaxHeldRowsPerTask
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd row comparator, generated once per task on the executor
@@ -69,6 +81,7 @@ case class TopKPerKeyExec(
       // max-heap under `ord`: head = currently-worst of the kept k
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      var held = 0L
       iter.foreach { row =>
         val key = keyProj(row)
         val heap = heaps.getOrElse(key, {
@@ -76,8 +89,15 @@ case class TopKPerKeyExec(
           heaps.put(key.copy(), h)
           h
         })
-        if (heap.size < kk) heap += row.copy()
-        else if (ord.compare(row, heap.head) < 0) {
+        if (heap.size < kk) {
+          heap += row.copy()
+          held += 1
+          if (held > maxHeld)
+            throw new org.apache.spark.SparkException(
+              s"TopKPerKeyExec held > $maxHeld rows (keys×k) in one task — key " +
+                "cardinality is too high for the bounded-heap operator; use " +
+                "TopKPerKey.windowed (sort-based, spillable) or perKeyAuto.")
+        } else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()
           heap += row.copy()
         }
@@ -89,6 +109,13 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Fail-fast ceiling on rows held per task (≈ a few hundred MB of typical
+    * rows — far below executor memory, far above any sane per-key answer).
+    */
+  val MaxHeldRowsPerTask: Long = 8L << 20
 }
 
 object TopKPerKey {
@@ -116,5 +143,49 @@ object TopKPerKey {
       order.map { case (n, asc) => SortOrder(attr(n), if (asc) Ascending else Descending) },
       k, analyzed)
     org.apache.spark.sql.graftbridge.Bridge.ofRows(df, node)
+  }
+
+  /** The composable sort-based formulation of the same semantics
+    * (row_number window then filter, rank not materialized) — O(n log n)
+    * per partition but SPILLABLE, so it has no key-cardinality envelope.
+    * The fallback target when [[perKey]]'s bounded heaps don't fit.
+    */
+  def windowed(
+      df: DataFrame,
+      keyNames: Seq[String],
+      order: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val cols = order.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(cols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Chooses the plan by the envelope: estimates distinct keys with one
+    * cheap HLL pass over the key columns; if the estimated held rows per
+    * task (keys×k / shuffle partitions) exceed `maxHeldRowsPerTask`, the
+    * answer doesn't fit bounded heaps and the spillable window plan is
+    * used; otherwise the heap operator. The estimate pass scans only the
+    * key columns (column-pruned at the source).
+    */
+  def perKeyAuto(
+      df: DataFrame,
+      keyNames: Seq[String],
+      order: Seq[(String, Boolean)],
+      k: Int,
+      maxHeldRowsPerTask: Long = TopKPerKeyExec.MaxHeldRowsPerTask): DataFrame = {
+    import org.apache.spark.sql.functions.approx_count_distinct
+    val estKeys = df
+      .agg(approx_count_distinct(
+        org.apache.spark.sql.functions.struct(
+          keyNames.map(org.apache.spark.sql.functions.col): _*)).as("n"))
+      .collect().head.getLong(0)
+    val tasks = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    if (estKeys.toDouble * k / tasks > maxHeldRowsPerTask.toDouble)
+      windowed(df, keyNames, order, k)
+    else perKey(df, keyNames, order, k)
   }
 }

@@ -43,6 +43,28 @@ class TopKSpec extends SparkSuite with Matchers {
     windowForm.exceptAll(topk).count() shouldBe 0
   }
 
+  test("envelope: perKeyAuto picks heaps for group-like keys, window for row-like keys") {
+    val df = graft.Tables.lineitem(spark, dir)
+    val order = Seq("l_extendedprice" -> false, "l_orderkey" -> true,
+      "l_linenumber" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+      "l_quantity" -> true, "l_shipdate" -> true)
+    // group-like (a handful of keys): the bounded-heap operator
+    val auto = TopKPerKey.perKeyAuto(df, Seq("l_returnflag", "l_linestatus"), order, 3)
+    auto.queryExecution.executedPlan.toString should include("TopKPerKey")
+    // row-like keys (cardinality ≈ rows): answer ≈ input doesn't fit heaps —
+    // a tiny budget forces the documented fallback to the spillable window plan
+    val fb = TopKPerKey.perKeyAuto(df, Seq("l_orderkey", "l_linenumber"),
+      Seq("l_extendedprice" -> false), 3, maxHeldRowsPerTask = 10)
+    val fbPlan = fb.queryExecution.executedPlan.toString
+    (fbPlan should not).include("TopKPerKey")
+    fbPlan should include("Window")
+    // and both formulations agree on the same input
+    val a = TopKPerKey.perKey(df, Seq("l_returnflag", "l_linestatus"), order, 3)
+    val b = TopKPerKey.windowed(df, Seq("l_returnflag", "l_linestatus"), order, 3)
+    a.exceptAll(b).count() shouldBe 0
+    b.exceptAll(a).count() shouldBe 0
+  }
+
   test("emits each key's rows in ascending rank order within the operator output") {
     import spark.implicits._
     // without any downstream sort, rows of one key must already be ranked
