@@ -75,7 +75,9 @@ object Bench {
     val qs = obj(results.map(r => r._1 -> r._2))
     val qsNoSort = obj(results.map(r => r._1 -> r._3))
     val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val contaminated = results.filter(r => r._2 > 3 * r._3)
+    // sub-second queries swing >3× on pure scheduling noise — only flag
+    // rows where the absolute gap could matter
+    val contaminated = results.filter(r => r._2 > 3 * r._3 && r._2 > 1.0)
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val detail =
