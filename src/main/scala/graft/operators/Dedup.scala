@@ -598,6 +598,59 @@ object Dedup {
           levenshtein($"a.p_name", $"b.p_name").cast("long").as("dist"))
         .filter($"dist" <= 2)
         .orderBy($"name_a", $"name_b")
+    },
+
+    // Span-level duplication scoring (the exact-substring-dedup family of
+    // RefinedWeb/CCNet adapted to span granularity): a doc's word 8-grams
+    // are checked against their corpus-wide DOCUMENT FREQUENCY; grams shared
+    // with ≥1 other doc are boilerplate/duplication signal, and docs past
+    // 50% duplicated grams are dropped. Scale: only 16-byte md5 gram keys
+    // shuffle (never text); df rollup and per-doc rollup are both partial-
+    // aggregated; keep-decision is integer arithmetic (no float compare).
+    sqlChecked(
+      "dd_span_dup",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                w -> w <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(w)-7),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
+        |    FROM toks WHERE len(w) >= 8)),
+        |freq AS (SELECT shingle, count(*) AS docs FROM sh GROUP BY shingle),
+        |per AS (
+        |  SELECT sh.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN freq.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM sh JOIN freq USING (shingle) GROUP BY sh.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, 0) AS n_grams, coalesce(n_dup, 0) AS n_dup,
+        |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+        |       ELSE round(coalesce(n_dup, 0) / CAST(n_grams AS DOUBLE), 6) END AS dup_ratio,
+        |  (coalesce(n_grams, 0) = 0 OR coalesce(n_dup, 0) * 2 < n_grams) AS keep
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = docShinglesOf(s, Tables.documents(s, dir), 8)
+        .select($"doc_id", md5($"shingle").as("g"))
+      val freq = sh.groupBy($"g").agg(count(lit(1)).as("docs"))
+      val per = sh.join(freq, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"docs" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      Tables.documents(s, dir).select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .withColumn("dup_ratio",
+          when($"n_grams" === 0, 0.0)
+            .otherwise(round($"n_dup".cast("double") / $"n_grams".cast("double"), 6)))
+        .withColumn("keep", $"n_grams" === 0 || $"n_dup" * 2 < $"n_grams")
+        .orderBy($"doc_id")
     }
   )
 }

@@ -383,6 +383,114 @@ object TextAnalysis {
           length($"scrubbed").cast("long").as("scrubbed_len"),
           md5($"scrubbed").as("scrub_fp"))
         .orderBy($"doc_id")
+    },
+
+    // Benchmark decontamination — the pre-training hygiene step that keeps
+    // eval data out of the training set: any training doc sharing a word
+    // 8-gram with the benchmark set is flagged (the n-gram-overlap
+    // technique used for public-benchmark contamination audits). The
+    // "benchmark" here is the deterministic doc_id % 97 == 0 slice standing
+    // in for an eval suite; because the synthetic corpus happens to share
+    // no natural 8-grams with that slice, a canary phrase is planted into
+    // the benchmark docs AND into the doc_id % 31 == 5 "leaked" docs (in
+    // BOTH engines) so the check is non-vacuous — exactly how canary
+    // strings are used to audit real pipelines. Scale: the benchmark gram
+    // set is small by construction — it BROADCASTS; the corpus side
+    // explodes grams in-stage and partial-aggregates per doc; the corpus
+    // never shuffles its text.
+    sqlChecked(
+      "ta_decontam",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 5
+        |         THEN text || ' graftbench canary alpha beta gamma delta epsilon zeta'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                w -> w <> '') AS w
+        |  FROM planted),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(w)-7),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
+        |    FROM toks WHERE len(w) >= 8)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bench USING (shingle)
+        |  WHERE doc_id % 97 <> 0
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+        |  coalesce(n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planted = Tables.documents(s, dir)
+        .select($"doc_id",
+          when($"doc_id" % 97 === 0 || $"doc_id" % 31 === 5,
+            concat($"text",
+              lit(" graftbench canary alpha beta gamma delta epsilon zeta")))
+            .otherwise($"text").as("text"))
+      val sh = Dedup.docShinglesOf(s, planted, 8)
+      val bench = sh.filter($"doc_id" % 97 === 0).select($"shingle").distinct()
+      val hits = sh.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+      Tables.documents(s, dir).select($"doc_id")
+        .filter($"doc_id" % 97 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"))
+        .withColumn("contaminated", $"n_hits" >= 1)
+        .orderBy($"doc_id")
+    },
+
+    // Sequence packing (concat-and-chop) — the step that turns a cleaned
+    // corpus into fixed-budget training sequences: docs are concatenated in
+    // deterministic order within a hash shard and chopped every 512 tokens;
+    // each doc reports the pack range it lands in. Pure window arithmetic —
+    // per-shard cumulative token offsets — so packing is reproducible under
+    // any partitioning. Scale: shards are independent (one window per
+    // shard, no global order), the 100 TB layout is one writer per shard.
+    sqlChecked(
+      "ta_seq_pack",
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |         w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM toks)
+        |SELECT doc_id, shard, n_tokens,
+        |  (cum - n_tokens) // 512 AS pack_first,
+        |  CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+        |       ELSE (cum - 1) // 512 END AS pack_last,
+        |  CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+        |       ELSE (cum - 1) // 512 END - (cum - n_tokens) // 512 + 1 AS n_packs
+        |FROM cum ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"doc_id", ($"doc_id" % 8).as("shard"),
+          Exprs.tokenCount(Exprs.normText($"text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"shard", $"n_tokens",
+          expr("(cum - n_tokens) div 512").as("pack_first"),
+          when($"n_tokens" === 0, expr("(cum - n_tokens) div 512"))
+            .otherwise(expr("(cum - 1) div 512")).as("pack_last"))
+        .withColumn("n_packs", $"pack_last" - $"pack_first" + 1)
+        .orderBy($"doc_id")
     }
   )
 }
