@@ -30,6 +30,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // nosort is a secondary diagnostic (sort-contamination signal + the
+    // ratio table's numerator); one pass by default keeps the full-suite
+    // wall-clock near the pre-median protocol (3+3 passes ran ~12 min).
+    val nosortRuns = sys.env.getOrElse("SPARK_GRAFT_NOSORT_RUNS", "1").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,11 +68,11 @@ object Bench {
     val results = defs.map { d =>
       val sortedRuns = (1 to runs).map(_ => timed(
         d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
-      val nosortRuns = (1 to runs).map(_ => timed(
+      val nosortRuns0 = (1 to nosortRuns).map(_ => timed(
         org.apache.spark.sql.graftbridge.Bridge.stripTopSort(d.fn(spark, sfDir))
           .write.format("noop").mode("overwrite").save()))
-      val ok = sortedRuns.forall(_._2) && nosortRuns.forall(_._2)
-      (d.name, median(sortedRuns.map(_._1)), median(nosortRuns.map(_._1)), ok)
+      val ok = sortedRuns.forall(_._2) && nosortRuns0.forall(_._2)
+      (d.name, median(sortedRuns.map(_._1)), median(nosortRuns0.map(_._1)), ok)
     }
     def obj(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
