@@ -491,6 +491,140 @@ object TextAnalysis {
             .otherwise(expr("(cum - 1) div 512")).as("pack_last"))
         .withColumn("n_packs", $"pack_last" - $"pack_first" + 1)
         .orderBy($"doc_id")
+    },
+
+    // The WHOLE curation pipeline composed end-to-end — what a training-data
+    // run actually executes, as one oracle-checked query: language-id +
+    // quality score + span-dup keep-rule + benchmark decontamination gate
+    // the corpus, survivors get packed into 512-token sequences. Each stage
+    // is the already-verified operator (the Spark side literally reuses the
+    // other QueryDefs); the oracle composes the same CTE fragments. Scale:
+    // the stages share the documents scan per Catalyst's plan reuse, the
+    // gram/profile sides broadcast or shuffle 16-byte keys, and packing
+    // windows stay per-shard — no stage introduces a new all-pairs or
+    // global-order step.
+    sqlChecked(
+      "ta_pipeline_e2e",
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+         |                w -> w <> '') AS w
+         |  FROM documents),
+         |quality AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    round(0.4 * (1.0 - punct_ratio) + 0.3 * stop_ratio
+         |          + 0.3 * least(1.0, len(w) / 100.0), 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, w,
+         |      CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+         |                      / CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+         |      CASE WHEN len(w) = 0 THEN 0.0
+         |           ELSE round(len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it')))
+         |                      / CAST(len(w) AS DOUBLE), 6) END AS stop_ratio
+         |    FROM toks)),
+         |ldocs AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |ltg AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, length(norm) - 1),
+         |                i -> substr(norm, CAST(i AS INTEGER), 3))) AS tg
+         |  FROM ldocs WHERE length(norm) >= 3),
+         |prof AS (SELECT * FROM read_parquet('$LangIdProfileGlob') WHERE trigram <> '__OOV__'),
+         |oov AS (SELECT w_en AS o_en, w_fr AS o_fr, w_de AS o_de, w_es AS o_es
+         |        FROM read_parquet('$LangIdProfileGlob') WHERE trigram = '__OOV__'),
+         |lscores AS (
+         |  SELECT doc_id,
+         |    CAST(sum(coalesce(w_en, o_en)) AS BIGINT) AS s_en,
+         |    CAST(sum(coalesce(w_fr, o_fr)) AS BIGINT) AS s_fr,
+         |    CAST(sum(coalesce(w_de, o_de)) AS BIGINT) AS s_de,
+         |    CAST(sum(coalesce(w_es, o_es)) AS BIGINT) AS s_es,
+         |    count(*) AS n_tg
+         |  FROM ltg LEFT JOIN prof ON ltg.tg = prof.trigram CROSS JOIN oov
+         |  GROUP BY doc_id),
+         |lang AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN s.n_tg IS NULL THEN 'und'
+         |         WHEN s_en <= s_fr AND s_en <= s_de AND s_en <= s_es THEN 'en'
+         |         WHEN s_fr <= s_de AND s_fr <= s_es THEN 'fr'
+         |         WHEN s_de <= s_es THEN 'de' ELSE 'es' END AS lang_detected
+         |  FROM ldocs d LEFT JOIN lscores s USING (doc_id)),
+         |sh8 AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(w)-7),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
+         |    FROM toks WHERE len(w) >= 8)),
+         |freq AS (SELECT shingle, count(*) AS docs FROM sh8 GROUP BY shingle),
+         |per AS (
+         |  SELECT sh8.doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN freq.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM sh8 JOIN freq USING (shingle) GROUP BY sh8.doc_id),
+         |planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 5
+         |         THEN text || ' graftbench canary alpha beta gamma delta epsilon zeta'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |ptoks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+         |                w -> w <> '') AS w
+         |  FROM planted),
+         |psh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(w)-7),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
+         |    FROM ptoks WHERE len(w) >= 8)),
+         |bench AS (SELECT DISTINCT shingle FROM psh WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_hits
+         |  FROM psh JOIN bench USING (shingle)
+         |  WHERE doc_id % 97 <> 0
+         |  GROUP BY doc_id),
+         |survivors AS (
+         |  SELECT q.doc_id, q.n_tokens, q.quality, l.lang_detected,
+         |    CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+         |         ELSE round(per.n_dup / CAST(per.n_grams AS DOUBLE), 6) END AS dup_ratio
+         |  FROM quality q
+         |  JOIN lang l USING (doc_id)
+         |  LEFT JOIN per USING (doc_id)
+         |  LEFT JOIN hits USING (doc_id)
+         |  WHERE q.doc_id % 97 <> 0
+         |    AND q.quality >= 0.4
+         |    AND (coalesce(per.n_grams, 0) = 0 OR coalesce(per.n_dup, 0) * 2 < per.n_grams)
+         |    AND coalesce(hits.n_hits, 0) = 0),
+         |packed AS (
+         |  SELECT doc_id, lang_detected, quality, dup_ratio, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM survivors)
+         |SELECT doc_id, lang_detected, quality, dup_ratio, n_tokens,
+         |  (cum - n_tokens) // 512 AS pack_first
+         |FROM packed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def byName(ds: Seq[graft.QueryDef], n: String) = ds.find(_.name == n).get.fn(s, dir)
+      val quality = byName(defs, "ta_quality").select($"doc_id", $"n_tokens", $"quality")
+      val lang = detectLang(s, Tables.documents(s, dir)).select($"doc_id", $"lang_detected")
+      val span = byName(Dedup.defs, "dd_span_dup").select($"doc_id", $"dup_ratio", $"keep")
+      val dec = byName(defs, "ta_decontam").select($"doc_id", $"contaminated")
+      val survivors = quality
+        .join(lang, "doc_id")
+        .join(span, "doc_id")
+        .join(dec, "doc_id") // inner: decontam output already excludes the benchmark slice
+        .filter($"quality" >= 0.4 && $"keep" && !$"contaminated")
+      val w = Window.partitionBy($"doc_id" % 8).orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      survivors
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"lang_detected", $"quality", $"dup_ratio", $"n_tokens",
+          expr("(cum - n_tokens) div 512").as("pack_first"))
+        .orderBy($"doc_id")
     }
   )
 }

@@ -36,6 +36,17 @@ class PipelineOpsSpec extends SparkSuite with Matchers {
     byId.count(!_._2) should be > (byId.size / 2)
   }
 
+  test("plan shapes: decontam broadcasts the benchmark grams; span_dup joins hashed keys only") {
+    val decontam = graft.SparkEntry.queries("ta_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    decontam should include("BroadcastHashJoin") // bench gram set broadcasts
+    (decontam should not).include("CartesianProduct")
+    val spanDup = graft.SparkEntry.queries("dd_span_dup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    (spanDup should not).include("CartesianProduct")
+    (spanDup should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("ta_seq_pack: per-shard contiguity and budget arithmetic") {
     val rows = graft.SparkEntry.queries("ta_seq_pack")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
