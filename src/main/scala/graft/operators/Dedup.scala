@@ -634,10 +634,14 @@ object Dedup {
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = docShinglesOf(s, Tables.documents(s, dir), 8)
+      // document frequency via count-over-window on the gram key: ONE
+      // exchange on g and one scan of the gram set (a groupBy+join-back
+      // formulation computes the exploded grams twice — column pruning
+      // makes the two subtrees differ, so ReuseExchange can't kick in)
+      val wdf = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+      val per = docShinglesOf(s, Tables.documents(s, dir), 8)
         .select($"doc_id", md5($"shingle").as("g"))
-      val freq = sh.groupBy($"g").agg(count(lit(1)).as("docs"))
-      val per = sh.join(freq, "g")
+        .withColumn("docs", count(lit(1)).over(wdf))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when($"docs" >= 2, 1L).otherwise(0L)).as("n_dup"))
