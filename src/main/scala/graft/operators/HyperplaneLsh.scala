@@ -107,6 +107,13 @@ object HyperplaneLsh {
   /** One row per (input row × table): columns of `df` + `lsh_table`,
     * `lsh_bucket`. The L bucket ids are computed in a single projection
     * (L×b codegen'd dot products) then exploded — one scan, no shuffle.
+    *
+    * At the dedup operating point the fused projection holds 240 64-dim dot
+    * products; Janino occasionally refuses the generated method (observed
+    * once under ScaleSmoke) and Spark falls back to interpreted evaluation
+    * for that stage — correctness unaffected, logged as
+    * InternalCompilerException WARN, and the bucketing stage stays a small
+    * fraction of query time either way.
     */
   def bucketed(df: DataFrame, v: Column, tables: Int, planesPerTable: Int): DataFrame = {
     val entries = (0 until tables).map { t =>
