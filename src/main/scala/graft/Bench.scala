@@ -21,6 +21,13 @@ package graft
   *  - "load_contaminated" lists queries whose sorted median exceeds 3× the
   *    nosort median — the top sort on an oracle-sized result never honestly
   *    costs 3× the query, so such a row means external load hit those runs.
+  *  - CROSS-ROUND GUARD (VERDICT r06 #1/#5): "regressed_vs_prev" lists
+  *    queries whose sorted median exceeds 3× the previous full-suite run's
+  *    median (bench_prev.json, committed) and is over 1 s — the r06 judge
+  *    found four >3× swings with zero source change that the within-run
+  *    flag missed (it only sees sorted-vs-nosort, so a uniform slowdown is
+  *    invisible to it). A full unfiltered run refreshes bench_prev.json so
+  *    the next round compares against this one.
   *
   * SPARK_GRAFT_ONLY=name1,name2 filters to a subset (local iteration only —
   * the driver runs unfiltered).
@@ -35,10 +42,19 @@ object Bench {
     // wall-clock near the pre-median protocol (3+3 passes ran ~12 min).
     val nosortRuns = sys.env.getOrElse("SPARK_GRAFT_NOSORT_RUNS", "1").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Bench-scale shuffle width (VERDICT r06 #2). sf0.1 is ~600 k rows —
+    // nobody sizes 32 reducers for that; the 8 floor-bound headline queries
+    // were paying 32-way task launch per Exchange on sub-second data. The
+    // bench session therefore defaults to a small-data width (8) and RECORDS
+    // it in the output ("shuffle_partitions"); the 100 TB config — the
+    // SparkEntry/Verify sessions and every plan-shape spec — keeps the wide
+    // default. Override with SPARK_GRAFT_SHUFFLE=32 to reproduce the old
+    // basis.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -83,9 +99,23 @@ object Bench {
     // rows where the absolute gap could matter
     val contaminated = results.filter(r => r._2 > 3 * r._3 && r._2 > 1.0)
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // Cross-round guard: previous full-suite medians live in bench_prev.json
+    // ("queries":{"name":sec,...}); flag >3× round-over-round moves above 1 s.
+    val prevPath = java.nio.file.Paths.get("bench_prev.json")
+    val prevMedians: Map[String, Double] =
+      if (java.nio.file.Files.exists(prevPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .filter(m => m.group(1) != "round" && m.group(1) != "runs" && m.group(1) != "sf")
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val regressed = results
+      .filter(r => prevMedians.get(r._1).exists(p => r._2 > 3 * p && r._2 > 1.0))
+      .map(r => "\"" + r._1 + "\":" + f"${r._2 / prevMedians(r._1)}%.1f")
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val detail =
-      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"queries_nosort":$qsNoSort,"load_contaminated":$contaminated,"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","runs":$runs,"shuffle_partitions":$shuffle,"queries":$qs,"queries_nosort":$qsNoSort,"load_contaminated":$contaminated,"regressed_vs_prev":$regressed,"failed":$failed,"sf":"$sfDir"}"""
     // Full per-query detail goes to a file plus an early stdout line; the
     // FINAL stdout line is kept compact (headline queries only) so it fits
     // entirely inside the harness's bounded output-tail capture. A 3.5 kB
@@ -93,6 +123,11 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
+    // A full (unfiltered) run becomes the next round's comparison basis.
+    if (only.isEmpty && results.forall(_._4)) {
+      val prevJson = "{\"runs\":" + runs + ",\"sf\":\"" + sfDir + "\",\"queries\":" + qs + "}"
+      java.nio.file.Files.write(prevPath, (prevJson + "\n").getBytes("UTF-8"))
+    }
     println(detail)
     val headline = Seq(
       "q01_pricing_summary", "q04_leftjoin_nullfill", "q05_window_dedup",
@@ -101,7 +136,7 @@ object Bench {
     val byName = results.map(r => r._1 -> r._2).toMap
     val qsHead = obj(headline.flatMap(n => byName.get(n).map(n -> _)))
     println(
-      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","n_queries":${results.size},"runs":$runs,"queries":$qsHead,"load_contaminated":$contaminated,"failed":$failed,"sf":"$sfDir","detail":"bench_detail.json"}""")
+      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","n_queries":${results.size},"runs":$runs,"shuffle_partitions":$shuffle,"queries":$qsHead,"load_contaminated":$contaminated,"regressed_vs_prev":$regressed,"failed":$failed,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
     if (results.exists(!_._4)) sys.exit(1)
   }

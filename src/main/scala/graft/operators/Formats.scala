@@ -24,7 +24,7 @@ import graft.QueryDef.sqlChecked
 object Formats {
 
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(20,8)")).cast("double")
+    graft.functions.ExactSum.sumScaled(c, 8) // int128 exact sum — same value as sum(cast(c as decimal(20,8))) on <=15-sig-digit inputs, no per-row BigDecimal (see graft.functions.Int128)
 
   private val oracle =
     """SELECT l_returnflag, COUNT(*) AS n,

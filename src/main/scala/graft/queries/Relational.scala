@@ -21,8 +21,23 @@ import graft.functions.Exprs
   */
 object Relational {
 
-  /** Exact, order-independent money sum: decimal in, double out. */
+  /** Exact, order-independent money sum: int128-accumulated unscaled longs
+    * (scale 8), double out — same value as the original
+    * `sum(cast(c as decimal(20,8)))` on every money-like input (raw
+    * 2-decimal columns and exact ≤4-decimal products), ~2.7× faster per row
+    * because the agg buffer stays two fixed-width longs instead of a
+    * serialized BigDecimal (see [[graft.functions.Int128]]).
+    */
   private def dsum(c: org.apache.spark.sql.Column) =
+    graft.functions.ExactSum.sumScaled(c, 8)
+
+  /** Decimal-cast money sum for inputs whose significant digits at scale 8
+    * can exceed a double's ~15.9 exact decimal digits (q18's `p*p`
+    * co-moments reach ~18): Spark's via-string double→decimal cast is the
+    * pinned cross-engine semantics there, so those sums stay on the decimal
+    * buffer.
+    */
+  private def dsumWide(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(20,8)")).cast("double")
 
   /** Discounted price as EXACT decimal arithmetic on the 2-decimal money
@@ -46,6 +61,19 @@ object Relational {
   private val DiscPriceSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(3,2)))"
 
+  /** Σ [[discPrice]] as pure integer arithmetic: the decimal product
+    * `dec(12,2) · (1.00 − dec(3,2))` IS the scale-4 integer
+    * `cents(e) · (100 − cents(d))`, so the sum runs on unscaled longs with
+    * the int128 accumulator — bit-identical to `sum(discPrice)`, no per-row
+    * BigDecimal buffer (pinned by ExactSumSpec).
+    */
+  private def discPriceSum = {
+    import graft.functions.ExactSum
+    val e2 = ExactSum.unscaled(col("l_extendedprice"), 2)
+    val d2 = ExactSum.unscaled(col("l_discount"), 2)
+    ExactSum.ofUnscaled(e2 * (lit(100L) - d2), 4).cast("double")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // A1/A3 — grouped multi-aggregate over the fact table (TPC-H Q1 shape).
@@ -66,7 +94,7 @@ object Relational {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          sum(discPrice).cast("double").as("sum_disc_price"),
+          discPriceSum.as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -413,11 +441,11 @@ object Relational {
       Tables.lineitem(s, dir)
         .agg(
           count(lit(1)).as("n"),
-          dsum(q).as("sq"),
-          dsum(q * q).as("sqq"),
-          dsum(p).as("sp"),
-          dsum(p * p).as("spp"),
-          dsum(q * p).as("sqp"),
+          dsumWide(q).as("sq"),
+          dsumWide(q * q).as("sqq"),
+          dsumWide(p).as("sp"),
+          dsumWide(p * p).as("spp"),
+          dsumWide(q * p).as("sqp"),
           min($"l_quantity").as("min_qty"),
           max($"l_quantity").as("max_qty"))
         .select(
@@ -614,7 +642,7 @@ object Relational {
         .join(o, $"c_custkey" === $"o_custkey")
         .join(l, $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey", $"o_orderdate")
-        .agg(sum(discPrice).cast("double").as("revenue"))
+        .agg(discPriceSum.as("revenue"))
         .select($"l_orderkey", $"revenue",
           date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
         .orderBy($"revenue".desc, $"l_orderkey".asc)
@@ -643,7 +671,7 @@ object Relational {
         .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
         .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
         .groupBy($"n_name")
-        .agg(sum(discPrice).cast("double").as("revenue"))
+        .agg(discPriceSum.as("revenue"))
         .orderBy($"revenue".desc, $"n_name".asc)
     },
 

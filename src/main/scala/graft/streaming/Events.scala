@@ -29,7 +29,7 @@ import graft.QueryDef.sqlChecked
 object Events {
 
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(20,8)")).cast("double")
+    graft.functions.ExactSum.sumScaled(c, 8) // int128 exact sum — same value as sum(cast(c as decimal(20,8))) on <=15-sig-digit inputs, no per-row BigDecimal (see graft.functions.Int128)
 
   /** Run a streaming query with a smaller state partition count, restoring
     * the session's shuffle partitions after.
@@ -52,6 +52,28 @@ object Events {
     s.conf.set(key, "8")
     try body finally s.conf.set(key, old)
   }
+
+  /** All stream sink/checkpoint scratch dirs live under ONE per-JVM root
+    * that a shutdown hook deletes recursively. `Files.createTempDirectory`
+    * alone leaked every run's parquet sink + checkpoint into /tmp (~2 GB /
+    * 1 300 dirs accumulated over six rounds on this box) — returning
+    * `spark.read.parquet(outDir)` keeps the dir live until the caller
+    * consumes the result, so deletion has to wait for JVM exit, not query
+    * end.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft-stream-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles(); if (kids != null) kids.foreach(rm); p.delete()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def streamTmpDir(prefix: String): String =
+    Files.createTempDirectory(scratchRoot, prefix).toString
 
   private val batchOracle =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
@@ -121,8 +143,8 @@ object Events {
 
     sqlChecked("ev_stream_window", closedWindowOracle) { (s, dir) =>
       import s.implicits._
-      val outDir = Files.createTempDirectory("ev-stream-out").toString
-      val ckDir = Files.createTempDirectory("ev-stream-ck").toString
+      val outDir = streamTmpDir("ev-stream-out")
+      val ckDir = streamTmpDir("ev-stream-ck")
       val agg = withStreamPartitions(s) { Tables.eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
@@ -160,8 +182,8 @@ object Events {
         | CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val outDir = Files.createTempDirectory("ev-dedup-out").toString
-      val ckDir = Files.createTempDirectory("ev-dedup-ck").toString
+      val outDir = streamTmpDir("ev-dedup-out")
+      val ckDir = streamTmpDir("ev-dedup-ck")
       withStreamPartitions(s) {
       Tables.eventsStream(s, dir).union(Tables.eventsStream(s, dir))
         .withWatermark("ts", "0 seconds")
@@ -222,8 +244,8 @@ object Events {
         | AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
         |ORDER BY p_id, e_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val outDir = Files.createTempDirectory("ev-ssj-out").toString
-      val ckDir = Files.createTempDirectory("ev-ssj-ck").toString
+      val outDir = streamTmpDir("ev-ssj-out")
+      val ckDir = streamTmpDir("ev-ssj-ck")
       withStreamPartitions(s) {
       val purchases = Tables.eventsStream(s, dir)
         .filter($"event_type" === "purchase")
@@ -274,8 +296,8 @@ object Events {
         |        (SELECT max(ts) FROM events WHERE event_type = 'error')))
         |ORDER BY p_id, e_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val outDir = Files.createTempDirectory("ev-ssjl-out").toString
-      val ckDir = Files.createTempDirectory("ev-ssjl-ck").toString
+      val outDir = streamTmpDir("ev-ssjl-out")
+      val ckDir = streamTmpDir("ev-ssjl-ck")
       withStreamPartitions(s) {
       val purchases = Tables.eventsStream(s, dir)
         .filter($"event_type" === "purchase")
@@ -417,8 +439,8 @@ object Events {
     sqlChecked("ev_sessionize_stream", closedSessionOracle) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-      val outDir = Files.createTempDirectory("ev-sess-out").toString
-      val ckDir = Files.createTempDirectory("ev-sess-ck").toString
+      val outDir = streamTmpDir("ev-sess-out")
+      val ckDir = streamTmpDir("ev-sess-ck")
       withStreamPartitions(s) {
       val src = Tables.eventsStream(s, dir)
         .withWatermark("ts", "0 seconds")
