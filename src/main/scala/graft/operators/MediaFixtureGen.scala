@@ -38,5 +38,67 @@ object MediaFixtureGen {
       ImageIO.write(img, "png", outDir.resolve(f"img_$i%04d.png").toFile)
     }
     println(s"wrote 48 png fixtures to $outDir")
+
+    writeGifs(outDir)
+  }
+
+  /** 64-level gray palette, value = index*4 — encode→decode is pixel-exact
+    * because the GIF color table IS this palette (no quantization), which is
+    * what lets the mm_framesample oracle recompute the decoded-pixel hash
+    * from the generator formula below.
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(64)(v => (v * 4).toByte)
+    new java.awt.image.IndexColorModel(6, 64, ramp, ramp, ramp)
+  }
+
+  /** The per-pixel value formula shared verbatim with the DuckDB oracle:
+    * v(x, y, frame, doc) = (x*31 + y*17 + frame*7 + doc*13) % 64.
+    */
+  def pixelValue(x: Int, y: Int, frame: Int, doc: Int): Int =
+    (x * 31 + y * 17 + frame * 7 + doc * 13) % 64
+
+  /** Animated multi-frame GIFs for the REAL frame-sample stage: 12 files,
+    * 3–26 frames each, every frame full-screen with an explicit Graphic
+    * Control Extension (so the oracle's frame count = byte-aligned GCE
+    * signature count is exact on this corpus — pinned against
+    * `ImageReader.getNumImages` by MultimodalSpec).
+    */
+  def writeGifs(outDir: java.nio.file.Path): Unit = {
+    import javax.imageio.{IIOImage, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    for (d <- 0 until 12) {
+      val w = 10 + (d * 7) % 23
+      val h = 8 + (d * 5) % 17
+      val nFrames = 3 + (d * 9) % 24
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(
+        outDir.resolve(f"vid_$d%04d.gif").toFile)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until nFrames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        for (x <- 0 until w; y <- 0 until h)
+          raster.setSample(x, y, 0, pixelValue(x, y, f, d))
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+    }
+    println(s"wrote 12 animated gif fixtures to $outDir")
   }
 }

@@ -19,11 +19,10 @@ final case class DecodedMedia(
 final case class ResizedMedia(
     doc_id: Long, width: Long, height: Long, scale_num: Long, scale_den: Long)
 
-/** One sampled "frame" of a (stubbed) video payload. */
-final case class SampledFrame(doc_id: Long, frame_idx: Long, frame_hash: Long)
-
-/** Input row for the frame-sample stub stage. */
-final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
+/** One sampled, fully decoded frame of a multi-frame (animated GIF) file. */
+final case class SampledFrame(
+    doc_id: Long, frame_idx: Long, n_frames: Long,
+    width: Long, height: Long, pix_hash: Long)
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded via a per-partition batch function.
@@ -37,9 +36,12 @@ final case class MediaRow(doc_id: Long, payload: Array[Byte], format: String)
   * SQL — the decode is checked against the file-format spec, not against
   * itself.
   *
-  * mm_framesample remains a clearly-marked deterministic stub: the JDK ships
-  * no video codec, so the generator shape (one row → many frame rows inside
-  * the stage) is the tested part.
+  * mm_framesample is a REAL multi-frame decode as of round 7: committed
+  * animated GIF fixtures (`ImageIO` reads every frame of an animated GIF —
+  * the one multi-frame container the pure JDK can decode), every 8th frame
+  * decoded and pixel-hashed; the oracle re-derives screen geometry, frame
+  * count and the pixel hash from the raw bytes + the generator contract in
+  * SQL.
   *
   * Scale: decode is embarrassingly parallel; no shuffle until the final
   * presentation sort. Partition sizing (`files.maxPartitionBytes` for big
@@ -144,30 +146,89 @@ object Multimodal {
         .orderBy($"doc_id")
     },
 
-    // Frame sampling: each payload is a "video" of byte_len/100 frames;
-    // every 8th frame is emitted with a deterministic stub frame hash (the
-    // JDK has no video codec — the generator shape is the tested part).
-    // Generator shape: flatMap inside mapPartitions (one input row → many
-    // frame rows) — the row-explosion stays inside the stage, nothing
-    // materializes per-executor beyond the iterator.
+    // REAL frame sampling over multi-frame media: committed animated GIFs
+    // ([[MediaFixtureGen.writeGifs]]) through binaryFile →
+    // `ImageReader.getNumImages(true)` + `read(i)` for every 8th frame —
+    // an actual multi-frame decode, not arithmetic on byte length (the r06
+    // stub). The per-frame pixel hash is computed from the DECODED raster;
+    // the oracle re-derives everything from the committed bytes and the
+    // generator contract independently of javax.imageio:
+    //  - width/height from the GIF logical-screen-descriptor bytes (LE16 at
+    //    offsets 6-9 — the IHDR pattern of mm_decode);
+    //  - n_frames by counting byte-aligned Graphic Control Extension
+    //    introducers (21 F9 04) in the hex dump — exact on this corpus
+    //    because the generator writes one explicit GCE per frame
+    //    (FrameCount agreement with the decoder is pinned by
+    //    MultimodalSpec, so LZW-collision false positives can't go stale
+    //    silently);
+    //  - pix_hash by re-evaluating the generator's pixel formula
+    //    v = (x·31 + y·17 + f·7 + doc·13) % 64 in SQL — the 64-gray
+    //    indexed palette makes encode→decode pixel-exact, so a decoder that
+    //    returned wrong rasters would hash-mismatch.
+    // Generator shape: flatMap inside mapPartitions (one file row → many
+    // frame rows, decode amortized per partition); embarrassingly parallel,
+    // no shuffle before the presentation sort — at 100 TB of video this is
+    // the mapInPandas batch-decode shape with a real codec behind it.
     sqlChecked(
       "mm_framesample",
-      """SELECT doc_id, frame_idx, (strlen(text) * 31 + frame_idx * 7919) % 1000000007 AS frame_hash
-        |FROM (SELECT doc_id, text, unnest(range(0, strlen(text) // 100, 8)) AS frame_idx
-        |      FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      s"""WITH g AS (
+         |  SELECT CAST(regexp_extract(filename, 'vid_(\\d+)', 1) AS BIGINT) AS doc_id,
+         |    hex(content) AS h
+         |  FROM read_blob('$mediaDir/vid_*.gif')),
+         |dims AS (
+         |  SELECT doc_id, h,
+         |    CAST(concat('0x', substr(h, 15, 2), substr(h, 13, 2)) AS BIGINT) AS width,
+         |    CAST(concat('0x', substr(h, 19, 2), substr(h, 17, 2)) AS BIGINT) AS height,
+         |    len(list_filter(generate_series(1, len(h) - 5, 2),
+         |        i -> substr(h, CAST(i AS INT), 6) = '21F904')) AS n_frames
+         |  FROM g),
+         |samp AS (
+         |  SELECT doc_id, width, height, n_frames,
+         |    unnest(generate_series(0, n_frames - 1, 8)) AS frame_idx
+         |  FROM dims)
+         |SELECT doc_id, frame_idx, n_frames, width, height,
+         |  CAST(list_sum(flatten(list_transform(
+         |    generate_series(0, CAST(height AS INT) - 1), y ->
+         |      list_transform(generate_series(0, CAST(width AS INT) - 1), x ->
+         |        ((x*31 + y*17 + frame_idx*7 + doc_id*13) % 64)
+         |          * (1 + x + y*width))))) AS BIGINT) AS pix_hash
+         |FROM samp ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select($"doc_id", $"text".cast("binary").as("payload"),
-          lit("fake/video").as("format"))
-        .as[MediaRow]
-      media
-        .mapPartitions(it => it.flatMap { r =>
-          val nFrames = r.payload.length / 100
-          (0L until nFrames.toLong by 8L).iterator.map { i =>
-            SampledFrame(r.doc_id, i, (r.payload.length.toLong * 31 + i * 7919) % 1000000007L)
+      s.read.format("binaryFile").option("pathGlobFilter", "vid_*.gif").load(mediaDir)
+        .select(
+          regexp_extract($"path", "vid_(\\d+)\\.gif", 1).cast("long").as("doc_id"),
+          $"content")
+        .as[MediaFile]
+        .mapPartitions { it =>
+          ImageIO.setUseCache(false)
+          it.flatMap { m =>
+            val reader = ImageIO.getImageReadersByFormatName("gif").next()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new ByteArrayInputStream(m.content))
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val out = (0 until n by 8).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth
+              val h = img.getHeight
+              var acc = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = (img.getRGB(x, y) & 0xFF) / 4
+                  acc += v.toLong * (1 + x + y.toLong * w)
+                  x += 1
+                }
+                y += 1
+              }
+              SampledFrame(m.doc_id, i.toLong, n.toLong, w.toLong, h.toLong, acc)
+            }
+            reader.dispose()
+            iis.close()
+            out.iterator
           }
-        })
+        }
         .toDF()
         .orderBy($"doc_id", $"frame_idx")
     }
