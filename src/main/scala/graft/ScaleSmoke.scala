@@ -36,8 +36,18 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "lineitem.parquet")))
+    // A marker file records the copies count the dst was synthesized with;
+    // a dst left over from a run with a DIFFERENT SPARK_GRAFT_COPIES would
+    // otherwise be silently reused and every printed ratio mislabeled
+    // (ADVICE r06).
+    val marker = java.nio.file.Paths.get(dst, "copies.marker")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == s"$copies:$src"
+    if (!fresh) {
       synthesize(spark, src, dst, copies)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+      java.nio.file.Files.write(marker, s"$copies:$src\n".getBytes("UTF-8"))
+    }
 
     def timed(thunk: => Unit): Double = {
       val t0 = System.nanoTime(); thunk; (System.nanoTime() - t0) / 1e9
@@ -53,9 +63,33 @@ object ScaleSmoke {
       println(f"""[scale] $name%-22s src=$small%6.2f s  ${copies}x=$big%6.2f s  ratio=${big / small}%5.2f""")
       (name, small, big)
     }
-    val obj = rows.map { case (n, s, b) =>
+    // dd_components' end-to-end ratio is EDGE-bound, not round-bound: exact
+    // copy families make LSH pair output quadratic in family size (8 copies
+    // of a 2-dup family → 16-clique → 120 pairs where src had 1), which is
+    // inherent to any pairs-emitting operator. To pin the label-propagation
+    // ALGORITHM separately, time componentsOf alone on pre-materialized
+    // pair sets at both scales — with pointer doubling its rounds are
+    // O(log diameter), so this ratio tracks edge volume ≈ linearly.
+    val isolated = {
+      import org.apache.spark.sql.functions.col
+      def pairsOf(dir: String) = graft.operators.Dedup
+        .minhashLshPairs(spark, Tables.documents(spark, dir))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      def nodesOf(dir: String) =
+        Tables.documents(spark, dir).select(col("doc_id")).localCheckpoint(true)
+      val (ps, ns) = (pairsOf(src), nodesOf(src))
+      val (pb, nb) = (pairsOf(dst), nodesOf(dst))
+      val es = ps.count(); val eb = pb.count()
+      val ts = timed(graft.operators.Dedup.componentsOf(spark, ns, ps)
+        .write.format("noop").mode("overwrite").save())
+      val tb = timed(graft.operators.Dedup.componentsOf(spark, nb, pb)
+        .write.format("noop").mode("overwrite").save())
+      println(f"[scale] components_only       src=$ts%6.2f s ($es edges)  ${copies}x=$tb%6.2f s ($eb edges)  ratio=${tb / ts}%5.2f  edge_ratio=${eb.toDouble / es}%5.2f")
+      f""""components_only":{"src_sec":$ts%.3f,"big_sec":$tb%.3f,"ratio":${tb / ts}%.2f,"src_edges":$es,"big_edges":$eb}"""
+    }
+    val obj = (rows.map { case (n, s, b) =>
       f""""$n":{"src_sec":$s%.3f,"big_sec":$b%.3f,"ratio":${b / s}%.2f}"""
-    }.mkString("{", ",", "}")
+    } :+ isolated).mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","copies":$copies,"queries":$obj}""")
     spark.stop()
   }

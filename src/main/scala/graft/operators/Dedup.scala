@@ -332,19 +332,24 @@ object Dedup {
   }
 
   /** Connected components over an undirected pair graph by min-label
-    * propagation: every node starts labeled with itself; each round, a node
-    * takes the minimum of its own and its neighbors' labels; fixpoint in
-    * O(component diameter) rounds.
+    * propagation WITH pointer doubling: every node starts labeled with
+    * itself; each round, a node takes the minimum of (a) its own label,
+    * (b) its neighbors' labels, and (c) its label's label — the
+    * Shiloach–Vishkin shortcutting step. (b) alone converges in
+    * O(component diameter) rounds; (c) halves the remaining pointer depth
+    * each round, so the fixpoint arrives in O(log diameter) — the fix for
+    * the r06 ScaleSmoke finding that components cost 3.0× at 8× rows purely
+    * because duplicate families got DEEPER (VERDICT r06 #4; the same rounds
+    * bound the large-star/small-star formulation achieves, with one
+    * labels⋈labels hash join instead of re-materializing the edge set each
+    * round).
     *
     * This is THE missing step between near-dup PAIR detection and actual
     * deduplication: LSH emits pairs, but "keep one per duplicate group"
     * needs the transitive closure (a~b, b~c ⇒ {a,b,c} is one group). Scale:
-    * each round is one equi-join + one aggregate on doc_id — no transitive
+    * each round is two equi-joins + one aggregate on doc_id — no transitive
     * closure materialization (closure is O(n·component_size); labels are
-    * O(n)) — and near-dup components have tiny diameters (duplicates of one
-    * source document), so the driver loop runs ~2-4 plans, the same
-    * iterate-over-plans shape as k-means. Deterministic (min is
-    * order-independent), so oracle-checkable.
+    * O(n)). Deterministic (min is order-independent), so oracle-checkable.
     */
   def componentsOf(
       s: SparkSession, nodes: DataFrame, pairs: DataFrame,
@@ -356,23 +361,40 @@ object Dedup {
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .cache()
     edges.count()
-    var labels = nodes.select($"doc_id", $"doc_id".as("component")).cache()
+    // localCheckpoint (not cache): labels feeds FOUR plan subtrees per round
+    // (nbrMin, both sides of the pointer-doubling self-join, and the carry),
+    // so un-truncated lineage grows 4^rounds and analysis itself OOMs near
+    // round 10 — checkpointing cuts the logical plan to the materialized
+    // partitions each round. (On a cluster this is the reliable-checkpoint
+    // slot; iterate-over-plans loops need lineage truncation either way.)
+    var labels = nodes.select($"doc_id", $"doc_id".as("component")).localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges
         .join(labels, $"src" === $"doc_id")
         .groupBy($"dst").agg(min($"component").as("nbr_min"))
+      // pointer doubling: each node also looks up its LABEL's current label
+      // (labels is keyed by doc_id and labels are node ids, so this is a
+      // self-join). Monotone (labels only decrease), so correctness of the
+      // min fixpoint is unchanged — only the round count drops.
+      val grand = labels.as("a")
+        .join(labels.as("b"), $"a.component" === $"b.doc_id")
+        .select($"a.doc_id".as("g_id"), $"b.component".as("grand_min"))
       // convergence flag computed in the SAME pass that builds the next
       // labels — no second join per round
       val next = labels
         .join(nbrMin, $"doc_id" === $"dst", "left")
+        .join(grand, $"doc_id" === $"g_id", "left")
         .select($"doc_id",
-          least($"component", coalesce($"nbr_min", $"component")).as("component"),
-          ($"nbr_min".isNotNull && $"nbr_min" < $"component").as("chg"))
-        .cache()
+          least(
+            $"component",
+            coalesce($"nbr_min", $"component"),
+            coalesce($"grand_min", $"component")).as("component"),
+          (($"nbr_min".isNotNull && $"nbr_min" < $"component") ||
+            ($"grand_min".isNotNull && $"grand_min" < $"component")).as("chg"))
+        .localCheckpoint(true)
       converged = next.filter($"chg").isEmpty
-      labels.unpersist(blocking = false)
       labels = next.drop("chg")
       round += 1
     }

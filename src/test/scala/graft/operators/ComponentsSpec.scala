@@ -19,6 +19,23 @@ class ComponentsSpec extends SparkSuite with Matchers {
     got shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
   }
 
+  /** A 400-node PATH has diameter 399: plain neighbor-min propagation needs
+    * ~399 rounds, so converging inside the default maxRounds=20 is only
+    * possible through the pointer-doubling shortcut (O(log diameter) ≈ 9
+    * rounds plus constants) — this is the round-cap guarantee itself, not
+    * just result correctness.
+    */
+  test("400-node chain converges within 20 rounds (pointer doubling, not diameter)") {
+    import spark.implicits._
+    val n = 400L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.componentsOf(spark, nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.values.toSet shouldBe Set(0L)
+    got.size shouldBe n
+  }
+
   test("edge direction does not matter (undirected propagation)") {
     import spark.implicits._
     val nodes = (10L to 12L).toDF("doc_id")
