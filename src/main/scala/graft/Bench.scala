@@ -84,11 +84,23 @@ object Bench {
     val results = defs.map { d =>
       val sortedRuns = (1 to runs).map(_ => timed(
         d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
-      val nosortRuns0 = (1 to nosortRuns).map(_ => timed(
-        org.apache.spark.sql.graftbridge.Bridge.stripTopSort(d.fn(spark, sfDir))
-          .write.format("noop").mode("overwrite").save()))
+      // Queries with NO top-level ORDER BY (the 1-row aggregate family —
+      // q18/q20/q32) run the IDENTICAL plan on both passes, so timing them
+      // twice only manufactures a phantom sorted-vs-nosort gap out of run
+      // ordering (the r06 "1-row result costing 0.5 s to sort", VERDICT
+      // #6). Detect the no-op strip and reuse the sorted median.
+      val probe = d.fn(spark, sfDir)
+      val hasTopSort =
+        org.apache.spark.sql.graftbridge.Bridge.stripTopSort(probe) ne probe
+      val nosortRuns0 =
+        if (!hasTopSort) Seq.empty
+        else (1 to nosortRuns).map(_ => timed(
+          org.apache.spark.sql.graftbridge.Bridge.stripTopSort(d.fn(spark, sfDir))
+            .write.format("noop").mode("overwrite").save()))
       val ok = sortedRuns.forall(_._2) && nosortRuns0.forall(_._2)
-      (d.name, median(sortedRuns.map(_._1)), median(nosortRuns0.map(_._1)), ok)
+      val sortedMed = median(sortedRuns.map(_._1))
+      val nosortMed = if (hasTopSort) median(nosortRuns0.map(_._1)) else sortedMed
+      (d.name, sortedMed, nosortMed, ok)
     }
     def obj(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

@@ -551,10 +551,23 @@ object Dedup {
     // verification on candidates only. Work is O(n·L + candidate pairs) —
     // never all-pairs — so the plan survives a 100× scale-up where
     // dd_embedding_cosine (the labeled exact baseline above) cannot.
-    // Precision is 1.0 by construction (exact verify); recall vs the exact
-    // baseline is measured and pinned by LshRecallSpec. The md5-derived
-    // planes make the WHOLE pipeline — planes, buckets, candidate join,
-    // verification — independently reproducible by the DuckDB oracle.
+    //
+    // OUTPUT CONTRACT (ADVICE r06): the result is "pairs with cos ≥ 0.3
+    // AMONG b=10/L=24 LSH candidates", NOT "all pairs with cos ≥ 0.3".
+    // Precision is 1.0 by construction (exact verify); recall is a function
+    // of cosine: ≥ 0.9 in the near-dup regime cos ≥ 0.85 (pinned by
+    // LshRecallSpec on a clustered fixture), dropping to ~13% bucket-
+    // collision probability for pairs in [0.3, 0.85) — by DESIGN, since
+    // sub-0.85 cosines are not near-duplicates and recalling them would
+    // cost the candidate blow-up the r05 b=4 setting suffered (79% random
+    // collision). The 0.3 verify floor is kept only so the oracle row stays
+    // non-vacuous on random testdata (at 0.85 the sf0.01 result set is
+    // empty and verifies nothing); the oracle runs the SAME bucket
+    // pipeline, so the row checks cross-engine semantics of this contract,
+    // not all-pairs completeness — dd_embedding_cosine above is the
+    // completeness baseline. The md5-derived planes make the WHOLE
+    // pipeline — planes, buckets, candidate join, verification —
+    // independently reproducible by the DuckDB oracle.
     sqlChecked(
       "dd_embedding_lsh",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -54,7 +54,7 @@ object Multimodal {
     * bytes; override with GRAFT_MEDIA_DIR).
     */
   private val mediaDir =
-    sys.env.getOrElse("GRAFT_MEDIA_DIR", "/root/repo/fixtures/media")
+    graft.Fixtures.dir("media", "GRAFT_MEDIA_DIR")
 
   /** The binaryFile scan: path + raw bytes → (doc_id, content). */
   private def mediaFiles(s: org.apache.spark.sql.SparkSession) = {

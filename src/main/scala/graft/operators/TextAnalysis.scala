@@ -19,7 +19,7 @@ object TextAnalysis {
     * same model; override with GRAFT_LANGID_DIR).
     */
   private val langidDir =
-    sys.env.getOrElse("GRAFT_LANGID_DIR", "/root/repo/fixtures/langid")
+    graft.Fixtures.dir("langid", "GRAFT_LANGID_DIR")
   private val LangIdProfileGlob = s"$langidDir/profile.parquet/*.parquet"
 
   /** Trigram language detector over (doc_id, lang, text) rows — the scoring

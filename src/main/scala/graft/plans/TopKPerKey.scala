@@ -166,11 +166,26 @@ object TopKPerKey {
 
   /** Chooses the plan by the envelope: estimates distinct keys with one
     * cheap HLL pass over the key columns; if the estimated held rows per
-    * task (keys×k / shuffle partitions) exceed `maxHeldRowsPerTask`, the
-    * answer doesn't fit bounded heaps and the spillable window plan is
-    * used; otherwise the heap operator. The estimate pass scans only the
-    * key columns (column-pruned at the source).
+    * task exceed `maxHeldRowsPerTask`, the answer doesn't fit bounded heaps
+    * and the spillable window plan is used; otherwise the heap operator.
+    * The estimate pass scans only the key columns (column-pruned at the
+    * source).
+    *
+    * NOTE this is an EAGER estimation job at DataFrame-construction time
+    * (one `approx_count_distinct` scan + collect of a single long), not a
+    * lazy plan — callers building plans they may never execute should call
+    * [[perKey]]/[[windowed]] directly.
+    *
+    * Skew margin (ADVICE r06): the keys/tasks quotient assumes uniform
+    * key→task distribution; hash partitioning concentrates heavy-hitter
+    * KEYS fine (each key's heap is still k rows) but task-level key counts
+    * vary ~Poisson and HLL itself is ±2%. The chooser therefore compares
+    * against `maxHeldRowsPerTask / SkewSafetyFactor` (4×) — heap wins only
+    * with a 4× cushion, so a task holding several times the mean key count
+    * still sits inside the fail-fast guard rather than tripping it mid-job.
     */
+  val SkewSafetyFactor = 4L
+
   def perKeyAuto(
       df: DataFrame,
       keyNames: Seq[String],
@@ -184,7 +199,7 @@ object TopKPerKey {
           keyNames.map(org.apache.spark.sql.functions.col): _*)).as("n"))
       .collect().head.getLong(0)
     val tasks = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    if (estKeys.toDouble * k / tasks > maxHeldRowsPerTask.toDouble)
+    if (estKeys.toDouble * k / tasks > maxHeldRowsPerTask.toDouble / SkewSafetyFactor)
       windowed(df, keyNames, order, k)
     else perKey(df, keyNames, order, k)
   }

@@ -16,7 +16,7 @@ class LangIdProfileSpec extends SparkSuite with Matchers {
     val rebuilt = LangIdProfileGen.buildProfile()
       .map { case (t, en, fr, de, es) => (t, en, fr, de, es) }.toSet
     val committed = spark.read
-      .parquet("/root/repo/fixtures/langid/profile.parquet")
+      .parquet(graft.Fixtures.dir("langid", "GRAFT_LANGID_DIR") + "/profile.parquet")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet

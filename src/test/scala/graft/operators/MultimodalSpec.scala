@@ -44,7 +44,7 @@ class MultimodalSpec extends SparkSuite with Matchers {
   test("mm_framesample: ImageIO frame count equals the oracle's GCE byte scan") {
     import javax.imageio.ImageIO
     val files = new java.io.File(
-      sys.env.getOrElse("GRAFT_MEDIA_DIR", "/root/repo/fixtures/media"))
+      graft.Fixtures.dir("media", "GRAFT_MEDIA_DIR"))
       .listFiles((_, n) => n.startsWith("vid_") && n.endsWith(".gif")).sorted
     files should have size 12
     for (f <- files) {
