@@ -59,7 +59,16 @@ object ScaleSmoke {
     run(src, "q01_pricing_summary")
     val rows = queries.map { name =>
       val small = run(src, name)
-      val big = run(dst, name)
+      // ta_seq_pack's shard count is a semantics-bearing CONFIG (pack
+      // layout), not a constant: a real run sizes shards ∝ corpus, so the
+      // big side runs with copies× the shards — the configured-operator
+      // ratio, the same way shuffle width scales with cluster size. (The
+      // oracle row always runs the default 8.)
+      val big =
+        if (name == "ta_seq_pack") {
+          spark.conf.set("graft.pack.shards", (8 * copies).toString)
+          try run(dst, name) finally spark.conf.unset("graft.pack.shards")
+        } else run(dst, name)
       println(f"""[scale] $name%-22s src=$small%6.2f s  ${copies}x=$big%6.2f s  ratio=${big / small}%5.2f""")
       (name, small, big)
     }

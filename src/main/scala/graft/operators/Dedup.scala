@@ -431,6 +431,13 @@ object Dedup {
     // signal. The cap is mirrored in the oracle so the semantics stay pinned
     // at any df; on the testdata (max df 25) the output equals the uncapped
     // result.
+    //
+    // Join keys are hash60(shingle) LONGS, not the ~25-byte shingle strings:
+    // the df rollup and the self-join shuffle 8-byte keys (the "shuffle
+    // hashes, never text" rule the other dedup operators follow). Hashing
+    // happens AFTER the per-doc string-distinct in BOTH engines, so the
+    // (astronomically unlikely, ~n²/2^61) hash collision behaves identically
+    // cross-engine and the oracle row still pins exact semantics.
     sqlChecked(
       "dd_ngram_jaccard",
       s"""WITH toks AS (
@@ -439,19 +446,20 @@ object Dedup {
         |                w -> w <> '') AS w
         |  FROM documents),
         |sh0 AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(generate_series(1, len(w)-2),
-        |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-        |    FROM toks WHERE len(w) >= 3)),
+        |  SELECT doc_id, ${sqlHash60("shingle")} AS h FROM (
+        |    SELECT DISTINCT doc_id, shingle FROM (
+        |      SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w)-2),
+        |                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |      FROM toks WHERE len(w) >= 3))),
         |sh AS (
-        |  SELECT doc_id, shingle FROM sh0
-        |  WHERE shingle NOT IN (
-        |    SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > $HotShingleDfCap)),
+        |  SELECT doc_id, h FROM sh0
+        |  WHERE h NOT IN (
+        |    SELECT h FROM sh0 GROUP BY h HAVING count(*) > $HotShingleDfCap)),
         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, common,
         |  round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
@@ -460,13 +468,13 @@ object Dedup {
         |WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh0 = docShingles(s, dir)
-      val hot = sh0.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        .filter($"df" > HotShingleDfCap).select($"shingle")
-      val sh = sh0.join(hot, Seq("shingle"), "left_anti").cache()
+      val sh0 = docShingles(s, dir).select($"doc_id", Exprs.hash60($"shingle").as("h"))
+      val hot = sh0.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > HotShingleDfCap).select($"h")
+      val sh = sh0.join(hot, Seq("h"), "left_anti").cache()
       val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
-        .join(sh.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        .join(sh.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .agg(count(lit(1)).as("common"))
       pairs

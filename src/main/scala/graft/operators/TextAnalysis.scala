@@ -458,6 +458,12 @@ object TextAnalysis {
     // per-shard cumulative token offsets — so packing is reproducible under
     // any partitioning. Scale: shards are independent (one window per
     // shard, no global order), the 100 TB layout is one writer per shard.
+    // The shard COUNT is the scaling knob and is semantics-bearing (it
+    // decides the pack layout): session conf `graft.pack.shards`, default 8
+    // — the value the oracle is built against — and any real run sizes it
+    // to the corpus (shards ∝ rows keeps the per-shard window, and thus
+    // this ratio in ScaleSmoke, constant; holding it at 8 while rows grow
+    // 8× is what the r06/r07 2.5-3× smoke ratio measured).
     sqlChecked(
       "ta_seq_pack",
       """WITH toks AS (
@@ -479,10 +485,11 @@ object TextAnalysis {
         |FROM cum ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      val shards = s.conf.getOption("graft.pack.shards").map(_.toInt).getOrElse(8)
       val w = Window.partitionBy($"shard").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, dir)
-        .select($"doc_id", ($"doc_id" % 8).as("shard"),
+        .select($"doc_id", ($"doc_id" % shards).as("shard"),
           Exprs.tokenCount(Exprs.normText($"text")).cast("long").as("n_tokens"))
         .withColumn("cum", sum($"n_tokens").over(w))
         .select($"doc_id", $"shard", $"n_tokens",
