@@ -616,6 +616,71 @@ object Dedup {
       componentsOf(s, docs, pairs).orderBy($"doc_id")
     },
 
+    // Duplicate-cluster REPRESENTATIVE selection — the dedup END PRODUCT:
+    // components give the duplicate groups; the keeper per group is the
+    // highest-QUALITY member (ta_quality score, tie → min doc_id), not just
+    // the min id — what a curation pipeline actually writes out. Composes
+    // three verified operators (minhash pairs → components → quality) and
+    // the oracle recomposes them independently (recursive-CTE closure +
+    // the quality CTE + a rank window). Scale: everything upstream is the
+    // already-bounded pair/label machinery; the argmax is one window keyed
+    // on component — a single shuffle of (doc_id, component, quality).
+    sqlChecked(
+      "dd_keep_best",
+      s"""WITH RECURSIVE ${minhashPairsCtes(k = 32, bands = 8, threshold = 0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |comp AS (
+         |  SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (1.0 - punct_ratio) + 0.3 * stop_ratio
+         |          + 0.3 * least(1.0, n_tokens / 100.0), 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, CAST(len(qw) AS BIGINT) AS n_tokens,
+         |      CASE WHEN length(text) = 0 THEN 0.0
+         |           ELSE round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+         |                      / CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+         |      CASE WHEN len(qw) = 0 THEN 0.0
+         |           ELSE round(len(list_filter(qw, x -> x IN ('the','a','and','of','to','in','is','it')))
+         |                      / CAST(len(qw) AS DOUBLE), 6) END AS stop_ratio
+         |    FROM (SELECT doc_id, text,
+         |            list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+         |                        x -> x <> '') AS qw
+         |          FROM documents))),
+         |ranked AS (
+         |  SELECT c.doc_id, c.component, q.quality,
+         |    row_number() OVER (PARTITION BY c.component
+         |                       ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.component) AS n_members
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT component, doc_id AS keep_id, n_members, quality AS best_quality
+         |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select($"doc_id")
+      val pairs = minhashLshPairs(s, Tables.documents(s, dir))
+        .select($"doc_a", $"doc_b")
+      val comps = componentsOf(s, docs, pairs)
+      // runtime cross-object reuse (same byName pattern as ta_pipeline_e2e;
+      // lazy, so no object-init cycle)
+      val quality = TextAnalysis.defs.find(_.name == "ta_quality").get
+        .fn(s, dir).select($"doc_id", $"quality")
+      val w = Window.partitionBy($"component").orderBy($"quality".desc, $"doc_id".asc)
+      comps.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy($"component")))
+        .filter($"rn" === 1)
+        .select($"component", $"doc_id".as("keep_id"), $"n_members",
+          $"quality".as("best_quality"))
+        .orderBy($"component")
+    },
+
     // Fuzzy record linkage (edit-distance entity dedup) over the part
     // catalog: distinct names, BLOCKED on the trailing noun so the
     // quadratic levenshtein comparison runs inside small blocks

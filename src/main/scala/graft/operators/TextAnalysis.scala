@@ -500,6 +500,54 @@ object TextAnalysis {
         .orderBy($"doc_id")
     },
 
+    // TF-IDF-style keyword extraction, top-3 terms per document through the
+    // custom TopKPerKey operator. The score is the EXACT rational
+    // tf·N/df evaluated as one double division of integers (identical,
+    // correctly-rounded result in every engine — no ln(), whose last-ulp
+    // differences across libm implementations would make rank ties
+    // engine-dependent), rounded to 6 before ranking so both engines rank
+    // the same values. Scale: tf and df are partial-aggregated rollups of
+    // (doc_id, term) / (term); N broadcasts as one row; the top-3 is the
+    // bounded-heap TopKPerKeyExec — one Exchange on doc_id, no sort.
+    sqlChecked(
+      "ta_keywords",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(CAST(tf * n_docs AS DOUBLE) / df, 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term", $"tf", $"df",
+          round(($"tf" * $"n_docs").cast("double") / $"df", 6).as("score"))
+      graft.plans.TopKPerKey.perKey(
+          scored,
+          keyNames = Seq("doc_id"),
+          order = Seq("score" -> false, "term" -> true),
+          k = 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"score")
+        .orderBy($"doc_id", $"score".desc, $"term")
+    },
+
     // The WHOLE curation pipeline composed end-to-end — what a training-data
     // run actually executes, as one oracle-checked query: language-id +
     // quality score + span-dup keep-rule + benchmark decontamination gate
