@@ -76,6 +76,15 @@ object Exprs {
   def words(c: Column): Column =
     filter(split(trim(c), "\\s+"), w => w =!= lit(""))
 
+  /** `words(normText(c))` fused into the single-scan native
+    * [[graft.functions.NormWords]] expression (semantics pinned equal by
+    * NormWordsSpec).
+    */
+  def normWords(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NormWords(Bridge.expression(c)))
+  }
+
   /** Token count (whitespace tokenizer). */
   def tokenCount(c: Column): Column = size(words(c))
 

@@ -180,7 +180,7 @@ object Dedup {
   private[operators] def docShinglesOf(s: SparkSession, docs: DataFrame, n: Int): DataFrame = {
     import s.implicits._
     docs
-      .select($"doc_id", Exprs.words(Exprs.normText($"text")).as("w"))
+      .select($"doc_id", Exprs.normWords($"text").as("w"))
       .filter(size($"w") >= n)
       .select($"doc_id", explode(array_distinct(Exprs.shingles($"w", n))).as("shingle"))
   }
@@ -289,7 +289,7 @@ object Dedup {
   def simhashPairs(s: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
     val words = docs
-      .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
+      .select($"doc_id", explode(Exprs.normWords($"text")).as("word"))
       .distinct()
       .select($"doc_id", Exprs.hash60($"word").as("h"))
     val sigs = words.groupBy($"doc_id")
@@ -316,7 +316,7 @@ object Dedup {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val hashes = docs
-      .select($"doc_id", Exprs.words(Exprs.normText($"text")).as("ws"))
+      .select($"doc_id", Exprs.normWords($"text").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", posexplode(Exprs.shingles($"ws", 3)).as(Seq("pos", "shingle")))
       .select($"doc_id", $"pos", Exprs.hash60($"shingle").as("h"))

@@ -74,7 +74,7 @@ object TextAnalysis {
       Tables.documents(s, dir)
         .select(
           $"doc_id",
-          Exprs.tokenCount(Exprs.normText($"text")).as("n_tokens"),
+          size(Exprs.normWords($"text")).as("n_tokens"),
           length($"text").cast("long").as("char_len"))
         .orderBy($"doc_id")
     },
@@ -100,7 +100,7 @@ object TextAnalysis {
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val toks = Exprs.words(Exprs.normText($"text"))
+      val toks = Exprs.normWords($"text")
       val charLen = length($"text").cast("long")
       val nTokens = size(toks).cast("long")
       val punctRatio = when(charLen === 0, 0.0).otherwise(
@@ -207,7 +207,7 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val toks = Exprs.words(Exprs.normText($"text"))
+      val toks = Exprs.normWords($"text")
       val charLen = length($"text").cast("long")
       val nTokens = size(toks).cast("long")
       val punctRatio = when(charLen === 0, 0.0).otherwise(
@@ -248,7 +248,7 @@ object TextAnalysis {
       val bpePat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
       Tables.documents(s, dir)
         .select($"doc_id",
-          Exprs.tokenCount(Exprs.normText($"text")).as("ws_tokens"),
+          size(Exprs.normWords($"text")).as("ws_tokens"),
           size(regexp_extract_all(lower($"text"), lit(bpePat), lit(0)))
             .cast("long").as("bpe_tokens"))
         .withColumn("inflation",
@@ -286,7 +286,7 @@ object TextAnalysis {
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val toks = Exprs.words(Exprs.normText($"text"))
+      val toks = Exprs.normWords($"text")
       val nWords = size(toks).cast("long")
       val meanWordLen = when(nWords === 0, 0.0).otherwise(
         round(length(concat_ws("", toks)).cast("double") / nWords.cast("double"), 6))
@@ -328,7 +328,7 @@ object TextAnalysis {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val words = Tables.documents(s, dir)
-        .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("word"))
+        .select($"doc_id", explode(Exprs.normWords($"text")).as("word"))
       val vocab = words.groupBy($"word").agg(count(lit(1)).as("c"))
       val total = vocab.agg(sum($"c")).collect().head.getLong(0)
       words
@@ -490,7 +490,7 @@ object TextAnalysis {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, dir)
         .select($"doc_id", ($"doc_id" % shards).as("shard"),
-          Exprs.tokenCount(Exprs.normText($"text")).cast("long").as("n_tokens"))
+          size(Exprs.normWords($"text")).cast("long").as("n_tokens"))
         .withColumn("cum", sum($"n_tokens").over(w))
         .select($"doc_id", $"shard", $"n_tokens",
           expr("(cum - n_tokens) div 512").as("pack_first"),
@@ -531,7 +531,7 @@ object TextAnalysis {
         |ORDER BY doc_id, score DESC, term""".stripMargin) { (s, dir) =>
       import s.implicits._
       val toks = Tables.documents(s, dir)
-        .select($"doc_id", explode(Exprs.words(Exprs.normText($"text"))).as("term"))
+        .select($"doc_id", explode(Exprs.normWords($"text")).as("term"))
       val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))

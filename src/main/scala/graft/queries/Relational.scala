@@ -312,7 +312,7 @@ object Relational {
         |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables.documents(s, dir)
-        .select(explode(Exprs.words(Exprs.normText($"text"))).as("word"))
+        .select(explode(Exprs.normWords($"text")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"word".asc)
         .limit(50)
