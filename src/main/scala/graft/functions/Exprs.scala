@@ -85,6 +85,14 @@ object Exprs {
     Bridge.column(NormWords(Bridge.expression(c)))
   }
 
+  /** Langid char trigrams packed to ints in one scan (see
+    * [[graft.functions.PackedTrigrams]]).
+    */
+  def packedTrigrams(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(PackedTrigrams(Bridge.expression(c)))
+  }
+
   /** Token count (whitespace tokenizer). */
   def tokenCount(c: Column): Column = size(words(c))
 

@@ -35,13 +35,23 @@ object TextAnalysis {
     val oov = profile.filter($"trigram" === "__OOV__")
       .select($"w_en".as("o_en"), $"w_fr".as("o_fr"),
         $"w_de".as("o_de"), $"w_es".as("o_es"))
-    val normed = docs.select($"doc_id", $"lang".as("lang_declared"),
-      trim(regexp_replace(lower($"text"), "[^a-z]+", " ")).as("norm"))
-    val tg = normed.select($"doc_id", $"lang_declared",
-      explode_outer(when(length($"norm") >= 3,
-        expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))"))
-        .otherwise(array().cast("array<string>"))).as("tg"))
-    tg.join(broadcast(prof), tg("tg") === prof("trigram"), "left")
+    // Trigrams as PACKED INTS ([[graft.functions.PackedTrigrams]]): the
+    // normalization + substring chain collapses to one byte scan, and the
+    // broadcast join keys on a 4-byte int instead of a 3-char string. The
+    // profile side is re-keyed with the same (injective on [a-z ]³)
+    // packing, so join semantics are identical to the string form — which
+    // is what the DuckDB oracle still runs.
+    val profKey = {
+      def code(i: Int) = {
+        val a = ascii(substring($"trigram", i, 1))
+        when(a === 32, 0).otherwise(a - 96)
+      }
+      (code(1) * 1024 + code(2) * 32 + code(3)).cast("int")
+    }
+    val profKeyed = prof.withColumn("tkey", profKey)
+    val tg = docs.select($"doc_id", $"lang".as("lang_declared"),
+      explode_outer(Exprs.packedTrigrams($"text")).as("tg"))
+    tg.join(broadcast(profKeyed), tg("tg") === profKeyed("tkey"), "left")
       .crossJoin(broadcast(oov))
       .groupBy($"doc_id", $"lang_declared")
       .agg(
