@@ -80,11 +80,12 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |shh AS (SELECT doc_id, ${sqlHash60("shingle")} AS h FROM sh),
+       |counts AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
        |common AS (
        |  SELECT doc_a, doc_b, count(*) AS common
-       |  FROM cands JOIN sh sa ON doc_a = sa.doc_id
-       |             JOIN sh sb ON doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  FROM cands JOIN shh sa ON doc_a = sa.doc_id
+       |             JOIN shh sb ON doc_b = sb.doc_id AND sa.h = sb.h
        |  GROUP BY doc_a, doc_b),
        |mh_pairs AS (
        |  SELECT doc_a, doc_b,
@@ -208,13 +209,19 @@ object Dedup {
       .agg(min(col("h0")).as("m0"), (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
 
-  /** Exact Jaccard for candidate pairs (doc_a, doc_b) given doc shingles. */
+  /** Exact Jaccard for candidate pairs (doc_a, doc_b) given doc shingles.
+    * The overlap join keys on hash60(shingle) longs, not the shingle
+    * strings (hashed AFTER the per-doc distinct, mirrored in the oracle's
+    * `shh` CTE — same engine-identical collision semantics as
+    * dd_ngram_jaccard's keying).
+    */
   private[operators] def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shh = sh.select(col("doc_id"), Exprs.hash60(col("shingle")).as("h"))
+    val counts = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
-        && col("sa.shingle") === col("sb.shingle"))
+      .join(shh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shh.as("sb"), col("doc_b") === col("sb.doc_id")
+        && col("sa.h") === col("sb.h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
     common
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))

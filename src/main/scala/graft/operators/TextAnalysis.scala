@@ -428,10 +428,13 @@ object TextAnalysis {
         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
         |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
         |    FROM toks WHERE len(w) >= 8)),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |shh AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,15)) AS BIGINT) AS h
+        |  FROM sh),
+        |bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
         |hits AS (
         |  SELECT doc_id, count(*) AS n_hits
-        |  FROM sh JOIN bench USING (shingle)
+        |  FROM shh JOIN bench USING (h)
         |  WHERE doc_id % 97 <> 0
         |  GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
@@ -446,10 +449,14 @@ object TextAnalysis {
             concat($"text",
               lit(" graftbench canary alpha beta gamma delta epsilon zeta")))
             .otherwise($"text").as("text"))
+      // 16-byte-hash keys, never 8-gram text, cross the broadcast (hashing
+      // AFTER the per-doc distinct in both engines — same collision
+      // semantics as dd_ngram_jaccard's keying)
       val sh = Dedup.docShinglesOf(s, planted, 8)
-      val bench = sh.filter($"doc_id" % 97 === 0).select($"shingle").distinct()
+        .select($"doc_id", Exprs.hash60($"shingle").as("h"))
+      val bench = sh.filter($"doc_id" % 97 === 0).select($"h").distinct()
       val hits = sh.filter($"doc_id" % 97 =!= 0)
-        .join(broadcast(bench), "shingle")
+        .join(broadcast(bench), "h")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hits"))
       Tables.documents(s, dir).select($"doc_id")
