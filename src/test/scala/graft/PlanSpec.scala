@@ -74,4 +74,23 @@ class PlanSpec extends SparkSuite with Matchers {
     p should include("BroadcastHashJoin")
     p should include("row_number()")
   }
+
+  test("ta_tokens: tokenization runs on norm_words, no regex machine in the plan") {
+    val p = plan("ta_tokens")
+    p should include("norm_words")
+    (p should not).include("regexp_replace")
+  }
+
+  test("ta_langid: trigram stage is packed_trigrams; profile joins on the int key") {
+    val p = plan("ta_langid")
+    p should include("packed_trigrams")
+    (p should not).include("substring(norm") // the old per-position substring chain
+    p should include("BroadcastHashJoin") // profile side broadcasts
+  }
+
+  test("q01: money sums run on the int128 aggregate, no decimal sum buffer") {
+    val p = plan("q01_pricing_summary")
+    p should include("exact_unscaled_sum")
+    (p should not).include("sum(cast(l_quantity")
+  }
 }
