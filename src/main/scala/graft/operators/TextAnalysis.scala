@@ -571,10 +571,15 @@ object TextAnalysis {
     // the corpus, survivors get packed into 512-token sequences. Each stage
     // is the already-verified operator (the Spark side literally reuses the
     // other QueryDefs); the oracle composes the same CTE fragments. Scale:
-    // the stages share the documents scan per Catalyst's plan reuse, the
-    // gram/profile sides broadcast or shuffle 16-byte keys, and packing
-    // windows stay per-shard — no stage introduces a new all-pairs or
-    // global-order step.
+    // each stage RE-SCANS the (column-pruned) documents source — measured:
+    // 9 FileScans, 0 ReusedExchange in the executed plan; Catalyst does not
+    // CSE disjoint scan subtrees, and a session-global .cache() here would
+    // leak into every later query on the shared session. At 100 TB a real
+    // curation run materializes the normalized token table once and each
+    // stage's verdict columns to storage between stages (the scans here
+    // stand in for those stage reads); everything else holds: gram/profile
+    // sides broadcast or shuffle 16-byte keys, packing windows stay
+    // per-shard — no stage introduces an all-pairs or global-order step.
     sqlChecked(
       "ta_pipeline_e2e",
       s"""WITH toks AS (
