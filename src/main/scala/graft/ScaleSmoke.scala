@@ -19,8 +19,9 @@ object ScaleSmoke {
 
   private val queries = Seq(
     "q01_pricing_summary", "q20_sketch_stats", "q32_percentiles",
-    "ta_tokens", "ta_langid", "ta_seq_pack", "ta_pipeline_e2e",
-    "dd_span_dup", "dd_minhash_lsh", "dd_components", "dd_embedding_lsh")
+    "ta_tokens", "ta_langid", "ta_seq_pack", "ta_keywords",
+    "ta_pipeline_e2e", "dd_span_dup", "dd_minhash_lsh", "dd_components",
+    "dd_keep_best", "dd_embedding_lsh")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
