@@ -88,7 +88,14 @@ object Bench {
       // q18/q20/q32) run the IDENTICAL plan on both passes, so timing them
       // twice only manufactures a phantom sorted-vs-nosort gap out of run
       // ordering (the r06 "1-row result costing 0.5 s to sort", VERDICT
-      // #6). Detect the no-op strip and reuse the sorted median.
+      // #6). Detect the no-op strip and reuse the sorted median. Every
+      // TIMED run still constructs its DataFrame inside the timer — the
+      // probe must NOT be reused for a timed run, because queries with
+      // eager construction work (the components loop, perKeyAuto's
+      // estimate) would have that work pre-materialized (localCheckpoint)
+      // and the "run" would time a cache read (~0.02 s, found the hard
+      // way); the probe's one untimed construction is the price of sort
+      // detection.
       val probe = d.fn(spark, sfDir)
       val hasTopSort =
         org.apache.spark.sql.graftbridge.Bridge.stripTopSort(probe) ne probe
