@@ -491,7 +491,7 @@ object Dedup {
           round($"common".cast("double") / ($"ca.n" + $"cb.n" - $"common").cast("double"), 6))
         .filter($"jaccard" >= 0.2)
         .select($"doc_a", $"doc_b", $"common", $"jaccard")
-        .orderBy($"doc_a", $"doc_b")
+        .transform(d => QueryDef.smallSort(d, $"doc_a", $"doc_b"))
     },
 
     // MinHash (K=32) + LSH (8 bands × 4 rows) candidate pairs, then exact
@@ -501,8 +501,8 @@ object Dedup {
     // signatures, bands, and verification independently.
     sqlChecked("dd_minhash_lsh", minhashOracle(k = 32, bands = 8, threshold = 0.5)) { (s, dir) =>
       import s.implicits._
-      minhashLshPairs(s, Tables.documents(s, dir))
-        .orderBy($"doc_a", $"doc_b")
+      QueryDef.smallSort(
+        minhashLshPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
     // SimHash near-dup: one 60-bit vote-based signature per doc from word
@@ -512,8 +512,8 @@ object Dedup {
     // 60 per-bit vote sums in SQL.
     sqlChecked("dd_simhash", simhashOracle(maxHamming = 3)) { (s, dir) =>
       import s.implicits._
-      simhashPairs(s, Tables.documents(s, dir))
-        .orderBy($"doc_a", $"doc_b")
+      QueryDef.smallSort(
+        simhashPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
     // Embedding-cosine near-dup pairs — exact all-pairs baseline (the LSH
@@ -542,7 +542,7 @@ object Dedup {
         .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
           round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
         .filter($"cos" >= 0.3)
-        .orderBy($"id_a", $"id_b")
+        .transform(d => QueryDef.smallSort(d, $"id_a", $"id_b"))
     },
 
     // Winnowing fingerprints (Schleimer et al., SIGMOD'03): the rolling-hash
@@ -603,8 +603,7 @@ object Dedup {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
-      embeddingLshPairs(s, e, threshold = 0.3)
-        .orderBy($"id_a", $"id_b")
+      QueryDef.smallSort(embeddingLshPairs(s, e, threshold = 0.3), $"id_a", $"id_b")
     },
 
     // Connected components over the MinHash near-dup graph — pair detection
@@ -685,7 +684,7 @@ object Dedup {
         .filter($"rn" === 1)
         .select($"component", $"doc_id".as("keep_id"), $"n_members",
           $"quality".as("best_quality"))
-        .orderBy($"component")
+        .transform(d => QueryDef.smallSort(d, $"component"))
     },
 
     // Fuzzy record linkage (edit-distance entity dedup) over the part
@@ -769,7 +768,7 @@ object Dedup {
           when($"n_grams" === 0, 0.0)
             .otherwise(round($"n_dup".cast("double") / $"n_grams".cast("double"), 6)))
         .withColumn("keep", $"n_grams" === 0 || $"n_dup" * 2 < $"n_grams")
-        .orderBy($"doc_id")
+        .transform(d => QueryDef.smallSort(d, $"doc_id"))
     }
   )
 }

@@ -107,7 +107,7 @@ object Similarity {
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 10)
         .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
-        .orderBy($"query_id", $"rk")
+        .transform(d => graft.QueryDef.smallSort(d, $"query_id", $"rk"))
     },
 
     // IVF (inverted-file) top-k ANN — the third ANN regime next to

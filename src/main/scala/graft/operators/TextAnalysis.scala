@@ -701,7 +701,7 @@ object TextAnalysis {
         .withColumn("cum", sum($"n_tokens").over(w))
         .select($"doc_id", $"lang_detected", $"quality", $"dup_ratio", $"n_tokens",
           expr("(cum - n_tokens) div 512").as("pack_first"))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.smallSort(d, $"doc_id"))
     }
   )
 }
