@@ -536,12 +536,14 @@ object Relational {
           $"hll_orders", $"hll_parts",
           $"pa" (0).as("b50lo"), $"pa" (1).as("ap50"), $"pa" (2).as("b50hi"),
           $"pa" (3).as("b95lo"), $"pa" (4).as("ap95"), $"pa" (5).as("b95hi"))
-      // Exact companions — separate passes so no Expand ever multiplies an
-      // all-values buffer. Two-level agg for the distincts.
-      val exactOrders =
-        l.select($"l_orderkey").distinct().agg(count(lit(1)).as("exact_orders"))
-      val exactParts =
-        l.select($"l_partkey").distinct().agg(count(lit(1)).as("exact_parts"))
+      // Exact companions — kept OUT of the sketch/percentile aggregate so no
+      // Expand ever multiplies an all-values buffer (the r5 regression). The
+      // two distinct COUNTS, though, fuse safely into one aggregate:
+      // RewriteDistinctAggregates plans Expand ×2 over plain scan rows
+      // (2-column, no buffers), one scan instead of two distinct chains.
+      val exactCounts = l.agg(
+        countDistinct($"l_orderkey").as("exact_orders"),
+        countDistinct($"l_partkey").as("exact_parts"))
       // Exact interpolated percentiles WITHOUT the all-values buffer of
       // Spark's `percentile` (whose single-threaded 600k-entry map merge
       // alone cost ~5 s at sf0.1) and WITHOUT a full-domain single-task
@@ -609,7 +611,7 @@ object Relational {
       def hllOk(approx: Column, exact: Column): Column =
         abs(approx.cast("double") - exact.cast("double")) <=
           abs(exact.cast("double")) * 0.07
-      sketches.crossJoin(exactOrders).crossJoin(exactParts)
+      sketches.crossJoin(exactCounts)
         .crossJoin(exactPct).crossJoin(stats)
         .select(
           $"exact_orders", $"exact_parts", $"p50_price_exact", $"p95_price_exact",
