@@ -14,12 +14,14 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       freshkart.FreshKartQueries.defs ++
       operators.TextAnalysis.defs ++
+      operators.TextIndex.defs ++
       operators.Formats.defs ++
       operators.Sampling.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
-      streaming.Events.defs
+      streaming.Events.defs ++
+      streaming.EventAnalytics.defs
 
   /** Flagship: the FreshKart daily_city_sales pipeline end-to-end (reads its
     * committed fixtures; the sfDir argument is unused by fk queries).

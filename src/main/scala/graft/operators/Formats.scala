@@ -89,6 +89,51 @@ object Formats {
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("sum_bal"))
         .orderBy($"c_mktsegment")
+    },
+
+    // Hive-style partitioned layout + PARTITION PRUNING: write events
+    // day-partitioned (`partitionBy("day")` → day=YYYY-MM-DD directories),
+    // read back with a day filter, aggregate. The read plans a
+    // PartitionFilter (FormatsSpec pins PartitionCount = 1), so only 1 of
+    // ~30 day directories is LISTED AND SCANNED — the dominant I/O-skipping
+    // mechanism at 100 TB, where a date-range query must touch only its
+    // partitions, not filter post-scan. The oracle applies the same day
+    // predicate to the original unpartitioned parquet.
+    sqlChecked(
+      "io_partitioned_prune",
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      partitionedPruneRead(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .orderBy($"event_type")
     }
   )
+
+  /** The pruned scan half of io_partitioned_prune, exposed so FormatsSpec
+    * can assert the physical plan prunes to exactly one partition
+    * directory. Writes once per JVM (lazy val) — bench reruns reuse it.
+    */
+  lazy val partitionedEventsDir: String =
+    Files.createTempDirectory("graft-part-events").toString
+
+  @volatile private var partitionedWritten: String = null
+
+  def partitionedPruneRead(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    synchronized {
+      if (partitionedWritten != dir) {
+        Tables.events(s, dir)
+          .withColumn("day", to_date($"ts"))
+          .write.mode("overwrite").partitionBy("day").parquet(partitionedEventsDir)
+        partitionedWritten = dir
+      }
+    }
+    s.read.parquet(partitionedEventsDir)
+      .filter($"day" === lit("2024-01-15").cast("date"))
+  }
 }

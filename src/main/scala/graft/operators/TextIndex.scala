@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlChecked
+import graft.functions.Exprs
+
+/** Corpus indexing operators over `documents`: an inverted index (the
+  * retrieval-side data structure a training-data pipeline builds for
+  * lookup/attribution) and bigram collocation mining (PMI-style lift — the
+  * classic phrase-detection pass before tokenizer training).
+  *
+  * Like the rest of the text surface these are north-star extensions (the
+  * reference's only text processing is the word-count tutorial,
+  * `tutos/tuto_dataframes_pyspark(2).ipynb#13-15`); both build on the same
+  * single-scan [[graft.functions.NormWords]] tokenization as ta_tokens, so
+  * the per-row work stays inside whole-stage codegen.
+  */
+object TextIndex {
+
+  /** The DuckDB fragment equivalent to Exprs.normWords (same as ta_tokens). */
+  private val toksSql =
+    """list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+      |             w -> w <> '')""".stripMargin
+
+  /** Max doc_ids materialized per posting list. */
+  val PostingsCap = 32
+
+  /** Min bigram count and result size for collocation mining. */
+  val MinPairCount = 20
+  val TopCollocations = 20
+
+  /** term → (document frequency, first [[PostingsCap]] doc_ids). Exposed for
+    * TextIndexSpec.
+    *
+    * Scale: one explode + per-doc `array_distinct` (in-stage, before any
+    * shuffle) then ONE hash aggregate keyed on term. The posting HEAD is
+    * capped at [[PostingsCap]] ids — materializing full posting lists for
+    * hot terms in one row is the classic index-build failure (a stopword's
+    * list is O(corpus)); a production index shards postings across segment
+    * files, and the full df count is kept exact here while the stored list
+    * is the bounded head. collect_list stays bounded because the cap is
+    * applied by slice() inside the same aggregate's result projection —
+    * memory per key is O(df) only within a task's hash map before spill,
+    * and the FINAL row is O(cap).
+    */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(Exprs.normWords(col("text")))).as("term"))
+    terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, PostingsCap).as("head"))
+      .select(col("term"), col("df"),
+        array_join(transform(col("head"), _.cast("string")), ",").as("postings_head"))
+      .orderBy(col("term"))
+  }
+
+  /** Top bigram collocations by lift = c_ab · N / (c_a · c_b) (PMI without
+    * the log — same ranking, and exact-integer products make the double
+    * division bit-identical across engines). Exposed for TextIndexSpec.
+    *
+    * Scale: bigrams come from `zip_with(slice, slice)` — per-row expression
+    * work, no posexplode self-join (which would shuffle every token twice
+    * and re-join on position). Both count tables are hash aggregates; the
+    * unigram side is vocabulary-sized and broadcasts into the two lift
+    * joins. Every product fits a long exactly (counts ≤ corpus tokens
+    * ≈ 2^25 at sf0.1, products ≤ 2^50 < 2^53), so the doubles are exact.
+    */
+  def collocations(docs: DataFrame): DataFrame = {
+    val toks = Exprs.normWords(col("text"))
+    val withToks = docs.select(toks.as("toks")).filter(size(col("toks")) >= 2)
+    val bigrams = withToks.select(explode(
+      zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= MinPairCount)
+    // cache: the unigram table feeds THREE consumers (c_a side, c_b side,
+    // n_tok) whose post-aggregate projections differ, so ReuseExchange
+    // cannot dedup them — uncached, the corpus-wide token explode+aggregate
+    // ran three times (measured 3× the query's data work at sf0.1). The
+    // cached table is vocabulary-sized, not corpus-sized.
+    val unigrams = docs.select(explode(Exprs.normWords(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache()
+    val nTok = unigrams.agg(sum(col("c")).as("n_tok"))
+    pairCounts
+      .join(broadcast(unigrams.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+      .join(broadcast(unigrams.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(
+        concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        round((col("c_ab") * col("n_tok")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(TopCollocations)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    sqlChecked(
+      "ta_inverted_index",
+      s"""WITH w AS (SELECT doc_id, unnest(toks) AS term
+         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |t AS (SELECT DISTINCT doc_id, term FROM w)
+         |SELECT term, COUNT(*) AS df,
+         |  array_to_string(list_sort(list(doc_id))[1:$PostingsCap], ',') AS postings_head
+         |FROM t GROUP BY term ORDER BY term""".stripMargin) { (s, dir) =>
+      invertedIndex(Tables.documents(s, dir))
+    },
+
+    sqlChecked(
+      "ta_collocations",
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS w FROM d),
+         |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+         |n AS (SELECT COUNT(*) AS n_tok FROM u),
+         |b0 AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM d WHERE len(toks) >= 2),
+         |b1 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM b0),
+         |bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM b1 GROUP BY w1, w2)
+         |SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.c_ab, a.c AS c_a, bb.c AS c_b,
+         |  round(CAST(bc.c_ab * n.n_tok AS DOUBLE) / CAST(a.c * bb.c AS DOUBLE), 6) AS lift
+         |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc bb ON bc.w2 = bb.w CROSS JOIN n
+         |WHERE bc.c_ab >= $MinPairCount
+         |ORDER BY lift DESC, bigram LIMIT $TopCollocations""".stripMargin) { (s, dir) =>
+      collocations(Tables.documents(s, dir))
+    }
+  )
+}

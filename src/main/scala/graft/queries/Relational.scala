@@ -1072,6 +1072,39 @@ object Relational {
           |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
           |                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Higher-order array functions — transform / filter / aggregate /
+    // array_min / array_max over the embedding column, i.e. the HOF surface
+    // of Spark SQL pinned by an oracle (DuckDB's list_* functions are the
+    // independent implementation). Scale: pure per-row expression work at
+    // scan speed. The lambdas here run interpreted (a known codegen hole) —
+    // acceptable on an O(n·d) linear scan; the O(n²) cosine hot path uses
+    // the codegen'd graft_dot instead (PlanSpec pins that distinction).
+    // Sums fold left-to-right in BOTH engines (sequential aggregate lambda
+    // here, in-order list_sum in DuckDB), so the doubles are bit-identical.
+    sqlChecked(
+      "q38_vector_hof",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT vec_id, len(v) AS dim,
+        |  len(list_filter(v, x -> x > 0)) AS n_pos,
+        |  round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+        |  round(list_min(v), 6) AS v_min,
+        |  round(list_max(v), 6) AS v_max,
+        |  round(list_sum(v) / len(v), 6) AS v_mean
+        |FROM v ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = graft.functions.Exprs.vecAsDouble($"embedding")
+      Tables.embeddings(s, dir)
+        .select($"vec_id", v.as("v"))
+        .select($"vec_id",
+          size($"v").cast("long").as("dim"),
+          size(filter($"v", x => x > 0)).cast("long").as("n_pos"),
+          round(sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"),
+          round(array_min($"v"), 6).as("v_min"),
+          round(array_max($"v"), 6).as("v_max"),
+          round(aggregate($"v", lit(0.0), (acc, x) => acc + x) / size($"v"), 6).as("v_mean"))
+        .orderBy($"vec_id")
     }
   )
 }

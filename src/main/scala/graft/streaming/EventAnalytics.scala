@@ -1,0 +1,213 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlChecked
+
+/** Event-analytics operators over the `events` table, beyond the windowing /
+  * sessionization surface in [[Events]]: conversion funnels, cohort
+  * retention, time-series gap-filling with last-observation-carried-forward,
+  * and a stream-static enrichment join (the one Structured Streaming join
+  * flavor [[Events]] does not exercise — stream-stream inner/left are there).
+  *
+  * The reference has no event analytics (SURVEY §2.11 — no streaming, no
+  * event tables); these are north-star extensions in the same spirit as the
+  * LLM-pipeline operators: each is the standard large-scale formulation of a
+  * product-analytics primitive, shaped so no step is O(n²) or driver-bound.
+  */
+object EventAnalytics {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    graft.functions.ExactSum.sumScaled(c, 8) // int128 exact sum — see graft.functions.Int128
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Funnel horizon: each stage must happen within 12 h of the previous. */
+  val FunnelHorizonUs: Long = 12L * 3600 * 1000 * 1000
+
+  /** Conversion funnel signup → click → purchase, each stage within 12 h of
+    * the one before. Stage k is "first qualifying event after (and within
+    * the horizon of) the user's stage-(k-1) time" — the standard ordered
+    * funnel. Exposed as a function so EventAnalyticsSpec can replay it on a
+    * planted micro-dataset where the expected stage times are hand-checked.
+    *
+    * Scale: three filter→aggregate passes and two joins, ALL keyed on
+    * user_id — one hash partitioning end-to-end; every intermediate is
+    * ≤1 row/user. No per-user event buffering, no sort, no window over the
+    * raw stream.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val horizon = expr(s"INTERVAL ${FunnelHorizonUs / 3600000000L} HOURS")
+    val s = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+    val c = events.filter(col("event_type") === "click")
+      .join(s, "user_id")
+      .filter(col("ts") >= col("st") && col("ts") <= col("st") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("ct"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("ct") && col("ts") <= col("ct") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("pt"))
+    s.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        date_format(col("st"), TsFmt).as("signup_ts"),
+        date_format(col("ct"), TsFmt).as("click_ts"),
+        date_format(col("pt"), TsFmt).as("purchase_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: users grouped by first-seen day; n_users active at
+    * each day offset 0..7 from their cohort day. The (user_id, day)
+    * de-duplication happens BEFORE the cohort join, so the join and
+    * everything after run on ≤ users × days rows, not on raw events — at
+    * 100 TB the distinct is the only event-volume shuffle. After that
+    * distinct each user contributes at most one row per (cohort, offset),
+    * so a plain count replaces countDistinct (no distinct-agg Expand).
+    */
+  def retention(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("day_offset").between(0, maxOffset))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // output is O(cohort days × offset cap) — small by construction, so a
+      // single-partition presentation sort (no range-bounds sampling re-run)
+      .transform(d => QueryDef.smallSort(d, col("cohort_day"), col("day_offset")))
+  }
+
+  /** Hourly per-type series with gaps filled: a generated hour spine ×
+    * event types, left-joined to the hourly aggregate; missing hours get
+    * n_events=0 / total_value=0.0, and locf_value carries the last observed
+    * hour's total forward (last-observation-carried-forward).
+    *
+    * Scale: the raw data collapses to the hourly aggregate FIRST; the spine
+    * (O(hours × types), independent of data volume) and the LOCF window run
+    * on that aggregate, so the low-cardinality event_type window partitions
+    * hold O(hours) rows each no matter how large the input. The 1-row
+    * bounds aggregate and the spine cross join broadcast.
+    */
+  def gapfillHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("hv"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      .crossJoin(events.select(col("event_type")).distinct())
+    val locfW = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour_ts", "event_type"), "left")
+      .select(
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("hv"), lit(0.0)).as("total_value"),
+        last(col("hv"), ignoreNulls = true).over(locfW).as("locf_value"))
+      // output is O(hours × types) — small by construction (see retention)
+      .transform(d => QueryDef.smallSort(d, col("hour"), col("event_type")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Ordered conversion funnel with a 12 h stage horizon. Oracle re-derives
+    // the three stage tables as independent SQL CTEs; non-converting users
+    // keep NULL stage timestamps (left joins), so the row also pins the
+    // funnel's drop-off, not just its conversions.
+    sqlChecked(
+      "ev_funnel",
+      """WITH s AS (SELECT user_id, min(ts) AS st FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.st
+        |        AND e.ts <= s.st + INTERVAL 12 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.ct
+        |        AND e.ts <= c.ct + INTERVAL 12 HOUR GROUP BY e.user_id)
+        |SELECT s.user_id,
+        |  strftime(s.st, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+        |  strftime(c.ct, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(p.pt, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin) { (s, dir) =>
+      funnel(Tables.events(s, dir))
+    },
+
+    // Day-0..7 cohort retention counts.
+    sqlChecked(
+      "ev_retention",
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+        |       datediff('day', f.cohort, ud.day) AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM ud JOIN f ON ud.user_id = f.user_id
+        |WHERE datediff('day', f.cohort, ud.day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      retention(Tables.events(s, dir))
+    },
+
+    // Gap-filled hourly series + LOCF. Oracle generates the same spine with
+    // generate_series and runs DuckDB's IGNORE NULLS window for the LOCF.
+    sqlChecked(
+      "ev_gapfill_locf",
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |h AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS hv
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(sp.hour_ts, '%Y-%m-%d %H:%M') AS hour, ty.event_type AS event_type,
+        |  COALESCE(h.n, 0) AS n_events,
+        |  COALESCE(h.hv, 0.0) AS total_value,
+        |  last_value(h.hv IGNORE NULLS) OVER (PARTITION BY ty.event_type ORDER BY sp.hour_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM sp CROSS JOIN ty LEFT JOIN h ON h.hour_ts = sp.hour_ts AND h.event_type = ty.event_type
+        |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      gapfillHourly(Tables.events(s, dir))
+    },
+
+    // STREAM-STATIC join: a purchase stream enriched with a batch-computed
+    // per-user dimension (lifetime event count). Stream-static inner joins
+    // are STATELESS — no watermark, no join state; the static side is
+    // re-planned per micro-batch (at scale: a broadcast of the dim, or a
+    // co-partitioned lookup, refreshed per batch — the standard
+    // dimension-enrichment topology). Oracle = the equivalent batch join.
+    sqlChecked(
+      "ev_stream_static_join",
+      """SELECT e.event_id, e.user_id, t.n_total
+        |FROM events e JOIN (SELECT user_id, COUNT(*) AS n_total
+        |                    FROM events GROUP BY user_id) t ON e.user_id = t.user_id
+        |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val outDir = Events.streamTmpDir("ev-ss-static-out")
+      val ckDir = Events.streamTmpDir("ev-ss-static-ck")
+      val static = Tables.events(s, dir)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_total"))
+      Events.withStreamPartitions(s) {
+        Tables.eventsStream(s, dir)
+          .filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id")
+          .join(static, Seq("user_id"))
+          .select($"event_id", $"user_id", $"n_total")
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      s.read.parquet(outDir).orderBy($"event_id")
+    }
+  )
+}

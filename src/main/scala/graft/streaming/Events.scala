@@ -46,7 +46,7 @@ object Events {
     * throughput unit, and defaulting them to the batch shuffle width is a
     * classic streaming misconfiguration.
     */
-  private def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+  private[streaming] def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, "8")
@@ -72,7 +72,7 @@ object Events {
     root
   }
 
-  private def streamTmpDir(prefix: String): String =
+  private[streaming] def streamTmpDir(prefix: String): String =
     Files.createTempDirectory(scratchRoot, prefix).toString
 
   private val batchOracle =

@@ -28,4 +28,18 @@ class FormatsSpec extends SparkSuite with Matchers {
     back.rdd.getNumPartitions shouldBe 4
     back.count() shouldBe cust.count()
   }
+
+  test("io_partitioned_prune: the day filter prunes to ONE partition directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pruned = Formats.partitionedPruneRead(spark, sf("sf0.001"))
+    val plan = pruned.queryExecution.executedPlan
+    plan.toString should include("PartitionFilters")
+    val scan = plan.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+    // events spans 30 days → 30 day= dirs; the filter must list-and-scan 1
+    scan.selectedPartitions.partitionCount shouldBe 1
+    // and the data rows really are only that day's
+    import spark.implicits._
+    pruned.select(org.apache.spark.sql.functions.countDistinct($"day")).collect()
+      .head.getLong(0) shouldBe 1L
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+/** Hand-checked semantics for the corpus-indexing operators: posting-list
+  * content/cap for the inverted index, and the exact lift arithmetic for
+  * collocations (the oracle proves cross-engine equality; these prove the
+  * numbers are the ones the definitions promise).
+  */
+class TextIndexSpec extends SparkSuite with Matchers {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("inverted index: df counts documents (not occurrences), postings sorted") {
+    val got = TextIndex.invertedIndex(docs(Seq(
+      (3L, "a b a"), // 'a' twice in one doc → df 1 for that doc
+      (1L, "b c"),
+      (2L, "a"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    got shouldBe Array(
+      ("a", 2L, "2,3"),
+      ("b", 2L, "1,3"),
+      ("c", 1L, "1"))
+  }
+
+  test("inverted index: posting head capped at PostingsCap, df stays exact") {
+    val many = (1L to 50L).map(i => (i, "hot term"))
+    val rows = TextIndex.invertedIndex(docs(many)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    rows.map(_._1).sorted shouldBe Array("hot", "term")
+    for ((_, df, head) <- rows) {
+      df shouldBe 50L // full document frequency survives the cap
+      head shouldBe (1L to TextIndex.PostingsCap).mkString(",")
+    }
+  }
+
+  test("collocations: exact lift arithmetic and (lift desc, bigram asc) order") {
+    // one doc = "x y q" × 25 → bigrams: (x y)×25, (y q)×25, (q x)×24;
+    // unigrams all 25; n_tok = 75.
+    val text = Seq.fill(25)("x y q").mkString(" ")
+    val got = TextIndex.collocations(docs(Seq((1L, text)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    got shouldBe Array(
+      // lift = c_ab * 75 / (25 * 25): 25*75/625 = 3.0, 24*75/625 = 2.88
+      ("x y", 25L, 25L, 25L, 3.0),
+      ("y q", 25L, 25L, 25L, 3.0),
+      ("q x", 24L, 25L, 25L, 2.88))
+  }
+
+  test("collocations: pairs under MinPairCount are dropped") {
+    val text = Seq.fill(19)("u v").mkString(" ") // "v u" appears 18×, "u v" 19×
+    TextIndex.collocations(docs(Seq((1L, text)))).collect() shouldBe empty
+  }
+
+  test("plan shape: collocations joins broadcast the vocabulary side") {
+    val p = graft.SparkEntry.queries("ta_collocations")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    p should include("BroadcastHashJoin")
+    (p should not).include("CartesianProduct")
+  }
+}
