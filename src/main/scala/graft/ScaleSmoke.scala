@@ -21,7 +21,12 @@ object ScaleSmoke {
     "q01_pricing_summary", "q20_sketch_stats", "q32_percentiles",
     "ta_tokens", "ta_langid", "ta_seq_pack", "ta_keywords",
     "ta_pipeline_e2e", "dd_span_dup", "dd_minhash_lsh", "dd_components",
-    "dd_keep_best", "dd_embedding_lsh")
+    "dd_keep_best", "dd_embedding_lsh",
+    // late-round-7 additions: corpus indexing (term-keyed aggregates),
+    // event analytics (user-keyed aggregates over a ×copies user
+    // population), and the per-row HOF scan
+    "ta_inverted_index", "ta_collocations", "ev_funnel", "ev_retention",
+    "q38_vector_hof")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
@@ -42,12 +47,15 @@ object ScaleSmoke {
     // otherwise be silently reused and every printed ratio mislabeled
     // (ADVICE r06).
     val marker = java.nio.file.Paths.get(dst, "copies.marker")
+    // "v2" = the synthesized table set now includes events; a v1 dst (no
+    // events.parquet) must re-synthesize even with matching copies:src
+    val markerVal = s"$copies:$src:v2"
     val fresh = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == s"$copies:$src"
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == markerVal
     if (!fresh) {
       synthesize(spark, src, dst, copies)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
-      java.nio.file.Files.write(marker, s"$copies:$src\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(marker, s"$markerVal\n".getBytes("UTF-8"))
     }
 
     def timed(thunk: => Unit): Double = {
@@ -109,6 +117,10 @@ object ScaleSmoke {
     * families without being byte-identical in the tail grams.
     */
   private def synthesize(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    // the raw events parquet stores ts as TIMESTAMP(NANOS); read it as long
+    // (same conf Tables.events uses) — the synthesized copy then carries a
+    // plain long ts, which Tables.events' `ts div 1000` handles identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def shifted(df: DataFrame, key: String, shift: Long, i: Int): DataFrame =
       df.withColumn(key, col(key) + lit(shift * i))
     def union(df: DataFrame, key: String, tweak: (DataFrame, Int) => DataFrame): DataFrame = {
@@ -126,6 +138,15 @@ object ScaleSmoke {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     union(emb, "vec_id", (d, _) => d)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    println(s"[scale] synthesized ${copies}x copies of lineitem/documents/embeddings at $dst")
+    // events: shift user_id as well as event_id, so the USER population
+    // (the key every event-analytics shuffle partitions on) scales ×copies
+    // with the event volume — per-user history length stays constant, the
+    // realistic growth mode for an event stream.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val userShift = ev.agg(max(col("user_id"))).collect().head.getLong(0) + 1
+    union(ev, "event_id", (d, i) =>
+      d.withColumn("user_id", col("user_id") + lit(userShift * i)))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    println(s"[scale] synthesized ${copies}x copies of lineitem/documents/embeddings/events at $dst")
   }
 }

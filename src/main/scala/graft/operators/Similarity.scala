@@ -327,6 +327,43 @@ object Similarity {
         .agg(round(sum($"x".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
         .select($"cluster", ($"pos" + 1).cast("long").as("pos"), $"mu")
         .orderBy($"cluster", $"pos")
+    },
+
+    // Symmetric int8 quantization of the embedding column — the storage/
+    // bandwidth half of an ANN system at 100 TB: float32 vectors quantized
+    // to int8 read 4× fewer bytes per scan, and the integer dot product is
+    // SIMD-friendly. Per vector: scale = max|x| / 127, q_i = round(x_i /
+    // scale). Outputs pin the quantized norm (EXACT integer arithmetic),
+    // the saturation count, and the reconstruction MSE. Scale shape: pure
+    // per-row expression work at scan speed — quantization is a map, never
+    // a shuffle. All sums fold in index order in both engines, and the
+    // round() tie rule (half away from zero) matches, so the row is
+    // bit-stable cross-engine.
+    sqlChecked(
+      "sim_quantize_int8",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, scale, v,
+        |        list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale_r,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm_sq,
+        |  len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
+        |  round(list_sum(list_transform(generate_series(1, len(v)),
+        |          i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))) / len(v), 12) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+        .withColumn("scale", array_max(transform($"v", x => abs(x))) / lit(127.0))
+        .withColumn("qv", transform($"v", x => round(x / $"scale").cast("long")))
+      e.select($"vec_id",
+          round($"scale", 9).as("scale_r"),
+          aggregate(transform($"qv", x => x * x), lit(0L), (acc, x) => acc + x).as("qnorm_sq"),
+          size(filter($"qv", x => abs(x) === 127)).cast("long").as("n_sat"),
+          round(
+            aggregate(zip_with($"v", $"qv", (a, q) => (a - q * $"scale") * (a - q * $"scale")),
+              lit(0.0), (acc, x) => acc + x) / size($"v"), 12).as("mse"))
+        .orderBy($"vec_id")
     }
   )
 }

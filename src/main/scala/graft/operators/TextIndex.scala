@@ -129,6 +129,50 @@ object TextIndex {
          |WHERE bc.c_ab >= $MinPairCount
          |ORDER BY lift DESC, bigram LIMIT $TopCollocations""".stripMargin) { (s, dir) =>
       collocations(Tables.documents(s, dir))
+    },
+
+    // One BPE-training iteration (Sennrich et al. 2016): count adjacent
+    // CHARACTER pairs across the corpus, weighted by word frequency, and
+    // emit the top merge candidates — the inner loop of tokenizer
+    // induction, run distributed. Scale: the corpus collapses to the
+    // VOCABULARY first (one word-keyed aggregate — the only event-volume
+    // shuffle); pair extraction then runs per distinct word, so its cost is
+    // O(vocab × word length) no matter how many tokens the corpus has. A
+    // full BPE train iterates this with a re-segmented vocab per merge; the
+    // per-iteration plan is what has to scale.
+    sqlChecked(
+      "ta_bpe_merge",
+      s"""WITH w AS (SELECT unnest(toks) AS word
+         |           FROM (SELECT $toksSql AS toks FROM documents)),
+         |vc AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+         |p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+         |                                   i -> word[i:i+1])) AS pair, c
+         |      FROM vc WHERE length(word) >= 2)
+         |SELECT pair, CAST(SUM(c) AS BIGINT) AS score FROM p GROUP BY pair
+         |ORDER BY score DESC, pair LIMIT 10""".stripMargin) { (s, dir) =>
+      bpeMergeStep(Tables.documents(s, dir))
     }
   )
+
+  /** Top adjacent-char-pair merge candidates (one BPE iteration). Exposed
+    * for TextIndexSpec.
+    */
+  def bpeMergeStep(docs: DataFrame): DataFrame = {
+    val vocab = docs.select(explode(Exprs.normWords(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .filter(length(col("word")) >= 2)
+    // adjacent char pairs of each distinct word via the same
+    // zip_with(slice, slice) shape as collocations, at character level
+    // (the empty-string filter guards against regex-split's zero-width
+    // trailing match — chars must be exactly length(word) elements)
+    val chars = filter(split(col("word"), ""), c => c =!= lit(""))
+    vocab.select(explode(
+        zip_with(
+          slice(chars, lit(1), size(chars) - 1),
+          slice(chars, lit(2), size(chars) - 1),
+          (a, b) => concat(a, b))).as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("score"))
+      .orderBy(col("score").desc, col("pair"))
+      .limit(10)
+  }
 }

@@ -56,6 +56,23 @@ class TextIndexSpec extends SparkSuite with Matchers {
     TextIndex.collocations(docs(Seq((1L, text)))).collect() shouldBe empty
   }
 
+  test("bpe merge step: char pairs weighted by word frequency, ties by pair") {
+    // "ab" ×3, "abc" ×2 → pairs: ab: 3+2=5, bc: 2. 1-char words contribute
+    // nothing.
+    val got = TextIndex.bpeMergeStep(docs(Seq(
+      (1L, "ab ab abc a"),
+      (2L, "ab abc a"))))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got shouldBe Array(("ab", 5L), ("bc", 2L))
+  }
+
+  test("bpe merge step: pair weight is the WORD count, chars inside a word count once per occurrence") {
+    // "aaa" ×2 → pairs per occurrence: aa, aa → weight 2 each, summed = 4
+    val got = TextIndex.bpeMergeStep(docs(Seq((1L, "aaa aaa"))))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got shouldBe Array(("aa", 4L))
+  }
+
   test("plan shape: collocations joins broadcast the vocabulary side") {
     val p = graft.SparkEntry.queries("ta_collocations")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
