@@ -96,7 +96,10 @@ object Relational {
           dsum($"l_extendedprice").as("sum_base_price"),
           discPriceSum.as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy($"l_returnflag", $"l_linestatus")
+        // output cardinality is |returnflag| × |linestatus| — a constant —
+        // so the presentation sort must not be a range sort (whose bounds
+        // sampling re-executes the whole aggregate; measured 0.86 → 0.46 s)
+        .transform(d => QueryDef.smallSort(d, $"l_returnflag", $"l_linestatus"))
     },
 
     // P1/P3/P6 — projection + equality filter + rename. Scale: both the
@@ -674,7 +677,10 @@ object Relational {
         .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
         .groupBy($"n_name")
         .agg(discPriceSum.as("revenue"))
-        .orderBy($"revenue".desc, $"n_name".asc)
+        // one row per nation (constant) — single-partition presentation
+        // sort; a range sort's bounds sampling re-ran the whole snowflake
+        // join (measured 2.53 → 0.94 s)
+        .transform(d => QueryDef.smallSort(d, $"revenue".desc, $"n_name".asc))
     },
 
     // ROLLUP — hierarchical subtotals (group, per-flag, grand total) in one
