@@ -27,7 +27,19 @@ package graft
   *    found four >3× swings with zero source change that the within-run
   *    flag missed (it only sees sorted-vs-nosort, so a uniform slowdown is
   *    invisible to it). A full unfiltered run refreshes bench_prev.json so
-  *    the next round compares against this one.
+  *    the next round compares against this one — but ONLY when the run is
+  *    clean (VERDICT r07 #1: the unconditional refresh let a load-
+  *    contaminated 238.7 s snapshot overwrite the clean 81.7 s basis, which
+  *    would have neutered the guard the following round). A run with any
+  *    load_contaminated / regressed_vs_prev / failed entry never becomes
+  *    the basis; SPARK_GRAFT_REFRESH_BASIS=1 force-overrides for manual
+  *    basis resets.
+  *  - RETRY-IN-ISOLATION (VERDICT r07 #2): before the artifact is written,
+  *    every flagged query is re-measured once more in isolation; if the
+  *    retry median is lower it replaces the loaded one and the flags are
+  *    recomputed. A judged round should end with a clean artifact when the
+  *    contamination was transient load, and a still-flagged one only when
+  *    the slowdown reproduces.
   *
   * SPARK_GRAFT_ONLY=name1,name2 filters to a subset (local iteration only —
   * the driver runs unfiltered).
@@ -80,8 +92,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    val defs = SparkEntry.allDefs.filter(d => only.forall(_.contains(d.name)))
-    val results = defs.map { d =>
+    def measure(d: QueryDef): (String, Double, Double, Boolean) = {
       val sortedRuns = (1 to runs).map(_ => timed(
         d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
       // Queries with NO top-level ORDER BY (the 1-row aggregate family —
@@ -109,15 +120,9 @@ object Bench {
       val nosortMed = if (hasTopSort) median(nosortRuns0.map(_._1)) else sortedMed
       (d.name, sortedMed, nosortMed, ok)
     }
-    def obj(pairs: Seq[(String, Double)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val qs = obj(results.map(r => r._1 -> r._2))
-    val qsNoSort = obj(results.map(r => r._1 -> r._3))
-    val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    // sub-second queries swing >3× on pure scheduling noise — only flag
-    // rows where the absolute gap could matter
-    val contaminated = results.filter(r => r._2 > 3 * r._3 && r._2 > 1.0)
-      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+
+    val defs = SparkEntry.allDefs.filter(d => only.forall(_.contains(d.name)))
+    val results0 = defs.map(measure)
     // Cross-round guard: previous full-suite medians live in bench_prev.json
     // ("queries":{"name":sec,...}); flag >3× round-over-round moves above 1 s.
     val prevPath = java.nio.file.Paths.get("bench_prev.json")
@@ -128,8 +133,40 @@ object Bench {
           .filter(m => m.group(1) != "round" && m.group(1) != "runs" && m.group(1) != "sf")
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
-    val regressed = results
+    // sub-second queries swing >3× on pure scheduling noise — only flag
+    // rows where the absolute gap could matter
+    def flaggedOf(rs: Seq[(String, Double, Double, Boolean)]): Set[String] =
+      (rs.filter(r => r._2 > 3 * r._3 && r._2 > 1.0) ++
+        rs.filter(r => prevMedians.get(r._1).exists(p => r._2 > 3 * p && r._2 > 1.0)))
+        .map(_._1).toSet
+
+    // Retry-in-isolation: a flagged query in a full-suite pass usually means
+    // external load hit its window, not a plan change. Re-measure each one
+    // back-to-back (nothing else running between its runs) and keep the
+    // lower median; genuine regressions reproduce and stay flagged.
+    val retried = flaggedOf(results0)
+    val results = results0.map { r =>
+      if (!retried(r._1)) r
+      else {
+        System.err.println(s"[bench] retrying flagged query in isolation: ${r._1}")
+        val d = defs.find(_.name == r._1).get
+        val again = measure(d)
+        if (again._4 && again._2 < r._2)
+          (r._1, again._2, math.min(r._3, again._3), r._4)
+        else r
+      }
+    }
+
+    def obj(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = obj(results.map(r => r._1 -> r._2))
+    val qsNoSort = obj(results.map(r => r._1 -> r._3))
+    val failed = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val contaminatedSeq = results.filter(r => r._2 > 3 * r._3 && r._2 > 1.0).map(_._1)
+    val contaminated = contaminatedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regressedSeq = results
       .filter(r => prevMedians.get(r._1).exists(p => r._2 > 3 * p && r._2 > 1.0))
+    val regressed = regressedSeq
       .map(r => "\"" + r._1 + "\":" + f"${r._2 / prevMedians(r._1)}%.1f")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -142,10 +179,19 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes("UTF-8"))
-    // A full (unfiltered) run becomes the next round's comparison basis.
-    if (only.isEmpty && results.forall(_._4)) {
+    // A full (unfiltered) CLEAN run becomes the next round's comparison
+    // basis. Gated (VERDICT r07 #1): a run with surviving contamination /
+    // regression flags or failures must never overwrite the clean basis —
+    // that neuters regressed_vs_prev next round. Manual reset:
+    // SPARK_GRAFT_REFRESH_BASIS=1.
+    val clean = contaminatedSeq.isEmpty && regressedSeq.isEmpty && results.forall(_._4)
+    val forceRefresh = sys.env.get("SPARK_GRAFT_REFRESH_BASIS").contains("1")
+    if (only.isEmpty && (clean || forceRefresh)) {
       val prevJson = "{\"runs\":" + runs + ",\"sf\":\"" + sfDir + "\",\"queries\":" + qs + "}"
       java.nio.file.Files.write(prevPath, (prevJson + "\n").getBytes("UTF-8"))
+    } else if (only.isEmpty) {
+      System.err.println(
+        s"[bench] basis NOT refreshed (contaminated=$contaminated regressed=$regressed failed=$failed)")
     }
     println(detail)
     val headline = Seq(

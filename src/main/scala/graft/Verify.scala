@@ -38,7 +38,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // When SPARK_GRAFT_ONLY filters the dump, filter the oracle map to the
+    // same subset (ADVICE r07): otherwise a rerun into a dirty outDir makes
+    // check_oracle validate STALE parquet for the other ~100 queries against
+    // current SQL, masking regressions during local iteration.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -115,25 +115,45 @@ object Formats {
 
   /** The pruned scan half of io_partitioned_prune, exposed so FormatsSpec
     * can assert the physical plan prunes to exactly one partition
-    * directory. Writes once per JVM (lazy val) — bench reruns reuse it.
+    * directory. One partitioned rewrite per SOURCE DIR per JVM (ADVICE
+    * r07: a single shared slot meant alternating dirs re-wrote every call
+    * and a concurrent caller could read another dir's data); temp dirs are
+    * registered for deletion on JVM exit.
     */
-  lazy val partitionedEventsDir: String =
-    Files.createTempDirectory("graft-part-events").toString
+  private val partitionedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
-  @volatile private var partitionedWritten: String = null
+  def partitionedEventsDir(dir: String): String =
+    partitionedDirs.getOrElseUpdate(dir, {
+      val p = Files.createTempDirectory("graft-part-events")
+      sys.addShutdownHook {
+        import java.nio.file.{Files => F, Path}
+        import scala.jdk.CollectionConverters._
+        if (F.exists(p)) {
+          val all = F.walk(p).iterator().asScala.toSeq
+          all.sortBy((x: Path) => -x.getNameCount).foreach(F.deleteIfExists)
+        }
+      }
+      p.toString
+    })
 
   def partitionedPruneRead(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    val target = partitionedEventsDir(dir)
+    // Write-once per (JVM, source dir): the marker file commits the rewrite
+    // atomically AFTER the parquet write succeeds, so a crashed write is
+    // retried rather than read half-finished.
+    val marker = java.nio.file.Paths.get(target, "_graft_written")
     synchronized {
-      if (partitionedWritten != dir) {
+      if (!Files.exists(marker)) {
         Tables.events(s, dir)
           .withColumn("day", to_date($"ts"))
-          .write.mode("overwrite").partitionBy("day").parquet(partitionedEventsDir)
-        partitionedWritten = dir
+          .write.mode("overwrite").partitionBy("day").parquet(target)
+        Files.createFile(marker)
       }
     }
-    s.read.parquet(partitionedEventsDir)
+    s.read.parquet(target)
       .filter($"day" === lit("2024-01-15").cast("date"))
   }
 }

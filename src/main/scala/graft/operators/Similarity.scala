@@ -338,11 +338,15 @@ object Similarity {
     // per-row expression work at scan speed — quantization is a map, never
     // a shuffle. All sums fold in index order in both engines, and the
     // round() tie rule (half away from zero) matches, so the row is
-    // bit-stable cross-engine.
+    // bit-stable cross-engine. The greatest(·, 1e-30) floor guards the
+    // all-zero-vector edge (ADVICE r07): without it, 0/0 is NaN in Spark
+    // but NULL-ish in DuckDB — a cross-engine mismatch the unit-norm data
+    // merely happened to avoid. With the floor, a zero vector quantizes to
+    // all-zero q, n_sat=0, mse=0 identically in both engines.
     sqlChecked(
       "sim_quantize_int8",
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+        |s AS (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale FROM v),
         |q AS (SELECT vec_id, scale, v,
         |        list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv FROM s)
         |SELECT vec_id, round(scale, 9) AS scale_r,
@@ -354,7 +358,8 @@ object Similarity {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
-        .withColumn("scale", array_max(transform($"v", x => abs(x))) / lit(127.0))
+        .withColumn("scale",
+          greatest(array_max(transform($"v", x => abs(x))) / lit(127.0), lit(1e-30)))
         .withColumn("qv", transform($"v", x => round(x / $"scale").cast("long")))
       e.select($"vec_id",
           round($"scale", 9).as("scale_r"),

@@ -15,6 +15,12 @@ class QuantizeSpec extends SparkSuite with Matchers {
   test("sim_quantize_int8: saturation, range, norm reconstruction and MSE bound") {
     val rows = graft.SparkEntry.queries("sim_quantize_int8")(spark, sf("sf0.001")).collect()
     rows.length should be > 0
+    // Dimension comes from the data, not a literal (ADVICE r07): a hardcoded
+    // 64 silently weakens or spuriously fails these bounds if the embeddings
+    // testdata dimension changes.
+    val dim = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .selectExpr("size(embedding) AS d").head().getInt(0).toLong
+    dim should be > 0L
     for (r <- rows) {
       val (scale, qnormSq, nSat, mse) =
         (r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4))
@@ -22,14 +28,14 @@ class QuantizeSpec extends SparkSuite with Matchers {
       // the max-|x| element quantizes to round(±127.0) — at least one hit
       nSat should be >= 1L
       // no element can exceed 127 in magnitude, so qnorm_sq <= d * 127²
-      qnormSq should be <= 64L * 127 * 127
+      qnormSq should be <= dim * 127 * 127
       qnormSq should be > 0L
       // per-element rounding error <= scale/2 → mse <= (scale/2)²
       mse should be <= (scale / 2) * (scale / 2) + 1e-15
       // reconstructed norm within the rounding budget of the true norm
       // (embeddings are unit vectors): |sqrt(qnorm_sq)*scale - 1| <= d·(scale/2)
       val rec = math.sqrt(qnormSq.toDouble) * scale
-      math.abs(rec - 1.0) should be <= 64 * scale / 2
+      math.abs(rec - 1.0) should be <= dim * scale / 2
     }
   }
 }
