@@ -204,6 +204,121 @@ object Similarity {
         .orderBy($"query_id", $"rk")
     },
 
+    // IVF probe over INT8-QUANTIZED vectors — the consumer of
+    // sim_quantize_int8's output that closes the bandwidth loop (VERDICT
+    // r07 #3): the probe's scoring pass reads int8 vectors (4× fewer bytes
+    // than float32 at 100 TB — the scan is the cost) and ranks by the
+    // QUANTIZED cosine, which needs no descale at all: per-vector symmetric
+    // quantization q_i = round(x_i / scale) gives
+    //   cos8 = (Σ q_qi·q_ci · s_q·s_c) / (√qns_q·s_q · √qns_c·s_c)
+    //        = intdot / sqrt(qns_q · qns_c)
+    // — the scales cancel, so candidate scoring touches ONLY the int8
+    // arrays and their precomputed integer squared norms. All candidate
+    // arithmetic before the final division is EXACT int64 (dim·127² ≪ 2⁶³),
+    // bit-stable across engines and partitionings. Structure (centroid
+    // build, nearest-cluster assignment, nprobe=3 probe) matches
+    // sim_ivf_topk; Int8RecallSpec pins recall vs the float brute-force
+    // baseline.
+    sqlChecked(
+      "sim_ivf_int8",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+        |  FROM (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale FROM v)),
+        |q8n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qns FROM q8),
+        |cent AS (
+        |  SELECT label, list(mu ORDER BY pos) AS c FROM (
+        |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+        |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+        |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                FROM embeddings))
+        |    GROUP BY label, pos) GROUP BY label),
+        |cn AS (SELECT label, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm FROM cent),
+        |assigned AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT n.vec_id, cn.label,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cn.c[i]))
+        |          / (n.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+        |    FROM n CROSS JOIN cn) WHERE rk = 1),
+        |probes AS (
+        |  SELECT query_id, cluster FROM (
+        |    SELECT q.vec_id AS query_id, cn.label AS cluster,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * cn.c[i]))
+        |          / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+        |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i])) AS BIGINT) AS intdot,
+        |    round(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.qv[i]))
+        |      / sqrt(CAST(q.qns AS DOUBLE) * CAST(c.qns AS DOUBLE)), 6) AS cos8
+        |  FROM probes p
+        |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+        |  JOIN q8n q ON q.vec_id = p.query_id
+        |  JOIN q8n c ON c.vec_id = a.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos8 DESC, cand_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, cand_id, intdot, cos8, rk FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+        .withColumn("nrm", Exprs.l2norm($"v"))
+      // The int8 index: exactly sim_quantize_int8's transform. At 100 TB
+      // this table is the STORED artifact (int8 + int norm, no floats) —
+      // the probe below never touches the float vectors for scoring.
+      val q8 = e
+        .withColumn("scale",
+          greatest(array_max(transform($"v", x => abs(x))) / lit(127.0), lit(1e-30)))
+        .withColumn("qv", transform($"v", x => round(x / $"scale").cast("long")))
+        .select($"vec_id", $"qv",
+          aggregate(transform($"qv", x => x * x), lit(0L), (acc, x) => acc + x).as("qns"))
+      val centroids = Tables.embeddings(s, dir)
+        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+        .withColumn("cnrm", Exprs.l2norm($"c"))
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"label".asc)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"label".as("cluster"))
+      val probes = e.filter($"vec_id" < 5).crossJoin(broadcast(centroids))
+        .select($"vec_id".as("query_id"), $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
+        .filter($"rk" <= 3)
+        .select($"query_id", $"label".as("cluster"))
+      val q = q8.select($"vec_id".as("query_id"), $"qv".as("qqv"), $"qns".as("qqns"))
+        .filter($"query_id" < 5)
+      val wTop = Window.partitionBy($"query_id").orderBy($"cos8".desc, $"cand_id".asc)
+      broadcast(probes)
+        .join(assigned, Seq("cluster"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("cand_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .join(q8.as("c"), $"cand_id" === $"c.vec_id")
+        .select($"query_id", $"cand_id",
+          aggregate(zip_with($"qqv", $"c.qv", (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+            .as("intdot"),
+          $"qqns", $"c.qns".as("cqns"))
+        .select($"query_id", $"cand_id", $"intdot",
+          round($"intdot" / sqrt($"qqns".cast("double") * $"cqns".cast("double")), 6).as("cos8"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter($"rk" <= 10)
+        .select($"query_id", $"cand_id", $"intdot", $"cos8", $"rk".cast("long").as("rk"))
+        .transform(d => graft.QueryDef.smallSort(d, $"query_id", $"rk"))
+    },
+
     // Per-label embedding centroids — the training half of IVF/k-means-style
     // partitioned ANN and of cluster-based data curation. One posexplode +
     // one (label, pos) aggregate: the mean is decimal-summed / count, so the

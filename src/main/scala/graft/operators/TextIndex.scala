@@ -31,6 +31,12 @@ object TextIndex {
   val MinPairCount = 20
   val TopCollocations = 20
 
+  /** Merge rounds for ta_bpe_train. Declared BEFORE `defs`: the oracle SQL
+    * is generated eagerly during object init, and a later-declared val
+    * would still read as 0 there (Scala initialization order).
+    */
+  val BpeRounds = 10
+
   /** term → (document frequency, first [[PostingsCap]] doc_ids). Exposed for
     * TextIndexSpec.
     *
@@ -151,8 +157,103 @@ object TextIndex {
          |SELECT pair, CAST(SUM(c) AS BIGINT) AS score FROM p GROUP BY pair
          |ORDER BY score DESC, pair LIMIT 10""".stripMargin) { (s, dir) =>
       bpeMergeStep(Tables.documents(s, dir))
+    },
+
+    // Iterated BPE training (VERDICT r07 #4): ta_bpe_merge is ONE
+    // iteration; real tokenizer induction applies the best merge and
+    // re-counts, [[BpeRounds]] times. The oracle UNROLLS the identical 10
+    // rounds in SQL (programmatically generated CTE chain), replaying merge
+    // selection AND application, so the whole training trajectory is
+    // cross-engine pinned — not just the first argmax.
+    sqlChecked("ta_bpe_train", bpeTrainOracleSql) { (s, dir) =>
+      bpeTrain(s, Tables.documents(s, dir), BpeRounds)
     }
   )
+
+  /** Distributed BPE training: [[BpeRounds]] rounds of (count adjacent
+    * symbol pairs over the vocab, weighted by word frequency) → (argmax
+    * pair) → (apply the merge to every word's segmentation). Returns one
+    * row per round: (iter, pair "w1 w2", score).
+    *
+    * Mechanics: a word's segmentation is encoded as the string
+    * `<sym><sym>...` — applying merge (a,b) is then a plain non-overlapping
+    * left-to-right `replace("<a><b>" → "<ab>")`, which is EXACTLY greedy
+    * BPE merge semantics (the classic space-joined-symbols trick from
+    * Sennrich et al. 2016, with bracket delimiters instead of spaces so
+    * adjacent matches never share a boundary character and no lookaround
+    * regex is needed — symbols are [a-z0-9] so the brackets can't collide).
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY once (the only
+    * event-volume shuffle); every round's pair count + merge rewrite is
+    * O(vocab × word length), independent of corpus token volume — the
+    * property that makes distributed BPE viable at 100 TB, where the corpus
+    * is petabytes but the vocab is ~10⁶ rows. The per-round argmax is a
+    * 1-row driver fetch (the "model", like a k-means centroid collect);
+    * localCheckpoint after each rewrite truncates the replace-chain lineage
+    * the same way componentsOf bounds its pointer-doubling plans.
+    */
+  def bpeTrain(s: org.apache.spark.sql.SparkSession, docs: DataFrame, rounds: Int): DataFrame = {
+    val vocab = docs.select(explode(Exprs.normWords(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .filter(length(col("word")) >= 2)
+    val chars0 = filter(split(col("word"), ""), c => c =!= lit(""))
+    var seg = vocab.select(
+      concat(lit("<"), array_join(chars0, "><"), lit(">")).as("seg"), col("c"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = split(regexp_replace(col("seg"), "^<|>$", ""), "><")
+      val best = seg
+        .select(explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"), col("c"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(sum(col("c")).as("score"))
+        .orderBy(col("score").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (w1, w2, score) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, s"$w1 $w2", score))
+        seg = seg.select(
+          replace(col("seg"), lit(s"<$w1><$w2>"), lit(s"<$w1$w2>")).as("seg"), col("c"))
+          .localCheckpoint()
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("iter", "pair", "score")
+      .select(col("iter").cast("long").as("iter"), col("pair"), col("score"))
+      .orderBy(col("iter"))
+  }
+
+  /** The DuckDB replay of [[bpeTrain]]: an unrolled CTE chain, one
+    * (pair-count → argmax → replace) block per round. Generated, not
+    * handwritten, so the round count stays pinned to [[BpeRounds]].
+    */
+  def bpeTrainOracleSql: String = {
+    val header =
+      s"""WITH w AS (SELECT unnest(toks) AS word
+         |           FROM (SELECT $toksSql AS toks FROM documents)),
+         |vc AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+         |seg0 AS (SELECT '<' || array_to_string(list_filter(regexp_split_to_array(word, ''), x -> x <> ''), '><') || '>' AS seg, c
+         |         FROM vc WHERE length(word) >= 2)""".stripMargin
+    val stages = (1 to BpeRounds).map { k =>
+      val prev = s"seg${k - 1}"
+      s"""p$k AS (SELECT pr['w1'] AS w1, pr['w2'] AS w2, CAST(SUM(c) AS BIGINT) AS score FROM (
+         |  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+         |                               i -> {'w1': syms[i], 'w2': syms[i+1]})) AS pr, c
+         |  FROM (SELECT regexp_split_to_array(trim(seg, '<>'), '><') AS syms, c FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT w1, w2, score FROM p$k ORDER BY score DESC, w1, w2 LIMIT 1),
+         |seg$k AS (SELECT replace(seg, '<' || b.w1 || '><' || b.w2 || '>', '<' || b.w1 || b.w2 || '>') AS seg, c
+         |          FROM $prev CROSS JOIN b$k b)""".stripMargin
+    }
+    val union = (1 to BpeRounds)
+      .map(k => s"SELECT $k AS iter, w1 || ' ' || w2 AS pair, score FROM b$k")
+      .mkString("\nUNION ALL\n")
+    (header +: stages).mkString(",\n") +
+      s"\nSELECT CAST(iter AS BIGINT) AS iter, pair, score FROM ($union)\nORDER BY iter"
+  }
 
   /** Top adjacent-char-pair merge candidates (one BPE iteration). Exposed
     * for TextIndexSpec.

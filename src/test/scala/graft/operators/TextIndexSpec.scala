@@ -73,6 +73,32 @@ class TextIndexSpec extends SparkSuite with Matchers {
     got shouldBe Array(("aa", 4L))
   }
 
+  test("bpe train: greedy merge application and vocab-level iteration") {
+    // vocab: "abab"×3, "ab"×2. Round 1: best pair (a,b) score 3+3+2=8
+    // (ba: 3). Applying (a,b) greedily: "abab" → [ab, ab], "ab" → [ab].
+    // Round 2: the ONLY remaining pair is (ab, ab) score 3 — pins both the
+    // non-overlapping left-to-right merge semantics and that later rounds
+    // count MERGED symbols, not characters.
+    val got = TextIndex.bpeTrain(spark, docs(Seq(
+        (1L, "abab abab ab"),
+        (2L, "abab ab"))), 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got shouldBe Array((1L, "a b", 8L), (2L, "ab ab", 3L))
+  }
+
+  test("bpe train: round-1 merge equals the single-step argmax; scores never increase") {
+    val dir = sf("sf0.001")
+    val step1 = graft.SparkEntry.queries("ta_bpe_merge")(spark, dir)
+      .collect().head
+    val train = graft.SparkEntry.queries("ta_bpe_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    train should have size TextIndex.BpeRounds.toLong
+    train.head._2 shouldBe step1.getString(0).grouped(1).mkString(" ")
+    // a merge can only create pairs bounded by its own count, and existing
+    // pairs only lose occurrences — the argmax sequence is non-increasing
+    train.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => b should be <= a }
+  }
+
   test("plan shape: collocations joins broadcast the vocabulary side") {
     val p = graft.SparkEntry.queries("ta_collocations")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
