@@ -63,15 +63,38 @@ object Bench {
     // default. Override with SPARK_GRAFT_SHUFFLE=32 to reproduce the old
     // basis.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // Scan-split size (default 128 MB, Spark's own default). At sf1 the
+    // amplified single-file tables are 30-150 MB — the default would scan
+    // each as 1-2 tasks and serialize CPU-heavy text scans; an operator
+    // sizes maxPartitionBytes to the cluster exactly like shuffle width
+    // (SCALING.md). Recorded in the output when overridden.
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+    // openCostInBytes FLOORS the split size at 4 MB by default — for
+    // high-compression CPU-heavy columns (text at ~7:1) a 5 MB parquet file
+    // is 40 MB of decompressed scan work, and the byte heuristic would run
+    // it as one task. Sized together with maxPartitionBytes (SCALING.md).
+    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
+      .config("spark.sql.files.openCostInBytes", openCost)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local[32] runs driver + all executor threads in ONE JVM: a long GC
+      // or a CPU-saturated stretch can starve the heartbeat thread past the
+      // 120 s default and the HeartbeatReceiver then kills the only
+      // "executor" (observed at sf1: 126 s gap → context shutdown). The
+      // same settings are standard practice on real clusters for long-pause
+      // workloads.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[bench] heap max=${Runtime.getRuntime.maxMemory / (1 << 20)} MiB" +
+      s" sfDir=$sfDir shuffle=$shuffle maxPartitionBytes=$maxPart openCost=$openCost")
 
     // Warm the JVM/codegen paths once on the smallest SF so per-query times
     // measure the engine, not first-call classloading.
@@ -107,9 +130,16 @@ object Bench {
       // and the "run" would time a cache read (~0.02 s, found the hard
       // way); the probe's one untimed construction is the price of sort
       // detection.
-      val probe = d.fn(spark, sfDir)
+      // The probe's construction + analysis can itself throw (e.g. a query
+      // whose input dir is schema-incompatible); that must count as a failed
+      // query, not kill the whole suite before the JSON is written.
       val hasTopSort =
-        org.apache.spark.sql.graftbridge.Bridge.stripTopSort(probe) ne probe
+        try {
+          val probe = d.fn(spark, sfDir)
+          org.apache.spark.sql.graftbridge.Bridge.stripTopSort(probe) ne probe
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] probe failed: ${e.getMessage}"); false
+        }
       val nosortRuns0 =
         if (!hasTopSort) Seq.empty
         else (1 to nosortRuns).map(_ => timed(
@@ -118,6 +148,8 @@ object Bench {
       val ok = sortedRuns.forall(_._2) && nosortRuns0.forall(_._2)
       val sortedMed = median(sortedRuns.map(_._1))
       val nosortMed = if (hasTopSort) median(nosortRuns0.map(_._1)) else sortedMed
+      System.err.println(f"[bench] ${d.name}%-28s sorted=$sortedMed%7.2f nosort=$nosortMed%7.2f ok=$ok" +
+        s" runs=[${(sortedRuns ++ nosortRuns0).map(r => f"${r._1}%.2f").mkString(",")}]")
       (d.name, sortedMed, nosortMed, ok)
     }
 

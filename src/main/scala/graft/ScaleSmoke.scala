@@ -105,7 +105,38 @@ object ScaleSmoke {
       println(f"[scale] components_only       src=$ts%6.2f s ($es edges)  ${copies}x=$tb%6.2f s ($eb edges)  ratio=${tb / ts}%5.2f  edge_ratio=${eb.toDouble / es}%5.2f")
       f""""components_only":{"src_sec":$ts%.3f,"big_sec":$tb%.3f,"ratio":${tb / ts}%.2f,"src_edges":$es,"big_edges":$eb}"""
     }
-    val obj = (rows.map { case (n, s, b) =>
+    // SKEW smoke (VERDICT r07 #5): the ×copies population above is UNIFORM,
+    // but the realistic event-stream failure is a hot user (bot traffic)
+    // concentrating one partition of every user_id-keyed shuffle. Rewrite
+    // the big events table so ONE user owns ~10% of all events, rerun the
+    // user-keyed event-analytics family, and report skewed/uniform ratios —
+    // a plan that serializes on the hot key blows past 2× here. (AQE is on,
+    // as in every session; funnel/retention collapse each user to ≤1-row
+    // aggregates map-side, sessionize's per-user window sorts the hot
+    // user's events within one partition — all bounded work.)
+    val skewRows = {
+      val skewDir = s"${dst}_skew"
+      val skewMarker = java.nio.file.Paths.get(skewDir, "copies.marker")
+      val skewMarkerVal = s"$copies:$src:v1skew"
+      val skewFresh = java.nio.file.Files.exists(skewMarker) &&
+        new String(java.nio.file.Files.readAllBytes(skewMarker), "UTF-8").trim == skewMarkerVal
+      if (!skewFresh) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = spark.read.parquet(s"$dst/events.parquet")
+        val hot = 424242424242L
+        ev.withColumn("user_id",
+            when(abs(hash(col("event_id"))) % 10 === 0, lit(hot)).otherwise(col("user_id")))
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        java.nio.file.Files.write(skewMarker, s"$skewMarkerVal\n".getBytes("UTF-8"))
+      }
+      Seq("ev_funnel", "ev_retention", "ev_sessionize", "ev_window_agg").map { name =>
+        val uni = run(dst, name)
+        val skw = run(skewDir, name)
+        println(f"""[scale] skew:$name%-17s uniform=$uni%6.2f s  hot10pct=$skw%6.2f s  ratio=${skw / uni}%5.2f""")
+        (s"skew:$name", uni, skw)
+      }
+    }
+    val obj = ((rows ++ skewRows).map { case (n, s, b) =>
       f""""$n":{"src_sec":$s%.3f,"big_sec":$b%.3f,"ratio":${b / s}%.2f}"""
     } :+ isolated).mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","copies":$copies,"queries":$obj}""")

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""DuckDB side of the sf1 fixed-floor amortization measurement (VERDICT r07
+#2): run the weak-headline oracle SQL against the x10-amplified sf1 tables
+(tools/make_sf1.py) and print per-query seconds. Pair with a back-to-back
+Spark Bench run (SPARK_GRAFT_SF_DIR=target/sf1 GRAFT_FK_DIR=target/fk10) in
+the SAME load window. dd_embedding_cosine is excluded by design: it is the
+labeled O(n^2) baseline whose cost is quadratic in corpus size; the
+LSH-bucketed twin is the scale path.
+
+Usage: python3 tools/bench_duck_sf1.py <oracle_sql.json> [runs=3]
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+SFDIR = "target/sf1"
+FKDIR = "/root/repo/target/fk10"
+HEADLINE = ["q01_pricing_summary", "q04_leftjoin_nullfill", "q05_window_dedup",
+            "q15_refund_rollup", "fk_daily_city_sales", "dd_ngram_jaccard",
+            "ta_quality", "ev_window_agg"]
+
+
+def main():
+    oracles = json.load(open(sys.argv[1]))
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+    out = {}
+    for name in HEADLINE:
+        sql = oracles[name].replace("/root/repo/fixtures/freshkart", FKDIR)
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+        med = sorted(times)[len(times) // 2]
+        out[name] = round(med, 3)
+        print(f"{name:28s} {med:7.3f} s  (runs: {[round(x,3) for x in times]})")
+    print(f"{'TOTAL':28s} {sum(out.values()):7.3f} s")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

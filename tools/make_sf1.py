@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Generate an sf1-scale dataset (~6M lineitem rows) by x10 amplification of
+the driver's read-only sf0.1 testdata, for the fixed-floor amortization
+measurement (VERDICT r07 #2). Driver-side tooling only (duckdb/pyarrow) —
+never a library dependency.
+
+Amplification preserves join integrity: copy k (0..9) offsets every key
+column consistently (custkey/partkey/suppkey +1e6*k, orderkey/event_id
++1e7*k, user_id +1e6*k, doc_id +1e6*k), so each copy is a disjoint,
+internally-consistent shard — referential behavior (match rates, null-join
+fractions, group counts per key) is identical to sf0.1, only the volume is
+10x. region/nation stay fixed (TPC-H-style dims don't scale); embeddings
+are copied as-is (the O(n^2) cosine baseline is excluded from the sf1 run
+by design — its bucketed twin is the scale path).
+
+documents texts are per-copy word-SHUFFLED (seeded Fisher-Yates) instead of
+duplicated: verbatim copies would make every doc a 9-way exact near-dup,
+turning dd_ngram_jaccard into an adversarial all-pairs explosion instead of
+a 10x corpus.
+
+Usage: python3 tools/make_sf1.py [outdir=target/sf1] [fkout=target/fk10]
+"""
+import json
+import random
+import sys
+from pathlib import Path
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+FK_SRC = "fixtures/freshkart"
+COPIES = 10
+
+
+def amplify_parquet(con, out: Path):
+    out.mkdir(parents=True, exist_ok=True)
+    g = "(SELECT unnest(generate_series(0, %d)) AS k) g" % (COPIES - 1)
+    jobs = {
+        "customer": f"""SELECT c_custkey + g.k*1000000 AS c_custkey, c_name, c_nationkey,
+                         c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet', {g}""",
+        "supplier": f"""SELECT s_suppkey + g.k*1000000 AS s_suppkey, s_name, s_nationkey,
+                         s_acctbal FROM '{SRC}/supplier.parquet', {g}""",
+        "part": f"""SELECT p_partkey + g.k*1000000 AS p_partkey, p_name, p_brand, p_type,
+                     p_size, p_retailprice FROM '{SRC}/part.parquet', {g}""",
+        "orders": f"""SELECT o_orderkey + g.k*10000000 AS o_orderkey,
+                       o_custkey + g.k*1000000 AS o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority FROM '{SRC}/orders.parquet', {g}""",
+        "lineitem": f"""SELECT l_orderkey + g.k*10000000 AS l_orderkey,
+                         l_partkey + g.k*1000000 AS l_partkey,
+                         l_suppkey + g.k*1000000 AS l_suppkey,
+                         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                         l_returnflag, l_linestatus, l_shipdate
+                         FROM '{SRC}/lineitem.parquet', {g}""",
+        # ts: the source stores TIMESTAMP(NANOS), which Spark-side
+        # Tables.events reads as BIGINT nanos (nanosAsLong). DuckDB would
+        # round-trip it as plain TIMESTAMP (micros) and break `ts div 1000`
+        # — write explicit BIGINT epoch-nanos instead.
+        "events": f"""SELECT event_id + g.k*10000000 AS event_id,
+                       CAST(epoch_ns(ts) AS BIGINT) AS ts,
+                       user_id + g.k*1000000 AS user_id, event_type, value, props
+                       FROM '{SRC}/events.parquet', {g}""",
+        "region": f"SELECT * FROM '{SRC}/region.parquet'",
+        "nation": f"SELECT * FROM '{SRC}/nation.parquet'",
+        "embeddings": f"SELECT * FROM '{SRC}/embeddings.parquet'",
+    }
+    # Small row groups: Spark's parquet split unit is the row group — a
+    # 50k-row table in DuckDB's default single 122880-row group would scan
+    # as ONE task and serialize the whole text pipeline (found the hard way:
+    # a 10-minute single-task NormWords stage).
+    for name, sql in jobs.items():
+        con.execute(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)")
+        n = con.execute(f"SELECT COUNT(*) FROM '{out}/{name}.parquet'").fetchone()[0]
+        print(f"  {name}: {n} rows")
+
+    # documents: shuffle words per copy so copies aren't verbatim near-dups
+    rows = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    out_rows = []
+    for k in range(COPIES):
+        for doc_id, text, lang, source, n_chars in rows:
+            if k == 0:
+                t = text
+            else:
+                words = text.split(" ")
+                random.Random(f"{k}:{doc_id}").shuffle(words)
+                t = " ".join(words)
+            out_rows.append((doc_id + k * 1000000, t, lang, source, len(t)))
+    con.execute("CREATE OR REPLACE TABLE docs_amp(doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO docs_amp VALUES (?,?,?,?,?)", out_rows)
+    con.execute(f"COPY (SELECT * FROM docs_amp ORDER BY doc_id) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)")
+    print(f"  documents: {len(out_rows)} rows (word-shuffled per copy)")
+
+
+def remap_order(oid: str, k: int) -> str:
+    # opaque string ids: a per-copy suffix keeps every copy's ids disjoint
+    # while preserving in-copy relationships (incl. dangling refund refs)
+    return oid if k == 0 else f"{oid}X{k}"
+
+
+def remap_cust(cid: str, k: int) -> str:
+    if k == 0 or not (cid.startswith("C") and cid[1:].isdigit()):
+        return cid
+    return f"C{int(cid[1:]) + 800 * k:04d}"
+
+
+def amplify_freshkart(out: Path):
+    out.mkdir(parents=True, exist_ok=True)
+    src = Path(FK_SRC)
+    # customers.csv
+    lines = src.joinpath("customers.csv").read_text().rstrip("\n").split("\n")
+    header, body = lines[0], lines[1:]
+    amped = [header]
+    for k in range(COPIES):
+        for ln in body:
+            parts = ln.split(",")
+            parts[0] = remap_cust(parts[0], k)
+            amped.append(",".join(parts))
+    out.joinpath("customers.csv").write_text("\n".join(amped) + "\n")
+    # orders_*.json (JSON arrays, multiLine)
+    for f in sorted(src.glob("orders_*.json")):
+        recs = json.loads(f.read_text())
+        amped_recs = []
+        for k in range(COPIES):
+            for r in recs:
+                r2 = dict(r)
+                r2["order_id"] = remap_order(r["order_id"], k)
+                r2["customer_id"] = remap_cust(r["customer_id"], k)
+                amped_recs.append(r2)
+        out.joinpath(f.name).write_text(json.dumps(amped_recs, indent=1))
+    # refunds.csv
+    lines = src.joinpath("refunds.csv").read_text().rstrip("\n").split("\n")
+    header, body = lines[0], lines[1:]
+    amped = [header]
+    rid = 0
+    for k in range(COPIES):
+        for ln in body:
+            parts = ln.split(",")
+            rid += 1
+            parts[0] = f"R{rid:06d}"
+            parts[1] = remap_order(parts[1], k)
+            amped.append(",".join(parts))
+    out.joinpath("refunds.csv").write_text("\n".join(amped) + "\n")
+    # pass-through files
+    for name in ("data.txt", "settings.yaml"):
+        out.joinpath(name).write_text(src.joinpath(name).read_text())
+    print(f"  freshkart x{COPIES} -> {out}")
+
+
+def main():
+    outdir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("target/sf1")
+    fkout = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("target/fk10")
+    con = duckdb.connect()
+    print(f"amplifying {SRC} x{COPIES} -> {outdir}")
+    amplify_parquet(con, outdir)
+    amplify_freshkart(fkout)
+
+
+if __name__ == "__main__":
+    main()
