@@ -35,4 +35,36 @@ object QueryDef {
     */
   def smallSort(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Conf escape for [[largeSort]]: when "true" the helper degrades to a
+    * plain `orderBy`. Used ONLY by plan-shape specs — the checkpoint hides
+    * the query's physical plan behind an RDD scan, and the specs pin
+    * pushdown/broadcast/codegen properties of the INNER plan.
+    */
+  val PlainSortConf = "graft.presentation.plainSort"
+
+  /** Deterministic presentation sort for a LARGE (input-sized) result of a
+    * plan that does real work. A bare `orderBy` range-partitions, and
+    * RangePartitioner's bounds sampling RE-EXECUTES the child plan — at sf1
+    * q15 paid 63.6 s sorted vs 12.1 s sort-free (5×), and the gap grows
+    * with data because BOTH executions scale (VERDICT r08 #3). A lazy
+    * `localCheckpoint` persists the child's partitions (executor-local
+    * MEMORY_AND_DISK blocks) on the first job that touches them — which is
+    * the bounds-sampling job — so the sort's shuffle reads the SAME
+    * materialization instead of recomputing: total cost = one child
+    * execution + one write/read of the OUTPUT, strictly cheaper than
+    * running the plan twice whenever the plan does any real work.
+    *
+    * Scale notes: the sort itself stays a range sort (parallel at any
+    * width — unlike [[smallSort]]'s single partition, which would
+    * serialize an input-sized result). Local checkpoint blocks are
+    * non-replicated: losing an executor mid-sort fails the job instead of
+    * recomputing — acceptable for a presentation tail whose alternative
+    * is a guaranteed 2× (on a long pipeline, prefer writing the result to
+    * storage and sorting from there, which is this same shape durably).
+    */
+  def largeSort(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    if (df.sparkSession.conf.getOption(PlainSortConf).contains("true"))
+      df.orderBy(cols: _*)
+    else df.localCheckpoint(eager = false).orderBy(cols: _*)
 }

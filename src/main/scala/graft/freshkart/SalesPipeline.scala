@@ -168,7 +168,7 @@ object SalesPipeline {
         (col("gross_revenue_eur").cast("decimal(20,8)")
           + col("refunds_eur").cast("decimal(20,8)")).cast("double"))
       .withColumnRenamed("order_date", "date")
-      .orderBy("date", "city", "channel")
+      .transform(d => graft.QueryDef.largeSort(d, col("date"), col("city"), col("channel")))
 
   /** orders_clean — the 7-column per-order table (NO refunds/net: the
     * reference keeps the two sink schemas distinct, SURVEY §7.1.8;

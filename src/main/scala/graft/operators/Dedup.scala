@@ -421,7 +421,7 @@ object Dedup {
       Tables.documents(s, dir)
         .groupBy(Exprs.fingerprint($"text").as("content_hash"))
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy($"keep_id")
+        .transform(d => QueryDef.largeSort(d, $"keep_id"))
     },
 
     // Word-3-gram Jaccard near-dup pairs over DISCRIMINATIVE shingles:
@@ -558,7 +558,7 @@ object Dedup {
     sqlChecked("dd_winnow", winnowOracle(w = 4)) { (s, dir) =>
       import s.implicits._
       winnowFingerprints(s, Tables.documents(s, dir))
-        .orderBy($"doc_id", $"fp")
+        .transform(d => QueryDef.largeSort(d, $"doc_id", $"fp"))
     },
 
     // Embedding near-dup, LSH scale path: candidate pairs via bucket

@@ -130,7 +130,10 @@ object Formats {
         import java.nio.file.{Files => F, Path}
         import scala.jdk.CollectionConverters._
         if (F.exists(p)) {
-          val all = F.walk(p).iterator().asScala.toSeq
+          // close the walk stream before deleting (ADVICE r08: the stream
+          // held an open dir handle at JVM exit)
+          val walk = F.walk(p)
+          val all = try walk.iterator().asScala.toSeq finally walk.close()
           all.sortBy((x: Path) => -x.getNameCount).foreach(F.deleteIfExists)
         }
       }
@@ -141,9 +144,11 @@ object Formats {
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val target = partitionedEventsDir(dir)
-    // Write-once per (JVM, source dir): the marker file commits the rewrite
-    // atomically AFTER the parquet write succeeds, so a crashed write is
-    // retried rather than read half-finished.
+    // Write-once per (JVM, source dir): the marker file is created only
+    // AFTER the parquet write succeeds, so within this JVM a failed write
+    // is re-attempted on the next call. (The temp dir is per-JVM, so the
+    // marker never outlives the process — this is not a cross-crash
+    // guarantee.)
     val marker = java.nio.file.Paths.get(target, "_graft_written")
     synchronized {
       if (!Files.exists(marker)) {

@@ -98,7 +98,7 @@ object Multimodal {
         .select($"doc_id",
           octet_length($"text").cast("long").as("byte_len"),
           md5($"text".cast("binary")).as("content_hash"))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // REAL decode pipeline: binaryFile scan → mapPartitions ImageIO decode →
@@ -111,7 +111,7 @@ object Multimodal {
       mediaFiles(s)
         .mapPartitions { it => ImageIO.setUseCache(false); it.map(decode) }
         .toDF()
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // REAL resize: decode, then an actual Graphics2D raster resample into an
@@ -143,7 +143,7 @@ object Multimodal {
           }
         }
         .toDF()
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // REAL frame sampling over multi-frame media: committed animated GIFs
@@ -230,7 +230,7 @@ object Multimodal {
           }
         }
         .toDF()
-        .orderBy($"doc_id", $"frame_idx")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id", $"frame_idx"))
     }
   )
 }

@@ -74,7 +74,7 @@ object Sampling {
       Tables.documents(s, dir)
         .filter(u < threshold)
         .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
-        .orderBy($"lang")
+        .transform(d => graft.QueryDef.smallSort(d, $"lang"))
     }
   )
 }

@@ -86,7 +86,7 @@ object TextAnalysis {
           $"doc_id",
           size(Exprs.normWords($"text")).as("n_tokens"),
           length($"text").cast("long").as("char_len"))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // Quality scoring: punctuation ratio, stopword ratio, length saturation.
@@ -125,7 +125,7 @@ object TextAnalysis {
         .withColumn("quality",
           round(lit(0.4) * (lit(1.0) - $"punct_ratio") + lit(0.3) * $"stop_ratio"
             + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0)), 6))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // Language ID: character-trigram log-likelihood scoring against the
@@ -173,7 +173,7 @@ object TextAnalysis {
          |FROM docs d LEFT JOIN scores s USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       detectLang(s, Tables.documents(s, dir))
-        .orderBy(col("doc_id"))
+        .transform(d => graft.QueryDef.largeSort(d, col("doc_id")))
     },
 
     // Canonical-form content fingerprint (128-bit md5 of normalized text).
@@ -185,7 +185,7 @@ object TextAnalysis {
       import s.implicits._
       Tables.documents(s, dir)
         .select($"doc_id", Exprs.fingerprint($"text").as("fp"))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // The composed curation flow a training-data pipeline actually runs:
@@ -234,7 +234,7 @@ object TextAnalysis {
         .withColumn("keep_id", min($"doc_id").over(Window.partitionBy($"fp")))
         .filter($"quality" >= 0.6 && $"n_tokens" >= 20 && $"doc_id" === $"keep_id")
         .select($"doc_id", $"n_tokens", $"quality")
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // BPE-ish token counting: a GPT-2-style pre-tokenizer regex (apostrophe
@@ -264,7 +264,7 @@ object TextAnalysis {
         .withColumn("inflation",
           when($"ws_tokens" === 0, 0.0).otherwise(
             round($"bpe_tokens".cast("double") / $"ws_tokens".cast("double"), 6)))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // Gopher-style rule-based document filter (Rae et al. 2021 §A1.1, the
@@ -312,7 +312,7 @@ object TextAnalysis {
         .withColumn("ok_stopwords", $"n_stop" >= 2)
         .withColumn("keep",
           $"ok_len" && $"ok_word_len" && $"ok_repetition" && $"ok_stopwords")
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // Unigram LM scoring (the CCNet-style quality signal): build the word
@@ -346,7 +346,7 @@ object TextAnalysis {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_words"),
           round(avg(-log($"c".cast("double") / total.toDouble)), 4).as("mean_neg_logprob"))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // PII-style scrubbing: redact URLs then emails with typed placeholders,
@@ -392,7 +392,7 @@ object TextAnalysis {
         .select($"doc_id", $"n_urls", $"n_emails",
           length($"scrubbed").cast("long").as("scrubbed_len"),
           md5($"scrubbed").as("scrub_fp"))
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // Benchmark decontamination — the pre-training hygiene step that keeps
@@ -465,7 +465,7 @@ object TextAnalysis {
         .select($"doc_id",
           coalesce($"n_hits", lit(0L)).as("n_hits"))
         .withColumn("contaminated", $"n_hits" >= 1)
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // Sequence packing (concat-and-chop) — the step that turns a cleaned
@@ -514,7 +514,7 @@ object TextAnalysis {
           when($"n_tokens" === 0, expr("(cum - n_tokens) div 512"))
             .otherwise(expr("(cum - 1) div 512")).as("pack_last"))
         .withColumn("n_packs", $"pack_last" - $"pack_first" + 1)
-        .orderBy($"doc_id")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
     // TF-IDF-style keyword extraction, top-3 terms per document through the
@@ -562,7 +562,7 @@ object TextAnalysis {
           order = Seq("score" -> false, "term" -> true),
           k = 3)
         .select($"doc_id", $"term", $"tf", $"df", $"score")
-        .orderBy($"doc_id", $"score".desc, $"term")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id", $"score".desc, $"term"))
     },
 
     // The WHOLE curation pipeline composed end-to-end — what a training-data

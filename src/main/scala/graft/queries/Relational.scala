@@ -116,7 +116,7 @@ object Relational {
           $"o_orderkey", $"o_custkey",
           $"o_totalprice".as("total_eur"),
           date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // J1/P5 — fact×dim equi-join with a dim-side predicate. Scale: customer
@@ -133,7 +133,7 @@ object Relational {
       val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select($"o_orderkey", $"c_name", $"c_acctbal", $"o_totalprice")
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // J2/A2/P7 — left join against a pre-aggregated side + null fill
@@ -153,7 +153,7 @@ object Relational {
         .join(qty, $"o_orderkey" === $"l_orderkey", "left")
         .na.fill(Map("total_qty" -> 0.0))
         .select($"o_orderkey", $"total_qty")
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // W1 — dedup-by-first-occurrence via row_number with a deterministic
@@ -183,7 +183,7 @@ object Relational {
         .select(
           $"l_orderkey", $"l_linenumber",
           date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"), $"l_quantity")
-        .orderBy($"l_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"l_orderkey"))
     },
 
     // O2 — top-k by aggregate. Scale: Catalyst plans TakeOrderedAndProject —
@@ -278,7 +278,7 @@ object Relational {
         .when(m === 6, "YES").otherwise(lit(null))
       Tables.orders(s, dir)
         .select($"o_orderkey", raw.as("raw"), Exprs.boolNormString(raw).as("is_active"))
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // U2 — two-format date parse (both formats occur, as in the reference's
@@ -299,7 +299,7 @@ object Relational {
         .otherwise(date_format($"o_orderdate", "yyyy-MM-dd"))
       Tables.orders(s, dir)
         .select($"o_orderkey", raw.as("raw_ts"), Exprs.orderDateStr(raw).as("order_date"))
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // S3/F4-F7/A4/O2 — the tutorial word-count surface: normalize, split,
@@ -360,7 +360,7 @@ object Relational {
           ($"o_totalprice".cast("decimal(20,8)") + $"refunds_eur".cast("decimal(20,8)"))
             .cast("double"))
         .select($"o_orderkey", $"o_totalprice", $"refunds_eur", $"net_eur")
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // F2 — try_cast on actual garbage (the reference guards every refund
@@ -382,7 +382,7 @@ object Relational {
       Tables.orders(s, dir)
         .select($"o_orderkey", raw.as("raw"))
         .withColumn("amount", coalesce(expr("try_cast(raw AS double)"), lit(0.0)))
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // J4 — FULL OUTER join (tutorial surface, tutoriel_pandas.ipynb#45):
@@ -475,7 +475,7 @@ object Relational {
       val c = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
         .select($"o_orderkey", $"o_custkey", $"c_custkey", $"c_acctbal")
-        .orderBy($"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     },
 
     // Sketch aggregates — the 100 TB substitutes for exact distinct counts
@@ -796,7 +796,7 @@ object Relational {
         .join(Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT"),
           $"c_custkey" === $"o_custkey", "left_semi")
         .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")
+        .transform(d => QueryDef.largeSort(d, $"c_custkey"))
     },
 
     // LEFT ANTI join — "rows with NO match" (NOT EXISTS). The scale shape
@@ -811,7 +811,7 @@ object Relational {
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name")
-        .orderBy($"c_custkey")
+        .transform(d => QueryDef.largeSort(d, $"c_custkey"))
     },
 
     // Analytic window family the reference never used (SURVEY §2.5 "not
@@ -851,7 +851,7 @@ object Relational {
           lead($"o_totalprice", 1).over(wu).as("next_price"),
           sum($"o_totalprice".cast("decimal(20,8)")).over(wrun)
             .cast("double").as("running_total"))
-        .orderBy($"o_custkey", $"o_orderkey")
+        .transform(d => QueryDef.largeSort(d, $"o_custkey", $"o_orderkey"))
     },
 
     // GROUPING SETS — arbitrary grouping combinations (here: by flag, by
@@ -1024,7 +1024,7 @@ object Relational {
             .when($"c_custkey".isNull, "inserted")
             .otherwise("updated").as("action"))
         .select($"c_custkey", round($"acctbal", 2).as("acctbal"), $"action")
-        .orderBy($"c_custkey")
+        .transform(d => QueryDef.largeSort(d, $"c_custkey"))
     },
 
     // Column profiling — the "know your data" report every ingest runs
@@ -1073,11 +1073,12 @@ object Relational {
         |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       Tables.orders(s, dir).createOrReplaceTempView("orders_v")
-      s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
-          |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
-          |                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
-          |ORDER BY o_orderkey""".stripMargin)
+      QueryDef.largeSort(
+        s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+            |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+            |                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin),
+        col("o_orderkey"))
     },
 
     // Higher-order array functions — transform / filter / aggregate /
@@ -1110,7 +1111,7 @@ object Relational {
           round(array_min($"v"), 6).as("v_min"),
           round(array_max($"v"), 6).as("v_max"),
           round(aggregate($"v", lit(0.0), (acc, x) => acc + x) / size($"v"), 6).as("v_mean"))
-        .orderBy($"vec_id")
+        .transform(d => QueryDef.largeSort(d, $"vec_id"))
     }
   )
 }

@@ -57,7 +57,7 @@ object EventAnalytics {
         date_format(col("st"), TsFmt).as("signup_ts"),
         date_format(col("ct"), TsFmt).as("click_ts"),
         date_format(col("pt"), TsFmt).as("purchase_ts"))
-      .orderBy(col("user_id"))
+      .transform(d => QueryDef.largeSort(d, col("user_id")))
   }
 
   /** Cohort retention: users grouped by first-seen day; n_users active at

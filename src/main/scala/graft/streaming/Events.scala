@@ -138,7 +138,7 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
         .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("hour"),
           $"event_type", $"n_events", $"total_value")
-        .orderBy($"hour", $"event_type")
+        .transform(d => QueryDef.largeSort(d, $"hour", $"event_type"))
     },
 
     sqlChecked("ev_stream_window", closedWindowOracle) { (s, dir) =>
@@ -224,7 +224,7 @@ object Events {
         .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
         .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("win_start"),
           $"event_type", $"n_events", $"total_value")
-        .orderBy($"win_start", $"event_type")
+        .transform(d => QueryDef.largeSort(d, $"win_start", $"event_type"))
     },
 
     // STREAM-STREAM inner join with event-time range + watermarks on both
@@ -359,7 +359,7 @@ object Events {
         .select($"event_id", $"user_id",
           date_format($"ts", TsFmt).as("purchase_ts"),
           date_format($"signup_ts", TsFmt).as("signup_ts"))
-        .orderBy($"event_id")
+        .transform(d => QueryDef.largeSort(d, $"event_id"))
     },
 
     // RANGE join — the second join type Spark lacks a native operator for.
@@ -397,7 +397,7 @@ object Events {
         .agg(count(when($"e_ts".isNotNull
           && $"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")
           && $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"), 1)).as("errors_within_1h"))
-        .orderBy($"event_id")
+        .transform(d => QueryDef.largeSort(d, $"event_id"))
     },
 
     // Gap-based sessionization, batch: consecutive events of a user with
@@ -424,7 +424,7 @@ object Events {
           count(lit(1)).as("n_events"),
           dsum($"value").as("total_value"))
         .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
-        .orderBy($"user_id", $"session_start")
+        .transform(d => QueryDef.largeSort(d, $"user_id", $"session_start"))
     },
 
     // The SAME sessionization as a STATEFUL streaming query:

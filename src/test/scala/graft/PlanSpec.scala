@@ -12,8 +12,12 @@ class PlanSpec extends SparkSuite with Matchers {
 
   private val dir = sf("sf0.001")
 
-  private def plan(name: String): String =
+  // Plan text is taken with largeSort degraded to a plain orderBy — the
+  // default checkpoint would collapse everything below the presentation
+  // sort into an RDD scan and every inner-shape assertion would go vacuous.
+  private def plan(name: String): String = withPlainSort {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   test("q02: predicate and projection are pushed into the parquet scan") {
     val p = plan("q02_filter_project")
@@ -69,10 +73,30 @@ class PlanSpec extends SparkSuite with Matchers {
   }
 
   test("fk pipeline: customer dim broadcast; single window shuffle for dedup") {
-    val p = SparkEntry.queries("fk_daily_city_sales")(spark, dir)
-      .queryExecution.executedPlan.toString
+    val p = withPlainSort {
+      SparkEntry.queries("fk_daily_city_sales")(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
     p should include("BroadcastHashJoin")
     p should include("row_number()")
+  }
+
+  test("largeSort: presentation sort reads a materialized child, not a re-executed plan") {
+    // The bounds-sampling re-execution fix (VERDICT r08 #3): by default the
+    // top Sort's child must be the localCheckpoint scan (an RDD scan node),
+    // so RangePartitioner's sampling and the sort shuffle share ONE
+    // materialization of the child plan instead of running it twice.
+    val df = SparkEntry.queries("q15_refund_rollup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("Sort")
+    p should include("Scan ExistingRDD")
+    (p should not).include("Scan parquet") // the scans ran once, inside the checkpoint
+    // and the conf escape restores the full plan for shape inspection
+    val full = withPlainSort {
+      SparkEntry.queries("q15_refund_rollup")(spark, dir).queryExecution.executedPlan.toString
+    }
+    full should include("Scan parquet")
+    (full should not).include("Scan ExistingRDD")
   }
 
   test("ta_tokens: tokenization runs on norm_words, no regex machine in the plan") {

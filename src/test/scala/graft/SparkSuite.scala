@@ -10,6 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** Run `body` with [[QueryDef.largeSort]] degraded to a plain `orderBy`.
+    * Plan-shape specs need this: the default checkpoint-then-sort hides the
+    * query's physical plan behind an RDD scan, and the specs pin
+    * pushdown/broadcast/codegen properties of the INNER plan.
+    */
+  def withPlainSort[A](body: => A): A = {
+    spark.conf.set(QueryDef.PlainSortConf, "true")
+    try body finally spark.conf.unset(QueryDef.PlainSortConf)
+  }
 }
 
 object SparkSuite {

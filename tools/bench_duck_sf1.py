@@ -14,11 +14,20 @@ import sys
 import time
 
 import duckdb
+from pathlib import Path
 
-SFDIR = "target/sf1"
-FKDIR = "/root/repo/target/fk10"
+# Resolve against the repo root (this file's parent's parent), not the cwd —
+# a cwd-relative SFDIR run from elsewhere would silently read nothing or the
+# wrong data (ADVICE r08).
+REPO = Path(__file__).resolve().parent.parent
+SFDIR = str(REPO / "target/sf1")
+FKDIR = str(REPO / "target/fk10")
+FK_FIXTURE = str(REPO / "fixtures/freshkart")
+# dd_minhash_lsh replaced dd_ngram_jaccard (VERDICT r08 #2): the n-gram
+# self-join is the labeled exact baseline whose candidate volume grows
+# ~quadratically (measured 399-739 s at sf1); LSH is the scale path.
 HEADLINE = ["q01_pricing_summary", "q04_leftjoin_nullfill", "q05_window_dedup",
-            "q15_refund_rollup", "fk_daily_city_sales", "dd_ngram_jaccard",
+            "q15_refund_rollup", "fk_daily_city_sales", "dd_minhash_lsh",
             "ta_quality", "ev_window_agg"]
 
 
@@ -28,10 +37,17 @@ def main():
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
+        assert Path(f"{SFDIR}/{t}.parquet").exists(), f"missing {SFDIR}/{t}.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
     out = {}
     for name in HEADLINE:
-        sql = oracles[name].replace("/root/repo/fixtures/freshkart", FKDIR)
+        sql = oracles[name].replace(FK_FIXTURE, FKDIR)
+        # freshkart oracles embed absolute fixture paths; the rewrite must
+        # actually hit or the query would read the un-amplified fixtures
+        # (ADVICE r08)
+        if name.startswith("fk_"):
+            assert sql != oracles[name], \
+                f"{name}: fixture path rewrite did not match ({FK_FIXTURE})"
         times = []
         for _ in range(runs):
             t0 = time.time()

@@ -98,10 +98,17 @@ def remap_order(oid: str, k: int) -> str:
     return oid if k == 0 else f"{oid}X{k}"
 
 
+CUST_STRIDE = 800  # fixture holds C0001..C0800; copies offset by this
+
+
 def remap_cust(cid: str, k: int) -> str:
     if k == 0 or not (cid.startswith("C") and cid[1:].isdigit()):
         return cid
-    return f"C{int(cid[1:]) + 800 * k:04d}"
+    # ADVICE r08: the stride must cover the fixture's id range or copy k and
+    # k+1 silently collide, breaking the disjoint-shard invariant.
+    assert int(cid[1:]) <= CUST_STRIDE, \
+        f"customer id {cid} exceeds CUST_STRIDE={CUST_STRIDE}; raise the stride"
+    return f"C{int(cid[1:]) + CUST_STRIDE * k:04d}"
 
 
 def amplify_freshkart(out: Path):
