@@ -85,6 +85,17 @@ object Exprs {
     Bridge.column(NormWords(Bridge.expression(c)))
   }
 
+  /** Fused per-document quality stats —
+    * `struct(char_len, n_tokens, n_punct, n_stop)` in one allocation-free
+    * scan (see [[graft.functions.TextStats]]). The composed equivalent
+    * (regexp_replace for punct + interpreted HOF filter for stopwords) was
+    * the sf1-convicted per-row cost of the quality family.
+    */
+  def textStats(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(TextStats(Bridge.expression(c)))
+  }
+
   /** Langid char trigrams packed to ints in one scan (see
     * [[graft.functions.PackedTrigrams]]).
     */

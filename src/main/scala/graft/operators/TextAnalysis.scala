@@ -110,15 +110,16 @@ object TextAnalysis {
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val toks = Exprs.normWords($"text")
-      val charLen = length($"text").cast("long")
-      val nTokens = size(toks).cast("long")
+      // One fused scan per doc (TextStats) — the composed regexp_replace +
+      // interpreted HOF-filter formulation was the sf1-convicted per-row
+      // cost (BASELINE.md round 9: 20.5× DuckDB, gap growing with data).
+      val st = Exprs.textStats($"text")
+      val charLen = st.getField("char_len")
+      val nTokens = st.getField("n_tokens")
       val punctRatio = when(charLen === 0, 0.0).otherwise(
-        round((charLen - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))).cast("double")
-          / charLen.cast("double"), 6))
+        round(st.getField("n_punct").cast("double") / charLen.cast("double"), 6))
       val stopRatio = when(nTokens === 0, 0.0).otherwise(
-        round(size(filter(toks, w => w.isin(stopEn: _*))).cast("double")
-          / nTokens.cast("double"), 6))
+        round(st.getField("n_stop").cast("double") / nTokens.cast("double"), 6))
       Tables.documents(s, dir)
         .select($"doc_id", charLen.as("char_len"), nTokens.as("n_tokens"),
           punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"))
@@ -217,15 +218,14 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val toks = Exprs.normWords($"text")
-      val charLen = length($"text").cast("long")
-      val nTokens = size(toks).cast("long")
+      // Same fused TextStats scan as ta_quality (shared conviction, shared fix).
+      val st = Exprs.textStats($"text")
+      val charLen = st.getField("char_len")
+      val nTokens = st.getField("n_tokens")
       val punctRatio = when(charLen === 0, 0.0).otherwise(
-        round((charLen - length(regexp_replace($"text", "[^a-zA-Z0-9\\s]", ""))).cast("double")
-          / charLen.cast("double"), 6))
+        round(st.getField("n_punct").cast("double") / charLen.cast("double"), 6))
       val stopRatio = when(nTokens === 0, 0.0).otherwise(
-        round(size(filter(toks, w => w.isin(stopEn: _*))).cast("double")
-          / nTokens.cast("double"), 6))
+        round(st.getField("n_stop").cast("double") / nTokens.cast("double"), 6))
       val quality = round(lit(0.4) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio
         + lit(0.3) * least(lit(1.0), nTokens / lit(100.0)), 6)
       Tables.documents(s, dir)

@@ -39,6 +39,16 @@ def main():
               "orders", "lineitem", "events", "documents", "embeddings"]:
         assert Path(f"{SFDIR}/{t}.parquet").exists(), f"missing {SFDIR}/{t}.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+    # make_sf1.py writes events.ts as BIGINT epoch-nanos (the layout Spark's
+    # parquet reader accepts without legacy confs); the oracle SQL expects a
+    # timestamp column — normalize in the view, mirroring Tables.events.
+    ts_type = con.execute(
+        f"SELECT column_type FROM (DESCRIBE SELECT ts FROM '{SFDIR}/events.parquet')"
+    ).fetchone()[0]
+    if ts_type == "BIGINT":
+        con.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+            f"(make_timestamp(ts // 1000) AS ts) FROM '{SFDIR}/events.parquet'")
     out = {}
     for name in HEADLINE:
         sql = oracles[name].replace(FK_FIXTURE, FKDIR)
