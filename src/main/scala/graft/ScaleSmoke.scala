@@ -64,9 +64,16 @@ object ScaleSmoke {
     def run(dir: String, name: String): Double = timed(
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save())
 
+    // SPARK_GRAFT_SCALE_ONLY=name1,name2 filters the uniform-scale list;
+    // the special names "components_only" and "skew" select the isolated
+    // components timing and the hot-key family. Local iteration only — a
+    // full smoke runs everything.
+    val onlySel = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    def selected(name: String): Boolean = onlySel.forall(_.contains(name))
+
     // warm codegen/scan paths once on the small side
     run(src, "q01_pricing_summary")
-    val rows = queries.map { name =>
+    val rows = queries.filter(selected).map { name =>
       val small = run(src, name)
       // ta_seq_pack's shard count is a semantics-bearing CONFIG (pack
       // layout), not a constant: a real run sizes shards ∝ corpus, so the
@@ -88,7 +95,7 @@ object ScaleSmoke {
     // ALGORITHM separately, time componentsOf alone on pre-materialized
     // pair sets at both scales — with pointer doubling its rounds are
     // O(log diameter), so this ratio tracks edge volume ≈ linearly.
-    val isolated = {
+    val isolated = if (!selected("components_only")) "" else {
       import org.apache.spark.sql.functions.col
       def pairsOf(dir: String) = graft.operators.Dedup
         .minhashLshPairs(spark, Tables.documents(spark, dir))
@@ -114,7 +121,7 @@ object ScaleSmoke {
     // as in every session; funnel/retention collapse each user to ≤1-row
     // aggregates map-side, sessionize's per-user window sorts the hot
     // user's events within one partition — all bounded work.)
-    val skewRows = {
+    val skewRows = if (!selected("skew")) Seq.empty else {
       val skewDir = s"${dst}_skew"
       val skewMarker = java.nio.file.Paths.get(skewDir, "copies.marker")
       val skewMarkerVal = s"$copies:$src:v1skew"
@@ -138,7 +145,7 @@ object ScaleSmoke {
     }
     val obj = ((rows ++ skewRows).map { case (n, s, b) =>
       f""""$n":{"src_sec":$s%.3f,"big_sec":$b%.3f,"ratio":${b / s}%.2f}"""
-    } :+ isolated).mkString("{", ",", "}")
+    } ++ Option(isolated).filter(_.nonEmpty)).mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","copies":$copies,"queries":$obj}""")
     spark.stop()
   }
