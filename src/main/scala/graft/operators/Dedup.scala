@@ -769,6 +769,53 @@ object Dedup {
             .otherwise(round($"n_dup".cast("double") / $"n_grams".cast("double"), 6)))
         .withColumn("keep", $"n_grams" === 0 || $"n_dup" * 2 < $"n_grams")
         .transform(d => QueryDef.smallSort(d, $"doc_id"))
+    },
+
+    // Corpus-level exact LINE dedup (the C4 §2.1 / RefinedWeb line-level
+    // step: boilerplate — nav bars, cookie banners, license headers —
+    // repeats VERBATIM across pages; keep each distinct line's FIRST
+    // occurrence in corpus order (doc_id, pos), drop every later copy, and
+    // report the cleaned document fingerprint). Lines under 16 trimmed
+    // chars are exempt — short headers ("Introduction") are legitimate
+    // repeats, same spirit as the span-dup 8-gram floor. Scale: the
+    // first-occurrence window shuffles (md5, doc_id, pos) — a 16-byte key
+    // per line, never the text twice (text rides only the doc_id-keyed
+    // reconstruction aggregate, co-partitioned with the source); both
+    // shuffle keys are per-line/per-doc, no corpus-wide state.
+    sqlChecked(
+      "dd_line_dedup",
+      """WITH lines AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos, unnest(ls) AS l
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+        |marked AS (
+        |  SELECT doc_id, pos, l,
+        |    (length(trim(l)) < 16 OR
+        |     row_number() OVER (PARTITION BY md5(l) ORDER BY doc_id, pos) = 1) AS keep
+        |  FROM lines)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+        |  md5(COALESCE(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS kept_fp
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val lines = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("pos", "l")))
+      // Within one md5 partition every row has the same text, hence the same
+      // eligibility — the short-line exemption can't shift an eligible
+      // line's rank.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"l")).orderBy($"doc_id", $"pos")
+      val marked = lines.withColumn("keep",
+        length(trim($"l")) < 16 || row_number().over(w) === 1)
+      marked.groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when($"keep", 0L).otherwise(1L)).as("n_dropped"),
+          md5(concat_ws("\n",
+            transform(
+              filter(array_sort(collect_list(struct($"pos", $"l", $"keep"))),
+                x => x("keep")),
+              x => x("l")))).as("kept_fp"))
+        .transform(d => QueryDef.largeSort(d, $"doc_id"))
     }
   )
 }

@@ -484,6 +484,86 @@ object Similarity {
             aggregate(zip_with($"v", $"qv", (a, q) => (a - q * $"scale") * (a - q * $"scale")),
               lit(0.0), (acc, x) => acc + x) / size($"v"), 12).as("mse"))
         .orderBy($"vec_id")
+    },
+
+    // Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540
+    // — the published embedding-space curation step): cluster the corpus,
+    // then drop any item whose cosine to an EARLIER item of the same
+    // cluster reaches the threshold (keep = no such anchor; anchor = the
+    // smallest qualifying earlier id, for a deterministic audit trail).
+    // Scale: this is the whole point of the technique — the quadratic
+    // compare runs WITHIN clusters only (Σ nₖ² « n², and k grows with the
+    // corpus so nₖ stays bounded), the 10×64 centroid model broadcasts, and
+    // the per-cluster join shuffles each vector once on its cluster key.
+    // The exact all-pairs twin (dd_embedding_cosine) is the labeled O(n²)
+    // baseline this replaces at scale. Threshold 0.3 matches that baseline's
+    // operating point on the synthetic vectors. Determinism: decimal
+    // centroid means, rounded cosines, (cos desc, label) assignment
+    // tie-break — every stage is the already-oracle-pinned
+    // sim_centroid_assign/dd_embedding_cosine arithmetic.
+    sqlChecked(
+      "dd_semdedup",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+        |cent AS (
+        |  SELECT label, list(mu ORDER BY pos) AS c FROM (
+        |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+        |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+        |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |                FROM embeddings))
+        |    GROUP BY label, pos) GROUP BY label),
+        |scored AS (
+        |  SELECT vec_id, label,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.c[i]))
+        |      / (n.nrm * sqrt(list_sum(list_transform(c.c, x -> x*x)))), 6) AS cos
+        |  FROM n CROSS JOIN cent c),
+        |asg AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |anchors AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS anchor
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id
+        |  WHERE round(list_sum(list_transform(generate_series(1, len(na.v)), i -> na.v[i] * nb.v[i]))
+        |          / (na.nrm * nb.nrm), 6) >= 0.3
+        |  GROUP BY a.vec_id)
+        |SELECT asg.vec_id, asg.cluster, (anchor IS NULL) AS keep, anchor
+        |FROM asg LEFT JOIN anchors USING (vec_id)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+        .withColumn("nrm", Exprs.l2norm($"v"))
+      val centroids = Tables.embeddings(s, dir)
+        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+        .withColumn("cnrm", Exprs.l2norm($"c"))
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"label".asc)
+      // One assignment pass, materialized once (localCheckpoint) because the
+      // within-cluster self-join consumes it twice — at scale this is the
+      // persisted cluster-assignment table every SemDeDup run writes anyway.
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select($"vec_id", $"v", $"nrm", $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"v", $"nrm", $"label".as("cluster"))
+        .localCheckpoint(false)
+      val anchors = assigned.as("a")
+        .join(assigned.as("b"),
+          $"a.cluster" === $"b.cluster" && $"a.vec_id" > $"b.vec_id")
+        .filter(round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6) >= 0.3)
+        .groupBy($"a.vec_id".as("vec_id"))
+        .agg(min($"b.vec_id").as("anchor"))
+      assigned.select($"vec_id", $"cluster")
+        .join(anchors, Seq("vec_id"), "left")
+        .select($"vec_id", $"cluster", $"anchor".isNull.as("keep"), $"anchor")
+        .transform(d => graft.QueryDef.largeSort(d, $"vec_id"))
     }
   )
 }

@@ -15,6 +15,13 @@ object TextAnalysis {
 
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
+  /** DuckDB fragment for the normWords tokenization (same text as every
+    * inline occurrence above; shared by the newer oracles).
+    */
+  private val toksSqlFrag =
+    """list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+      |                  w -> w <> '')""".stripMargin
+
   /** Committed trigram profile dir (absolute so the DuckDB oracle reads the
     * same model; override with GRAFT_LANGID_DIR).
     */
@@ -702,6 +709,133 @@ object TextAnalysis {
         .select($"doc_id", $"lang_detected", $"quality", $"dup_ratio", $"n_tokens",
           expr("(cum - n_tokens) div 512").as("pack_first"))
         .transform(d => graft.QueryDef.smallSort(d, $"doc_id"))
+    },
+
+    // Corpus-calibrated quality gate: instead of a fixed quality cutoff
+    // (ta_curation's 0.6), CALIBRATE the threshold from the corpus itself —
+    // keep the top 20% by the ta_quality score (an exact interpolated 0.8
+    // quantile, the same cross-engine percentile semantics q32 pins). This
+    // is how real curation sets thresholds (score distributions drift per
+    // crawl; percentile targets don't). Scale: the threshold is a 1-row
+    // aggregate broadcast back over the corpus — at 100 TB the exact
+    // percentile becomes approx_percentile + the q20-style exact bracket
+    // refinement; the scoring pass itself is the fused TextStats scan.
+    sqlChecked(
+      "ta_quality_calibrate",
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |   round(0.4 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+         |                  / CAST(length(text) AS DOUBLE), 6) END)
+         |     + 0.3 * CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE round(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it')))
+         |                  / CAST(len(toks) AS DOUBLE), 6) END
+         |     + 0.3 * least(1.0, len(toks) / 100.0), 6) AS quality
+         |  FROM (SELECT doc_id, text, $toksSqlFrag AS toks FROM documents)),
+         |t AS (SELECT round(quantile_cont(quality, 0.8), 6) AS threshold FROM q)
+         |SELECT doc_id, quality, threshold, (quality >= threshold) AS keep
+         |FROM q CROSS JOIN t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val st = Exprs.textStats($"text")
+      val charLen = st.getField("char_len")
+      val nTokens = st.getField("n_tokens")
+      val punctRatio = when(charLen === 0, 0.0).otherwise(
+        round(st.getField("n_punct").cast("double") / charLen.cast("double"), 6))
+      val stopRatio = when(nTokens === 0, 0.0).otherwise(
+        round(st.getField("n_stop").cast("double") / nTokens.cast("double"), 6))
+      val quality = round(lit(0.4) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio
+        + lit(0.3) * least(lit(1.0), nTokens / lit(100.0)), 6)
+      val q = Tables.documents(s, dir).select($"doc_id", quality.as("quality"))
+      val thr = q.agg(round(expr("percentile(quality, 0.8)"), 6).as("threshold"))
+      q.crossJoin(broadcast(thr))
+        .select($"doc_id", $"quality", $"threshold",
+          ($"quality" >= $"threshold").as("keep"))
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Gopher repetition rules (Rae et al. 2021 §A1.1, the second heuristic
+    // family next to ta_gopher_rules' structural rules): WITHIN-document
+    // repetition — duplicate-line fraction (≤0.30), duplicate-line
+    // CHARACTER fraction (≤0.20), and top-bigram fraction (≤0.18; the max
+    // count needs no tie-break — ties share the count). Lines are
+    // newline-split with blank lines dropped (a blank line is formatting,
+    // not repeated content). Scale: the line and bigram rollups shuffle on
+    // (doc_id, line-hash)/(doc_id, bigram) — per-document keys, perfectly
+    // parallel, no corpus-wide state; everything re-joins on doc_id.
+    sqlChecked(
+      "ta_repetition",
+      s"""WITH lines AS (
+         |  SELECT doc_id, l, length(l) AS chars FROM (
+         |    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+         |  WHERE trim(l) <> ''),
+         |lc AS (SELECT doc_id, l, chars, COUNT(*) AS cnt FROM lines GROUP BY doc_id, l, chars),
+         |line_stats AS (
+         |  SELECT doc_id, SUM(cnt) AS n_lines,
+         |    CASE WHEN SUM(cnt) = 0 THEN 0.0
+         |         ELSE round(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 6) END AS dup_line_frac,
+         |    CASE WHEN SUM(cnt * chars) = 0 THEN 0.0
+         |         ELSE round(SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) / CAST(SUM(cnt * chars) AS DOUBLE), 6) END AS dup_line_char_frac
+         |  FROM lc GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                                       i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM (SELECT doc_id, $toksSqlFrag AS toks FROM documents)
+         |  WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS cnt FROM bg GROUP BY doc_id, b),
+         |bg_stats AS (
+         |  SELECT doc_id, round(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_bigram_frac
+         |  FROM bc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_lines, 0) AS n_lines,
+         |  COALESCE(dup_line_frac, 0.0) AS dup_line_frac,
+         |  COALESCE(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+         |  (COALESCE(dup_line_frac, 0.0) <= 0.30
+         |   AND COALESCE(dup_line_char_frac, 0.0) <= 0.20
+         |   AND COALESCE(top_bigram_frac, 0.0) <= 0.18) AS keep
+         |FROM documents d
+         |LEFT JOIN line_stats USING (doc_id) LEFT JOIN bg_stats USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val lines = docs
+        .select($"doc_id", explode(split($"text", "\n")).as("l"))
+        .filter(trim($"l") =!= "")
+        .withColumn("chars", length($"l").cast("long"))
+      val lineStats = lines
+        .groupBy($"doc_id", $"l", $"chars").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(
+          sum($"cnt").as("n_lines"),
+          round(sum(when($"cnt" > 1, $"cnt").otherwise(0L)).cast("double")
+            / sum($"cnt").cast("double"), 6).as("dup_line_frac"),
+          round(sum(when($"cnt" > 1, $"cnt" * $"chars").otherwise(0L)).cast("double")
+            / sum($"cnt" * $"chars").cast("double"), 6).as("dup_line_char_frac"))
+      val toks = Exprs.normWords($"text")
+      val bgStats = docs
+        .select($"doc_id", toks.as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(
+          zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("b"))
+        .groupBy($"doc_id", $"b").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id")
+        .agg(round(max($"cnt").cast("double") / sum($"cnt").cast("double"), 6)
+          .as("top_bigram_frac"))
+      docs.select($"doc_id")
+        .join(lineStats, Seq("doc_id"), "left")
+        .join(bgStats, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_lines", lit(0L)).as("n_lines"),
+          coalesce($"dup_line_frac", lit(0.0)).as("dup_line_frac"),
+          coalesce($"dup_line_char_frac", lit(0.0)).as("dup_line_char_frac"),
+          coalesce($"top_bigram_frac", lit(0.0)).as("top_bigram_frac"))
+        .withColumn("keep",
+          $"dup_line_frac" <= 0.30 && $"dup_line_char_frac" <= 0.20
+            && $"top_bigram_frac" <= 0.18)
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     }
   )
 }

@@ -118,6 +118,16 @@ object Events {
        |FROM s GROUP BY user_id, sess
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Oracle for the NATIVE `session_window` operator: same rollup as
+    * [[sessionizeOracle]] but with the STRICT gap semantics the built-in
+    * implements — an event extends the current session only while
+    * `ts < last.ts + gap` (the session window's exclusive end), so two
+    * events exactly `gap` apart start separate sessions, where the
+    * lag-formulation's `diff > gap` split would merge them.
+    */
+  private val sessionWindowOracle = sessionizeOracle.replace(
+    s"> $SessionGapUs", s">= $SessionGapUs")
+
   /** Streaming twin of [[sessionizeOracle]]: only sessions CLOSED at the
     * final watermark (= max event time under a 0-delay watermark) are
     * emitted by the append-mode stateful query — a session is closed once
@@ -418,6 +428,28 @@ object Events {
             .otherwise(0L))
         .withColumn("sess", sum($"new_s").over(run))
         .groupBy($"user_id", $"sess")
+        .agg(
+          date_format(min($"ts"), TsFmt).as("session_start"),
+          date_format(max($"ts"), TsFmt).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum($"value").as("total_value"))
+        .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+        .transform(d => QueryDef.largeSort(d, $"user_id", $"session_start"))
+    },
+
+    // The SAME sessionization through Spark's NATIVE session_window
+    // aggregate (the idiomatic form — Catalyst plans UpdatingSessionsExec +
+    // MergingSessionsExec, which merge sessions inside the aggregate
+    // without the two analytic-window passes). Works identically in batch
+    // and streaming; kept next to the lag-formulation twin because at 100 TB
+    // the native operator is ONE user_id-keyed aggregate (partial merges
+    // map-side) vs the window form's sort-based passes. Gap semantics
+    // differ at the boundary (see sessionWindowOracle) — both are pinned.
+    sqlChecked("ev_session_window", sessionWindowOracle) { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"value")
+        .groupBy($"user_id", session_window($"ts", "12 hours"))
         .agg(
           date_format(min($"ts"), TsFmt).as("session_start"),
           date_format(max($"ts"), TsFmt).as("session_end"),
