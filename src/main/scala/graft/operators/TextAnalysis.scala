@@ -753,6 +753,101 @@ object TextAnalysis {
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
+    // Per-source cap (the RefinedWeb/CCNet "domain mixing" step: no single
+    // source may dominate the training mix — cap each source at its K best
+    // documents by quality, deterministic (quality desc, doc_id) rank).
+    // Scale: ONE window keyed on source; the quality score rides the fused
+    // TextStats scan. A genuinely hot source (one domain = half the crawl)
+    // is the documented skew case: cap-then-sample per shard, or the
+    // TopKPerKey bounded-heap operator keyed on source, which needs no sort
+    // at all — both shapes exist in this library.
+    sqlChecked(
+      "ta_source_cap",
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |   round(0.4 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+         |                  / CAST(length(text) AS DOUBLE), 6) END)
+         |     + 0.3 * CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE round(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it')))
+         |                  / CAST(len(toks) AS DOUBLE), 6) END
+         |     + 0.3 * least(1.0, len(toks) / 100.0), 6) AS quality
+         |  FROM (SELECT doc_id, source, text, $toksSqlFrag AS toks FROM documents)),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+         |  FROM q)
+         |SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk, (rk <= 15) AS keep
+         |FROM ranked ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val st = Exprs.textStats($"text")
+      val charLen = st.getField("char_len")
+      val nTokens = st.getField("n_tokens")
+      val punctRatio = when(charLen === 0, 0.0).otherwise(
+        round(st.getField("n_punct").cast("double") / charLen.cast("double"), 6))
+      val stopRatio = when(nTokens === 0, 0.0).otherwise(
+        round(st.getField("n_stop").cast("double") / nTokens.cast("double"), 6))
+      val quality = round(lit(0.4) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio
+        + lit(0.3) * least(lit(1.0), nTokens / lit(100.0)), 6)
+      val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id".asc)
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", quality.as("quality"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("keep", $"rk" <= 15)
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Fixed-size token chunking with overlap (the RAG / long-context prep
+    // step: every document becomes ⌈n/stride⌉ chunks of ≤512 tokens
+    // starting every 384 — 128-token overlap so no span is split across a
+    // boundary without a copy that contains it whole). Output pins the
+    // exact token content of every chunk via an md5 over the
+    // space-rejoined slice. Scale: pure per-row explode — a document's
+    // chunks are derived in its own task from the one NormWords pass, no
+    // shuffle at all before the presentation sort; the explode factor
+    // (~n_tokens/384) is the output's inherent size.
+    sqlChecked(
+      "ta_chunk",
+      s"""WITH d AS (SELECT doc_id, $toksSqlFrag AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    unnest(generate_series(0, greatest(0,
+         |      CAST(ceil((len(toks) - 512) / 384.0) AS BIGINT)))) AS chunk_id,
+         |    toks
+         |  FROM d)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * 384 AS tok_start,
+         |  least(chunk_id * 384 + 512, n_tokens) AS tok_end,
+         |  least(chunk_id * 384 + 512, n_tokens) - chunk_id * 384 AS n_chunk_tokens,
+         |  md5(array_to_string(toks[chunk_id * 384 + 1 : least(chunk_id * 384 + 512, n_tokens)], ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ChunkLen = 512
+      val Stride = 384
+      val toks = Exprs.normWords($"text")
+      Tables.documents(s, dir)
+        .select($"doc_id", toks.as("toks"))
+        .withColumn("n_tokens", size($"toks").cast("long"))
+        // ⌈(n-512)/384⌉ last chunk start index (0 when the doc fits one chunk)
+        .withColumn("last_chunk",
+          when($"n_tokens" === 0, 0L)
+            .otherwise(greatest(lit(0L),
+              expr(s"cast(ceil((n_tokens - $ChunkLen) / $Stride.0D) as bigint)"))))
+        .select($"doc_id", $"n_tokens", $"toks",
+          explode(sequence(lit(0L), $"last_chunk")).as("chunk_id"))
+        .select($"doc_id", $"chunk_id",
+          ($"chunk_id" * Stride).as("tok_start"),
+          least($"chunk_id" * Stride + ChunkLen, $"n_tokens").as("tok_end"),
+          (least($"chunk_id" * Stride + ChunkLen, $"n_tokens") - $"chunk_id" * Stride)
+            .as("n_chunk_tokens"),
+          md5(concat_ws(" ",
+            slice($"toks", ($"chunk_id" * Stride + 1).cast("int"),
+              least(lit(ChunkLen.toLong),
+                $"n_tokens" - $"chunk_id" * Stride).cast("int"))))
+            .as("chunk_fp"))
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id", $"chunk_id"))
+    },
+
     // Gopher repetition rules (Rae et al. 2021 §A1.1, the second heuristic
     // family next to ta_gopher_rules' structural rules): WITHIN-document
     // repetition — duplicate-line fraction (≤0.30), duplicate-line

@@ -437,6 +437,57 @@ object Events {
         .transform(d => QueryDef.largeSort(d, $"user_id", $"session_start"))
     },
 
+    // SCD2 history build (slowly-changing-dimension type 2 — the warehouse
+    // pattern for "what was this entity's state at time T"): collapse each
+    // user's event stream into runs of consecutive identical states
+    // (event_type), emitting one row per run with effective_from /
+    // effective_to (= next run's start, NULL while current) and the
+    // is_current flag. Scale: the run detection, the run rollup and the
+    // effective_to lead all share ONE user_id hash partitioning — a single
+    // shuffle, the same one-partitioning discipline as ev_sessionize.
+    sqlChecked(
+      "ev_scd2",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type AS state,
+        |    MIN(ts) AS eff_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY user_id, run_id, event_type)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state,
+        |  strftime(eff_from, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+        |  strftime(lead(eff_from) OVER (PARTITION BY user_id ORDER BY run_id),
+        |           '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
+        |  n_events,
+        |  (lead(eff_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL) AS is_current
+        |FROM runs ORDER BY user_id, run_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRun = Window.partitionBy($"user_id").orderBy($"run_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(w).isNull
+            || lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+        .withColumn("run_id", sum($"chg").over(run))
+        .groupBy($"user_id", $"run_id", $"event_type".as("state"))
+        .agg(min($"ts").as("eff_from"), count(lit(1)).as("n_events"))
+        .withColumn("eff_to", lead($"eff_from", 1).over(wRun))
+        .select($"user_id", $"run_id", $"state",
+          date_format($"eff_from", TsFmt).as("effective_from"),
+          date_format($"eff_to", TsFmt).as("effective_to"),
+          $"n_events",
+          $"eff_to".isNull.as("is_current"))
+        .transform(d => QueryDef.largeSort(d, $"user_id", $"run_id"))
+    },
+
     // The SAME sessionization through Spark's NATIVE session_window
     // aggregate (the idiomatic form — Catalyst plans UpdatingSessionsExec +
     // MergingSessionsExec, which merge sessions inside the aggregate
