@@ -26,7 +26,13 @@ object ScaleSmoke {
     // event analytics (user-keyed aggregates over a ×copies user
     // population), and the per-row HOF scan
     "ta_inverted_index", "ta_collocations", "ev_funnel", "ev_retention",
-    "q38_vector_hof")
+    "q38_vector_hof",
+    // round-9 additions: cluster-partitioned semantic dedup (8× the vectors
+    // per fixed k=10 clusters → within-cluster pairs grow ~64× — the smoke
+    // quantifies how much of that the clustering absorbs vs the all-pairs
+    // baseline), corpus-level line dedup (line-hash window), and the
+    // within-doc repetition rules (per-doc keyed rollups)
+    "dd_semdedup", "dd_line_dedup", "ta_repetition")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
