@@ -167,6 +167,13 @@ object TextIndex {
     // cross-engine pinned — not just the first argmax.
     sqlChecked("ta_bpe_train", bpeTrainOracleSql) { (s, dir) =>
       bpeTrain(s, Tables.documents(s, dir), BpeRounds)
+    },
+
+    // Tokenizer application (see [[bpeApply]]) — train → apply, the full
+    // tokenizer loop oracle-pinned: the oracle replays the training chain
+    // AND the vocab re-segmentation AND the per-document join.
+    sqlChecked("ta_bpe_apply", bpeApplyOracleSql) { (s, dir) =>
+      bpeApply(s, Tables.documents(s, dir))
     }
   )
 
@@ -226,11 +233,10 @@ object TextIndex {
       .orderBy(col("iter"))
   }
 
-  /** The DuckDB replay of [[bpeTrain]]: an unrolled CTE chain, one
-    * (pair-count → argmax → replace) block per round. Generated, not
-    * handwritten, so the round count stays pinned to [[BpeRounds]].
+  /** Shared CTE prefix of the BPE oracles: vocab, initial segmentation,
+    * and one (pair-count → argmax → replace) block per training round.
     */
-  def bpeTrainOracleSql: String = {
+  private def bpeOracleCtes: String = {
     val header =
       s"""WITH w AS (SELECT unnest(toks) AS word
          |           FROM (SELECT $toksSql AS toks FROM documents)),
@@ -248,11 +254,89 @@ object TextIndex {
          |seg$k AS (SELECT replace(seg, '<' || b.w1 || '><' || b.w2 || '>', '<' || b.w1 || b.w2 || '>') AS seg, c
          |          FROM $prev CROSS JOIN b$k b)""".stripMargin
     }
+    (header +: stages).mkString(",\n")
+  }
+
+  /** The DuckDB replay of [[bpeTrain]]: an unrolled CTE chain, one
+    * (pair-count → argmax → replace) block per round. Generated, not
+    * handwritten, so the round count stays pinned to [[BpeRounds]].
+    */
+  def bpeTrainOracleSql: String = {
     val union = (1 to BpeRounds)
       .map(k => s"SELECT $k AS iter, w1 || ' ' || w2 AS pair, score FROM b$k")
       .mkString("\nUNION ALL\n")
-    (header +: stages).mkString(",\n") +
+    bpeOracleCtes +
       s"\nSELECT CAST(iter AS BIGINT) AS iter, pair, score FROM ($union)\nORDER BY iter"
+  }
+
+  /** The DuckDB replay of [[bpeApply]]: the same training chain, then the
+    * learned merges applied to the FULL vocab (single-char words included —
+    * they segment to themselves) and joined back over every document's
+    * words.
+    */
+  def bpeApplyOracleSql: String = {
+    val applyStages = (1 to BpeRounds).map { k =>
+      val prev = s"sa${k - 1}"
+      s"""sa$k AS (SELECT word, replace(seg, '<' || b.w1 || '><' || b.w2 || '>', '<' || b.w1 || b.w2 || '>') AS seg
+         |         FROM $prev CROSS JOIN b$k b)""".stripMargin
+    }
+    val applyCtes = (Seq(
+      s"""sa0 AS (SELECT word, '<' || array_to_string(list_filter(regexp_split_to_array(word, ''), x -> x <> ''), '><') || '>' AS seg
+         |        FROM vc)""".stripMargin) ++ applyStages ++ Seq(
+      s"""segmap AS (SELECT word, len(regexp_split_to_array(trim(seg, '<>'), '><')) AS n_sym FROM sa$BpeRounds),
+         |dw AS (SELECT doc_id, unnest(toks) AS word
+         |       FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |per_doc AS (
+         |  SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN segmap USING (word) GROUP BY doc_id)""".stripMargin))
+      .mkString(",\n")
+    bpeOracleCtes + ",\n" + applyCtes +
+      """
+        |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+        |  COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
+        |  CASE WHEN COALESCE(n_words, 0) = 0 THEN 0.0
+        |       ELSE round(n_bpe_tokens / CAST(n_words AS DOUBLE), 6) END AS avg_sym
+        |FROM documents d LEFT JOIN per_doc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Tokenizer APPLICATION — the consumer of [[bpeTrain]]'s merge list
+    * (train → apply closes the tokenizer loop): re-segment the FULL vocab
+    * with the learned merges (10 chained constant replaces — no per-round
+    * counting), then tokenize every document by joining its words against
+    * that segmentation map. Output per doc: word count, BPE token count,
+    * mean symbols/word. Scale: the segmentation map is VOCAB-sized and
+    * joins the exploded corpus on the word key — the same
+    * aggregate-then-broadcast discipline as ta_unigram_logprob; the corpus
+    * never carries segmentations, only its own words.
+    */
+  def bpeApply(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    val merges = bpeTrain(s, docs, BpeRounds).collect() // the 10-row model
+    val vocab = docs.select(explode(Exprs.normWords(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val chars0 = filter(split(col("word"), ""), c => c =!= lit(""))
+    var seg = vocab.select(col("word"),
+      concat(lit("<"), array_join(chars0, "><"), lit(">")).as("seg"))
+    for (m <- merges) {
+      val Array(w1, w2) = m.getString(1).split(" ", 2)
+      seg = seg.select(col("word"),
+        replace(col("seg"), lit(s"<$w1><$w2>"), lit(s"<$w1$w2>")).as("seg"))
+    }
+    val segmap = seg.select(col("word"),
+      size(split(regexp_replace(col("seg"), "^<|>$", ""), "><")).cast("long").as("n_sym"))
+    val perDoc = docs.select(col("doc_id"), explode(Exprs.normWords(col("text"))).as("word"))
+      .join(segmap, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("avg_sym",
+        when(col("n_words") === 0, 0.0).otherwise(
+          round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)))
+      .transform(d => graft.QueryDef.largeSort(d, col("doc_id")))
   }
 
   /** Top adjacent-char-pair merge candidates (one BPE iteration). Exposed

@@ -128,6 +128,15 @@ object Events {
   private val sessionWindowOracle = sessionizeOracle.replace(
     s"> $SessionGapUs", s">= $SessionGapUs")
 
+  /** Streaming twin of [[sessionWindowOracle]]: the native session_window
+    * aggregate in append mode emits a session once the watermark passes its
+    * window end (= last event + gap), so the closed-session cutoff is the
+    * same `MAX(ts) + gap <= final watermark` restriction as the custom
+    * stateful twin — composed with the strict gap split.
+    */
+  private def closedSessionWindowOracle: String = closedSessionOracle.replace(
+    s"> $SessionGapUs", s">= $SessionGapUs")
+
   /** Streaming twin of [[sessionizeOracle]]: only sessions CLOSED at the
     * final watermark (= max event time under a 0-delay watermark) are
     * emitted by the append-mode stateful query — a session is closed once
@@ -508,6 +517,39 @@ object Events {
           dsum($"value").as("total_value"))
         .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
         .transform(d => QueryDef.largeSort(d, $"user_id", $"session_start"))
+    },
+
+    // The native session_window aggregate as a STREAMING query — the
+    // declarative alternative to flatMapGroupsWithState below for plain
+    // gap sessionization (custom state logic still needs the explicit
+    // form): watermark-bounded session state inside the aggregate,
+    // append-mode emission once the watermark passes a session's window
+    // end. Same closed-session cutoff as the custom twin, strict gap
+    // semantics, both oracle-pinned.
+    sqlChecked("ev_session_window_stream", closedSessionWindowOracle) { (s, dir) =>
+      import s.implicits._
+      val outDir = streamTmpDir("ev-sessw-out")
+      val ckDir = streamTmpDir("ev-sessw-ck")
+      withStreamPartitions(s) {
+        val q = Tables.eventsStream(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .groupBy($"user_id", session_window($"ts", "12 hours"))
+          .agg(
+            date_format(min($"ts"), TsFmt).as("session_start"),
+            date_format(max($"ts"), TsFmt).as("session_end"),
+            count(lit(1)).as("n_events"),
+            dsum($"value").as("total_value"))
+          .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(outDir).orderBy($"user_id", $"session_start")
     },
 
     // The SAME sessionization as a STATEFUL streaming query:
