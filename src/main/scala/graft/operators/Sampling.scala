@@ -20,9 +20,16 @@ import graft.QueryDef.sqlChecked
   *    partitionings, and re-ingestions (an RNG-based sample changes under
   *    repartitioning), and therefore fully oracle-checked in DuckDB.
   *    StratifiedSampleSpec additionally pins per-stratum proportions.
+  *  - `ta_domain_mix`: temperature-based source reweighting (the Pile /
+  *    DoReMi-style domain mixing step): target share per source
+  *    ∝ count^α (α = 0.5), realized as a per-source Bernoulli keep rate
+  *    decided by content hash — no per-source ranking window, so no
+  *    skew-prone per-source global order.
   *
-  * Scale: both are per-row expression work — no shuffle, no coordination;
-  * the split is exactly as parallel as the scan.
+  * Scale: all are per-row expression work — no shuffle on the corpus, no
+  * coordination; the split is exactly as parallel as the scan
+  * (ta_domain_mix adds one source-count aggregate whose result is
+  * source-cardinality-sized and broadcasts back).
   */
 object Sampling {
 
@@ -75,6 +82,47 @@ object Sampling {
         .filter(u < threshold)
         .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
         .transform(d => graft.QueryDef.smallSort(d, $"lang"))
+    },
+
+    // Temperature-based domain mixing (Gao et al. 2020 "The Pile" §2 /
+    // DoReMi-style source reweighting): resample each source toward a
+    // share ∝ n^α (α = 0.5) of a budget of half the corpus. The target
+    // count per source k = min(n, ⌊n^α/Σn^α · ⌈N/2⌉⌋) becomes a Bernoulli
+    // keep RATE k/n decided by content hash — same statistics as
+    // rank-then-cut, but with no per-source ordering window (a hot source
+    // would serialize one) and stable under repartitioning. All doubles
+    // are combined through deterministic scalar arithmetic (sqrt/div/mul
+    // on identical inputs) and quantized to an integer threshold before
+    // the comparison, so the decision is bit-identical across engines.
+    // Scale: the source-count aggregate is source-cardinality-sized and
+    // broadcasts back; the corpus itself never shuffles.
+    sqlChecked(
+      "ta_domain_mix",
+      """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z, SUM(n) AS total FROM s),
+        |r AS (SELECT source, n,
+        |        least(n, CAST(floor(sqrt(CAST(n AS DOUBLE)) / z * ceil(0.5 * total)) AS BIGINT)) AS k
+        |      FROM s CROSS JOIN tot)
+        |SELECT d.doc_id, d.source, r.n AS n_source, r.k AS k_target,
+        |  ((CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000)
+        |   < CAST(floor(CAST(r.k AS DOUBLE) / r.n * 1000000) AS BIGINT)) AS keep
+        |FROM documents d JOIN r USING (source)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(
+        sum(sqrt($"n".cast("double"))).as("z"), sum($"n").as("total"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select($"source", $"n",
+          least($"n", floor(sqrt($"n".cast("double")) / $"z" * ceil(lit(0.5) * $"total")))
+            .as("k"))
+      val u = conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000
+      docs.join(broadcast(rates), Seq("source"))
+        .select($"doc_id", $"source", $"n".as("n_source"), $"k".as("k_target"),
+          (u < floor($"k".cast("double") / $"n" * 1000000)).as("keep"))
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     }
   )
 }

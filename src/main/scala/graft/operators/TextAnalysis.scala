@@ -322,6 +322,122 @@ object TextAnalysis {
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
+    // Hashed-feature linear quality classifier (the fastText-style scoring
+    // pass of CCNet/RefinedWeb pipelines, Joulin et al. 2016): DISTILL the
+    // Gopher rule conjunction above into a 1024-bucket Naive-Bayes
+    // log-odds model over hashed unigrams (Laplace-smoothed, the
+    // closed-form training fastText's logistic loss approximates), then
+    // score every document as prior + Σ bucket log-odds. Weights are
+    // quantized to integer micro-log-odds at the MODEL (1024 rows), so doc
+    // scores are exact integer sums — order-independent, hence
+    // bit-identical across engines and partitionings (same discipline as
+    // ta_langid's integer NLL). Scale: train = one bucket-keyed aggregate
+    // whose result is 1024 rows; score = broadcast-join + per-doc rollup;
+    // the corpus shuffles only 8-byte (doc_id, w_micro) pairs. The three
+    // scans of `documents` (label+model, score, spine) would share one
+    // persisted tokenized intermediate in a long-lived pipeline.
+    sqlChecked(
+      "ta_classifier_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSqlFrag AS toks FROM documents),
+         |lab AS (
+         |  SELECT doc_id, toks,
+         |    (len(toks) >= 20 AND len(toks) <= 100000
+         |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |          ELSE round(length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE), 6) END) >= 3.0
+         |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |          ELSE round(length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE), 6) END) <= 10.0
+         |     AND (CASE WHEN len(toks) = 0 THEN 0.0
+         |          ELSE round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) END) >= 0.3
+         |     AND len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it'))) >= 2) AS label
+         |  FROM toks),
+         |wb AS (
+         |  SELECT doc_id, label,
+         |    CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % 1024 AS bucket
+         |  FROM (SELECT doc_id, label, unnest(toks) AS word FROM lab)),
+         |m AS (
+         |  SELECT bucket,
+         |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS cpos,
+         |    SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS cneg
+         |  FROM wb GROUP BY bucket),
+         |tot AS (SELECT SUM(cpos) AS p, SUM(cneg) AS n FROM m),
+         |dtot AS (SELECT SUM(CASE WHEN label THEN 1 ELSE 0 END) AS dpos,
+         |                SUM(CASE WHEN NOT label THEN 1 ELSE 0 END) AS dneg FROM lab),
+         |w AS (SELECT bucket,
+         |        CAST(round((ln((cpos + 1.0) / (p + 1024.0)) - ln((cneg + 1.0) / (n + 1024.0))) * 1000000) AS BIGINT) AS w_micro
+         |      FROM m CROSS JOIN tot),
+         |bias AS (SELECT CAST(round(ln((dpos + 1.0) / (dneg + 1.0)) * 1000000) AS BIGINT) AS b FROM dtot),
+         |scored AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(w_micro) AS sw
+         |           FROM wb JOIN w USING (bucket) GROUP BY doc_id),
+         |fs AS (SELECT l.doc_id,
+         |           COALESCE(n_tokens, 0) AS n_tokens,
+         |           (SELECT b FROM bias) + COALESCE(sw, 0) AS score_micro,
+         |           label
+         |         FROM lab l LEFT JOIN scored USING (doc_id)),
+         |tau AS (SELECT (avg(CASE WHEN label THEN score_micro END)
+         |              + avg(CASE WHEN NOT label THEN score_micro END)) / 2 AS t FROM fs)
+         |SELECT doc_id, n_tokens, score_micro,
+         |  score_micro > (SELECT t FROM tau) AS pred, label
+         |FROM fs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Exprs.normWords($"text")
+      val nWords = size(toks).cast("long")
+      val meanWordLen = when(nWords === 0, 0.0).otherwise(
+        round(length(concat_ws("", toks)).cast("double") / nWords.cast("double"), 6))
+      val distinctRatio = when(nWords === 0, 0.0).otherwise(
+        round(size(array_distinct(toks)).cast("double") / nWords.cast("double"), 6))
+      val nStop = size(filter(toks, w => w.isin(stopEn: _*))).cast("long")
+      val label = nWords >= 20 && nWords <= 100000 &&
+        meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+        distinctRatio >= 0.3 && nStop >= 2
+      val labeled = Tables.documents(s, dir)
+        .select($"doc_id", label.as("label"), toks.as("toks"))
+      val wb = labeled
+        .select($"doc_id", $"label", explode($"toks").as("word"))
+        .withColumn("bucket",
+          conv(substring(md5($"word"), 1, 8), 16, 10).cast("long") % 1024)
+      val model = wb.groupBy($"bucket").agg(
+        sum(when($"label", 1L).otherwise(0L)).as("cpos"),
+        sum(when(!$"label", 1L).otherwise(0L)).as("cneg"))
+      // model-sized driver fetches (1024-row totals + 2 doc counts), the
+      // documented k-means/unigram pattern — never corpus-sized
+      val t = model.agg(
+        sum($"cpos").as("p"), sum($"cneg").as("n")).collect().head
+      val (p, n) = (t.getLong(0), t.getLong(1))
+      val dt = labeled.agg(
+        sum(when($"label", 1L).otherwise(0L)),
+        sum(when(!$"label", 1L).otherwise(0L))).collect().head
+      val (dpos, dneg) = (dt.getLong(0), dt.getLong(1))
+      // HALF_UP like both engines' round(); Math.round would round -x.5 up
+      val bias = BigDecimal(math.log((dpos + 1.0) / (dneg + 1.0)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val weights = model.select($"bucket",
+        round((log(($"cpos" + 1.0) / (p + 1024.0)) - log(($"cneg" + 1.0) / (n + 1024.0))) * 1e6)
+          .cast("long").as("w_micro"))
+      val scored = wb.join(broadcast(weights), Seq("bucket"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"w_micro").as("sw"))
+      val full = labeled.select($"doc_id", $"label")
+        .join(scored, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          (lit(bias) + coalesce($"sw", lit(0L))).as("score_micro"),
+          $"label")
+      // calibrated decision threshold = midpoint of the class-conditional
+      // mean scores (the NB sum has a positive drift: smoothing makes
+      // zero-cneg buckets common when the negative corpus is the smaller
+      // one, so raw sign predicts all-positive). Both means are exact
+      // integer sums / counts — the double division is deterministic. One
+      // more 1-row driver fetch; the recompute of `full` for it is the
+      // price of staying stateless (a pipeline would persist `scored`).
+      val tau = full.agg(
+        ((avg(when($"label", $"score_micro")) + avg(when(!$"label", $"score_micro"))) / 2)
+          .as("t")).collect().head.getDouble(0)
+      full.select($"doc_id", $"n_tokens", $"score_micro",
+          ($"score_micro" > tau).as("pred"), $"label")
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
     // Unigram LM scoring (the CCNet-style quality signal): build the word
     // distribution FROM the corpus itself (one aggregate), then score every
     // document by its mean negative log-probability — low = typical text,

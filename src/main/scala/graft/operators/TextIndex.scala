@@ -37,6 +37,17 @@ object TextIndex {
     */
   val BpeRounds = 10
 
+  /** Fixed retrieval query set for ta_bm25 (mid-df corpus vocabulary).
+    * Declared BEFORE `defs` for the same initialization-order reason as
+    * [[BpeRounds]].
+    */
+  val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q_stream" -> Seq("spark", "stream", "join"),
+    "q_vector" -> Seq("vector", "hash"),
+    "q_sort" -> Seq("sort", "merge", "table"))
+  val Bm25TopK = 10
+  private val Bm25K1 = 1.2
+
   /** term → (document frequency, first [[PostingsCap]] doc_ids). Exposed for
     * TextIndexSpec.
     *
@@ -174,8 +185,95 @@ object TextIndex {
     // AND the vocab re-segmentation AND the per-document join.
     sqlChecked("ta_bpe_apply", bpeApplyOracleSql) { (s, dir) =>
       bpeApply(s, Tables.documents(s, dir))
+    },
+
+    // BM25 ranked retrieval (Robertson & Zaragoza 2009; Lucene's
+    // non-negative idf form) — the consumer of the inverted-index side of
+    // this module: score every document against a fixed query set and keep
+    // the top 10 per query. Per-term contributions are quantized to
+    // integer micro-scores BEFORE the per-doc rollup, so scores are exact
+    // integer sums — order-independent and bit-identical across engines
+    // (the ta_langid / ta_classifier_score discipline), which also makes
+    // the ranking deterministic. Scale: the corpus explode is filtered to
+    // the query terms INSIDE the scan stage (codegen isin over a literal
+    // set — no shuffle reaches non-matching tokens); tf/df aggregates are
+    // bounded by docs-containing-query-terms; the doc-length side joins on
+    // the same doc_id keying; the final cut is the bounded-heap
+    // TopKPerKey operator (|queries| × 10 rows held per task).
+    sqlChecked("ta_bm25", bm25OracleSql) { (s, dir) =>
+      bm25(s, Tables.documents(s, dir))
     }
   )
+
+  /** BM25 top-k per query. Exposed for TextIndexSpec. */
+  def bm25(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val toksD = docs.select(col("doc_id"), Exprs.normWords(col("text")).as("toks"))
+    val dl = toksD.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // corpus-stat driver fetch: 2 scalars (docs count + mean doc length)
+    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tok")).collect().head
+    val nd = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nd
+    // cache: tf feeds BOTH the df/idf aggregate and the contrib join with
+    // different post-aggregate projections, so ReuseExchange cannot dedup
+    // them — uncached, the corpus-wide explode ran twice (the ta_collocations
+    // lesson). The cached table is bounded by docs-containing-query-terms ×
+    // |query terms|, not corpus tokens.
+    val tf = toksD.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .cache()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = df.select(col("term"),
+      log(lit(1.0) + (lit(nd.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        // literal 2.2, not Bm25K1 + 1.0: the SUM rounds to a different
+        // double than the parsed literal "2.2" the oracle uses
+        round(col("idf") * (col("tf") * 2.2)
+            / (col("tf") + lit(Bm25K1) * (lit(0.25) + (col("dl") * 0.75) / avgdl)) * 1000000)
+          .cast("long").as("c"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score_micro"))
+    graft.plans.TopKPerKey.perKey(scored, Seq("query_id"),
+        Seq(("score_micro", false), ("doc_id", true)), Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("n_terms"), col("score_micro"))
+      .transform(d => QueryDef.smallSort(d, col("query_id"), col("score_micro").desc, col("doc_id")))
+  }
+
+  /** DuckDB replay of [[bm25]] — identical literal forms and association
+    * order so every double is bit-equal before quantization.
+    */
+  def bm25OracleSql: String = {
+    val qvals = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"('$q','$t')") }.mkString(", ")
+    val inList = Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+       |st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |w AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+       |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM w WHERE term IN ($inList) GROUP BY term, doc_id),
+       |df AS (SELECT term, ln(1.0 + (CAST((SELECT nd FROM st) AS DOUBLE) - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+       |       FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (dl.dl * 0.75) / (SELECT avgdl FROM st))) * 1000000) AS BIGINT) AS c
+       |  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
+       |scored AS (SELECT query_id, doc_id, COUNT(*) AS n_terms, SUM(c) AS score_micro
+       |           FROM contrib GROUP BY query_id, doc_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rk
+       |           FROM scored)
+       |SELECT query_id, doc_id, n_terms, score_micro FROM ranked WHERE rk <= $Bm25TopK
+       |ORDER BY query_id, score_micro DESC, doc_id""".stripMargin
+  }
 
   /** Distributed BPE training: [[BpeRounds]] rounds of (count adjacent
     * symbol pairs over the vocab, weighted by word frequency) → (argmax

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+/** Invariants for the round-9 curation/scoring additions beyond what the
+  * DuckDB oracles pin (the oracles prove cross-engine equality; these prove
+  * the operators mean what they claim): temperature flattening and budget
+  * arithmetic for ta_domain_mix, non-degenerate distillation for
+  * ta_classifier_score, and planted-document ranking for ta_bm25.
+  */
+class CurationScoringSpec extends SparkSuite with Matchers {
+
+  test("ta_domain_mix: temperature flattens (bigger source, lower keep rate), budget respected") {
+    val rows = graft.SparkEntry.queries("ta_domain_mix")(spark, sf("sf0.001")).collect()
+    rows.length should be > 0
+    val bySource = rows.groupBy(_.getString(1)).map { case (src, rs) =>
+      val n = rs.head.getLong(2)
+      val k = rs.head.getLong(3)
+      val kept = rs.count(_.getBoolean(4))
+      (src, n, k, kept, rs.length.toLong)
+    }.toSeq
+    val total = bySource.map(_._2).sum
+    val budget = math.ceil(0.5 * total).toLong
+    for ((src, n, k, _, nRows) <- bySource) {
+      nRows shouldBe n // n_source really is the source's row count
+      k should be <= n // never upsample past the source
+    }
+    // Σ targets ≤ budget, and within one floor-loss per source of it
+    // (no source is capped at n on this data — α=0.5 keeps every k < n)
+    val sumK = bySource.map(_._3).sum
+    sumK should be <= budget
+    sumK should be >= budget - bySource.length
+    // α = 0.5 flattening: a strictly larger source never gets a strictly
+    // larger keep RATE (up to the 1/n quantization of the floor)
+    for {
+      (_, na, ka, _, _) <- bySource
+      (_, nb, kb, _, _) <- bySource
+      if na > nb
+    } ka.toDouble / na should be <= kb.toDouble / nb + 1.0 / nb
+    // the hash-Bernoulli realization tracks the targets
+    val kept = bySource.map(_._4).sum
+    math.abs(kept - sumK).toDouble should be <= 4 * math.sqrt(budget.toDouble)
+  }
+
+  test("ta_classifier_score: distillation is non-degenerate and beats the majority class") {
+    val rows = graft.SparkEntry.queries("ta_classifier_score")(spark, sf("sf0.01")).collect()
+    val n = rows.length
+    n should be > 0
+    val preds = rows.map(_.getBoolean(3))
+    val labels = rows.map(_.getBoolean(4))
+    // the calibrated threshold must actually split the score distribution
+    preds.count(identity) should (be > 0 and be < n)
+    val majority = math.max(labels.count(identity), n - labels.count(identity)).toDouble / n
+    val accuracy = preds.zip(labels).count { case (p, l) => p == l }.toDouble / n
+    accuracy should be > majority // hashed unigrams carry signal beyond the prior
+    accuracy should be >= 0.7
+  }
+
+  test("ta_bm25: planted ranking — more matched terms and higher tf outrank, non-matches absent") {
+    import spark.implicits._
+    val filler = Seq.fill(17)("filler").mkString(" ")
+    val docs = Seq(
+      (1L, s"spark stream join $filler"), // 3 of q_stream's terms, dl 20
+      (2L, s"spark filler filler $filler"), // 1 term, same dl
+      (3L, s"spark spark spark $filler"), // 1 term, tf 3, same dl
+      (4L, "filler " * 20) // no query terms at all
+    ).toDF("doc_id", "text")
+    val got = TextIndex.bm25(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.map(_._1).distinct shouldBe Array("q_stream") // only q_stream's terms exist
+    val stream = got.filter(_._1 == "q_stream")
+    stream.map(_._2) shouldBe Array(1L, 3L, 2L) // all-terms > high-tf > single-hit
+    stream.map(_._3) shouldBe Array(3L, 1L, 1L) // n_terms matched
+    stream.map(_._4) shouldBe stream.map(_._4).sorted.reverse // score desc
+    got.map(_._2) should not contain 4L
+  }
+}
