@@ -472,6 +472,60 @@ object TextAnalysis {
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020 §3): score every
+    // document with a PER-LANGUAGE unigram LM (the corpus-derived analog of
+    // CCNet's per-language KenLM), then split each language at its own 0.3
+    // and 0.7 exact score quantiles into head / middle / tail buckets —
+    // the partition CCNet publishes and trainers sample from. Thresholds
+    // are per-language because score distributions are not comparable
+    // across languages (CCNet's core observation). Deterministic: exact
+    // counts, ln of identical doubles, avg rounded at 4dp (the
+    // ta_unigram_logprob discipline), quantile_cont ≡ Spark percentile
+    // (the q32-pinned semantics). Scale: the (lang, word) vocab is
+    // zipf-small and broadcasts; per-lang totals and thresholds are
+    // lang-cardinality-sized; the corpus shuffles only per-doc partial
+    // aggregates — at 100 TB the exact percentile becomes
+    // approx_percentile + the q20-style exact bracket refinement.
+    sqlChecked(
+      "ta_ccnet_buckets",
+      s"""WITH toks AS (SELECT doc_id, lang, $toksSqlFrag AS toks FROM documents),
+         |words AS (SELECT doc_id, lang, unnest(toks) AS word FROM toks),
+         |vocab AS (SELECT lang, word, count(*) AS c FROM words GROUP BY lang, word),
+         |tot AS (SELECT lang, sum(c) AS t FROM vocab GROUP BY lang),
+         |scored AS (
+         |  SELECT doc_id, lang, count(*) AS n_words,
+         |    round(avg(-ln(c / t)), 4) AS score
+         |  FROM words JOIN vocab USING (lang, word) JOIN tot USING (lang)
+         |  GROUP BY doc_id, lang),
+         |th AS (SELECT lang, round(quantile_cont(score, 0.3), 6) AS t30,
+         |              round(quantile_cont(score, 0.7), 6) AS t70
+         |       FROM scored GROUP BY lang)
+         |SELECT doc_id, lang, n_words, score,
+         |  CASE WHEN score <= t30 THEN 'head'
+         |       WHEN score <= t70 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM scored JOIN th USING (lang)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", explode(Exprs.normWords($"text")).as("word"))
+      val vocab = words.groupBy($"lang", $"word").agg(count(lit(1)).as("c"))
+      val tot = vocab.groupBy($"lang").agg(sum($"c").as("t"))
+      val scored = words
+        .join(broadcast(vocab), Seq("lang", "word"))
+        .join(broadcast(tot), Seq("lang"))
+        .groupBy($"doc_id", $"lang")
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(-log($"c".cast("double") / $"t".cast("double"))), 4).as("score"))
+      val th = scored.groupBy($"lang").agg(
+        round(expr("percentile(score, 0.3)"), 6).as("t30"),
+        round(expr("percentile(score, 0.7)"), 6).as("t70"))
+      scored.join(broadcast(th), Seq("lang"))
+        .select($"doc_id", $"lang", $"n_words", $"score",
+          when($"score" <= $"t30", "head")
+            .when($"score" <= $"t70", "middle").otherwise("tail").as("bucket"))
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
     // PII-style scrubbing: redact URLs then emails with typed placeholders,
     // count each. The testdata contains neither, so the input is a DERIVED
     // VIEW planting a deterministic contact line on every 7th document —

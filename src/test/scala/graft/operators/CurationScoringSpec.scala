@@ -75,4 +75,30 @@ class CurationScoringSpec extends SparkSuite with Matchers {
     stream.map(_._4) shouldBe stream.map(_._4).sorted.reverse // score desc
     got.map(_._2) should not contain 4L
   }
+
+  test("ta_ccnet_buckets: per-language quantile split is ordered and roughly 30/40/30") {
+    val rows = graft.SparkEntry.queries("ta_ccnet_buckets")(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(1), r.getDouble(3), r.getString(4)))
+    rows.length should be > 0
+    rows.map(_._3).toSet shouldBe Set("head", "middle", "tail")
+    for ((lang, rs) <- rows.groupBy(_._1)) {
+      val byBucket = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      // buckets partition the score line: every head score is below every
+      // middle score, every middle below every tail (quantile thresholds)
+      for {
+        hi <- byBucket.get("head").map(_.max)
+        lo <- byBucket.get("middle").map(_.min)
+      } hi should be <= lo
+      for {
+        hi <- byBucket.get("middle").map(_.max)
+        lo <- byBucket.get("tail").map(_.min)
+      } hi should be <= lo
+      // the split tracks the 0.3/0.7 quantiles (ties can shift it a little)
+      val n = rs.length.toDouble
+      if (n >= 50) {
+        byBucket.getOrElse("head", Array.empty[Double]).length / n shouldBe 0.30 +- 0.10
+        byBucket.getOrElse("tail", Array.empty[Double]).length / n shouldBe 0.30 +- 0.10
+      }
+    }
+  }
 }
