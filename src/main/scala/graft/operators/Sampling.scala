@@ -123,6 +123,36 @@ object Sampling {
         .select($"doc_id", $"source", $"n".as("n_source"), $"k".as("k_target"),
           (u < floor($"k".cast("double") / $"n" * 1000000)).as("keep"))
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    // A-Res): each row gets key = ln(u)/w for u ∈ (0,1), w = its weight
+    // (here n_chars — sample documents proportional to size); the k
+    // largest keys are exactly a weighted sample without replacement.
+    // u comes from a CONTENT HASH, not an RNG (the ta_hash_split
+    // discipline): the sample is a pure function of the rows — stable
+    // across runs, engines, and partitionings, hence fully oracle-checked.
+    // Keys are quantized to integer nano-keys before ranking, with doc_id
+    // as the total tie-break, so the ranking is deterministic.
+    // Scale: one expression pass + a global top-k, which Spark plans as
+    // TakeOrderedAndProject — a bounded k-row heap per task and a k-row
+    // driver merge; no corpus shuffle, no global sort.
+    sqlChecked(
+      "ta_weighted_sample",
+      """SELECT doc_id, n_chars,
+        |  CAST(round(ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)
+        |             / n_chars * 1000000000) AS BIGINT) AS key_nano
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY key_nano DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = (conv(substring(md5(concat(lit("ws:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000 + 0.5) / 1000000.0
+      Tables.documents(s, dir)
+        .filter($"n_chars" > 0)
+        .select($"doc_id", $"n_chars",
+          round(log(u) / $"n_chars" * 1000000000L).cast("long").as("key_nano"))
+        .orderBy($"key_nano".desc, $"doc_id")
+        .limit(100)
     }
   )
 }

@@ -48,6 +48,17 @@ object TextIndex {
   val Bm25TopK = 10
   private val Bm25K1 = 1.2
 
+  /** Fixed query DOCUMENTS for ta_hybrid_rrf (ids exist at every SF; the
+    * embeddings table is row-aligned with documents: vec_id = doc_id).
+    * Declared BEFORE `defs` for the same initialization-order reason as
+    * [[BpeRounds]].
+    */
+  val HybridQueryDocs: Seq[Long] = Seq(7L, 123L, 321L)
+  /** Per-system candidate-pool depth and fused result depth. */
+  val HybridPoolK = 50
+  val HybridTopK = 10
+  private val RrfK = 60
+
   /** term → (document frequency, first [[PostingsCap]] doc_ids). Exposed for
     * TextIndexSpec.
     *
@@ -202,6 +213,23 @@ object TextIndex {
     // TopKPerKey operator (|queries| × 10 rows held per task).
     sqlChecked("ta_bm25", bm25OracleSql) { (s, dir) =>
       bm25(s, Tables.documents(s, dir))
+    },
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    // Buettcher 2009): fuse a LEXICAL ranking (doc-as-query BM25 over the
+    // query document's vocabulary) with a DENSE ranking (exact cosine over
+    // the aligned embeddings side-table, vec_id = doc_id) as
+    // score = Σ 1/(60 + rank). RRF only consumes integer RANKS, so the two
+    // systems' incomparable score scales never mix — exactly why RRF is
+    // the standard hybrid fusion — and both ranks are deterministic here
+    // (integer micro-scores / 6dp-rounded cosines, doc_id tie-break).
+    // Scale: each side is cut to its top-[[HybridPoolK]] by the
+    // bounded-heap TopKPerKey BEFORE ranks are materialized (the
+    // row_number window then runs over ≤ |queries|×K rows, never the
+    // corpus); the query-doc vocab broadcasts and filters the corpus
+    // explode before the tf shuffle; the fusion join is pool-sized.
+    sqlChecked("ta_hybrid_rrf", hybridRrfOracleSql) { (s, dir) =>
+      hybridRrf(s, Tables.documents(s, dir), Tables.embeddings(s, dir))
     }
   )
 
@@ -273,6 +301,129 @@ object TextIndex {
        |           FROM scored)
        |SELECT query_id, doc_id, n_terms, score_micro FROM ranked WHERE rk <= $Bm25TopK
        |ORDER BY query_id, score_micro DESC, doc_id""".stripMargin
+  }
+
+  /** Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank.
+    * Exposed for TextIndexSpec.
+    */
+  def hybridRrf(
+      s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qids = HybridQueryDocs
+    // ---- lexical side: doc-as-query BM25 ----
+    val toksD = docs.select(col("doc_id"), Exprs.normWords(col("text")).as("toks"))
+    val dl = toksD.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // corpus-stat driver fetch: 2 scalars (the bm25 pattern)
+    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tok")).collect().head
+    val nd = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nd
+    // the query docs' distinct vocabulary — queries×terms-sized, broadcasts
+    val qt = toksD.filter(col("doc_id").isin(qids: _*))
+      .select(col("doc_id").as("query_id"), explode(col("toks")).as("term"))
+      .distinct()
+    // broadcast-semi-filter the corpus explode BEFORE the tf shuffle, so
+    // only query-vocab tokens reach it (the isin-literal trick of ta_bm25,
+    // generalized to a data-dependent term set)
+    val words = toksD.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+    // cache: tf feeds the df aggregate AND the contrib join (the
+    // ta_collocations / ta_bm25 two-consumer lesson)
+    val tf = words.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")).cache()
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dfT.select(col("term"),
+      log(lit(1.0) + (lit(nd.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+    val contrib = tf
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .filter(col("doc_id") =!= col("query_id")) // a doc trivially retrieves itself
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf") * (col("tf") * 2.2)
+            / (col("tf") + lit(Bm25K1) * (lit(0.25) + (col("dl") * 0.75) / avgdl)) * 1000000)
+          .cast("long").as("c"))
+    val lex = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("lex_micro"))
+    // bounded-heap cut FIRST; the rank window then sees ≤ |q|×K rows
+    val lexTop = graft.plans.TopKPerKey.perKey(lex, Seq("query_id"),
+      Seq(("lex_micro", false), ("doc_id", true)), HybridPoolK)
+    val wl = Window.partitionBy(col("query_id"))
+      .orderBy(col("lex_micro").desc, col("doc_id"))
+    val lexRank = lexTop
+      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("rank_lex"))
+    // ---- dense side: exact cosine (sim_topk_bruteforce shape) ----
+    val e = emb.select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Exprs.l2norm(col("v")))
+    val qe = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cos = broadcast(qe).join(e.as("c"), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("doc_id"),
+        round(Exprs.dot(col("qv"), col("c.v")) / (col("qnrm") * col("c.nrm")), 6).as("cos"))
+    val denseTop = graft.plans.TopKPerKey.perKey(cos, Seq("query_id"),
+      Seq(("cos", false), ("doc_id", true)), HybridPoolK)
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val denseRank = denseTop
+      .withColumn("rank_dense", row_number().over(wd).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("rank_dense"))
+    // ---- RRF fusion over the two pool-sized rank lists ----
+    val fused = lexRank.join(denseRank, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("rank_lex"), col("rank_dense"),
+        round((coalesce(lit(1.0) / (col("rank_lex") + RrfK), lit(0.0))
+             + coalesce(lit(1.0) / (col("rank_dense") + RrfK), lit(0.0))) * 1000000000L)
+          .cast("long").as("rrf_micro"))
+    graft.plans.TopKPerKey.perKey(fused, Seq("query_id"),
+        Seq(("rrf_micro", false), ("doc_id", true)), HybridTopK)
+      .select(col("query_id"), col("doc_id"), col("rank_lex"),
+        col("rank_dense"), col("rrf_micro"))
+      .transform(d => QueryDef.smallSort(
+        d, col("query_id"), col("rrf_micro").desc, col("doc_id")))
+  }
+
+  /** DuckDB replay of [[hybridRrf]] — identical literal forms and
+    * association order on both sides of the fusion.
+    */
+  def hybridRrfOracleSql: String = {
+    val ids = HybridQueryDocs.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+       |st AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term FROM toks WHERE doc_id IN ($ids)),
+       |w AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+       |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM w
+       |       WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id),
+       |df AS (SELECT term, ln(1.0 + (CAST((SELECT nd FROM st) AS DOUBLE) - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+       |       FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (dl.dl * 0.75) / (SELECT avgdl FROM st))) * 1000000) AS BIGINT) AS c
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lex AS (SELECT query_id, doc_id, SUM(c) AS lex_micro FROM contrib GROUP BY query_id, doc_id),
+       |lexr AS (SELECT query_id, doc_id, rank_lex FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY lex_micro DESC, doc_id) AS BIGINT) AS rank_lex
+       |  FROM lex) WHERE rank_lex <= $HybridPoolK),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+       |cos AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |      / (q.nrm * c.nrm), 6) AS cos
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id IN ($ids)),
+       |denser AS (SELECT query_id, doc_id, rank_dense FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_dense
+       |  FROM cos) WHERE rank_dense <= $HybridPoolK),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+       |         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |         rank_lex, rank_dense,
+       |         CAST(round((COALESCE(1.0 / (rank_lex + $RrfK), 0.0) + COALESCE(1.0 / (rank_dense + $RrfK), 0.0)) * 1000000000) AS BIGINT) AS rrf_micro
+       |  FROM lexr l FULL OUTER JOIN denser d ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk FROM fused)
+       |SELECT query_id, doc_id, rank_lex, rank_dense, rrf_micro FROM ranked WHERE rk <= $HybridTopK
+       |ORDER BY query_id, rrf_micro DESC, doc_id""".stripMargin
   }
 
   /** Distributed BPE training: [[BpeRounds]] rounds of (count adjacent

@@ -101,4 +101,21 @@ class CurationScoringSpec extends SparkSuite with Matchers {
       }
     }
   }
+
+  test("ta_weighted_sample: size-biased, deterministic, and planned as a bounded-heap top-k") {
+    val df = graft.SparkEntry.queries("ta_weighted_sample")(spark, sf("sf0.01"))
+    // global top-k must be the k-row-heap physical op, never a full sort
+    df.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+    val rows = df.collect()
+    rows.length shouldBe 100
+    // weight ∝ n_chars ⇒ the sample over-represents long documents
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = graft.Tables.documents(spark, sf("sf0.01"))
+      .filter(org.apache.spark.sql.functions.col("n_chars") > 0)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).collect().head.getDouble(0)
+    sampleMean should be > corpusMean
+    // pure function of the rows: a second run is bit-identical
+    val again = graft.SparkEntry.queries("ta_weighted_sample")(spark, sf("sf0.01")).collect()
+    again.map(_.toString) shouldBe rows.map(_.toString)
+  }
 }

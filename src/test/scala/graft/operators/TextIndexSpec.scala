@@ -105,4 +105,32 @@ class TextIndexSpec extends SparkSuite with Matchers {
     p should include("BroadcastHashJoin")
     (p should not).include("CartesianProduct")
   }
+
+  test("ta_hybrid_rrf: both-system hits outrank single-system hits; absent ranks are null") {
+    import spark.implicits._
+    // query doc 7 (a HybridQueryDocs id); 1 matches lexically AND densely,
+    // 2 lexically only, 3 densely only, 4 neither
+    val d = docs(Seq(
+      (7L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "zeta eta theta"),
+      (4L, "zeta eta theta")))
+    val emb = Seq(
+      (7L, Array(1f, 0f)),
+      (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0f)),
+      (4L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val got = TextIndex.hybridRrf(spark, d, emb).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    got.map(_._1) shouldBe Array(1L, 2L, 3L, 4L) // both > lex+weak-dense > dense-only > neither
+    got(0) shouldBe ((1L, 1L, 1L)) // top of both rankings
+    got(2)._2 shouldBe -1L // doc 3 shares no query vocabulary → no lexical rank
+    // RRF arithmetic: doc 1 scores 2/(60+1) (rank 1 in both systems)
+    val top = TextIndex.hybridRrf(spark, d, emb).collect()(0).getLong(4)
+    top shouldBe math.round(2.0 / 61 * 1e9)
+  }
 }
