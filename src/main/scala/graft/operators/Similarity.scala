@@ -23,6 +23,17 @@ import graft.functions.Exprs
   */
 object Similarity {
 
+  /** Product-quantization geometry for sim_pq_adc: 64 dims = [[PqSubs]]
+    * subspaces × [[PqSubDim]] dims, [[PqCodes]] centroids per subspace →
+    * log2(16) = 4 bits/code, 8 codes/vector (4 packed bytes — 64×
+    * compression vs float32). Exposed for PqRecallSpec.
+    */
+  val PqSubs = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+  val PqTopK = 10
+  val PqQueryMax = 5
+
   val defs: Seq[QueryDef] = Seq(
 
     sqlChecked(
@@ -564,6 +575,126 @@ object Similarity {
         .join(anchors, Seq("vec_id"), "left")
         .select($"vec_id", $"cluster", $"anchor".isNull.as("keep"), $"anchor")
         .transform(d => graft.QueryDef.largeSort(d, $"vec_id"))
+    },
+
+    // Product quantization + asymmetric-distance (ADC) top-k — the fourth
+    // ANN regime (after brute force, LSH buckets, IVF partitions) and the
+    // aggressive end of the quantization family sim_quantize_int8 starts:
+    // each 64-float vector is stored as EIGHT 4-bit codes (4 packed bytes —
+    // 64× compression) by splitting it into 8 × 8-dim subspaces and snapping
+    // each subvector to its nearest entry in a 16-entry per-subspace
+    // codebook (Jégou, Douze & Schmid 2011, TPAMI — "Product quantization
+    // for nearest neighbor search"). Codebooks are trained DETERMINISTICALLY
+    // so the whole operator is oracle-checkable: init groups = vec_id % 16,
+    // decimal-mean centroids, ONE Lloyd refinement step (the sim_kmeans_step
+    // discipline — rounded-integer distance comparisons, code tie-break),
+    // final means re-rounded. Query scoring is ASYMMETRIC: the query keeps
+    // its exact subvectors and precomputes an 8×16 distance TABLE to every
+    // codebook entry (integer micro-distances, so the 4-term per-candidate
+    // sum is order-independent and bit-stable cross-engine); a candidate's
+    // approximate distance is then 8 table LOOKUPS + 7 integer adds — no
+    // float math touches the candidate side at all. Scale shape: the
+    // codebook (4 KiB) and each query's distance table (128 rows) broadcast;
+    // the scan reads 4 BYTES per candidate vector instead of 256 (the whole
+    // point at 100 TB — ADC scan cost is storage-bandwidth-bound); the only
+    // per-candidate state is one integer sum; top-k is a per-query window
+    // over scored candidates (a real deployment re-ranks the ADC top-C with
+    // exact distances — that composition is sim_topk_bruteforce over the
+    // shortlist). PqRecallSpec pins ADC-vs-exact-L2 top-10 overlap and the
+    // 64× storage arithmetic.
+    sqlChecked(
+      "sim_pq_adc",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |idx AS (SELECT unnest(generate_series(0, ${PqSubs - 1})) AS sub),
+         |subs AS (SELECT vec_id, sub, list_transform(generate_series(1, $PqSubDim), i -> v[sub * $PqSubDim + i]) AS sv
+         |         FROM v CROSS JOIN idx),
+         |cb0 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
+         |    SELECT sub, CAST(vec_id % $PqCodes AS INT) AS code, pos,
+         |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+         |    FROM (SELECT vec_id, sub, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x FROM subs)
+         |    GROUP BY sub, code, pos) GROUP BY sub, code),
+         |a1 AS (SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))) * 1000000) AS BIGINT), c.code) AS rk
+         |    FROM subs s JOIN cb0 c ON s.sub = c.sub) WHERE rk = 1),
+         |cb1 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
+         |    SELECT sub, code, pos,
+         |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+         |    FROM (SELECT a1.sub AS sub, a1.code AS code,
+         |            unnest(generate_series(1, len(s2.sv))) AS pos, unnest(s2.sv) AS x
+         |          FROM a1 JOIN subs s2 ON a1.vec_id = s2.vec_id AND a1.sub = s2.sub)
+         |    GROUP BY sub, code, pos) GROUP BY sub, code),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))) * 1000000) AS BIGINT), c.code) AS rk
+         |    FROM subs s JOIN cb1 c ON s.sub = c.sub) WHERE rk = 1),
+         |dtab AS (
+         |  SELECT s.vec_id AS query_id, c.sub, c.code,
+         |    CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))) * 1000000) AS BIGINT) AS d2
+         |  FROM subs s JOIN cb1 c ON s.sub = c.sub WHERE s.vec_id < $PqQueryMax),
+         |adc AS (
+         |  SELECT d.query_id, k.vec_id AS cand_id, CAST(SUM(d.d2) AS BIGINT) AS adc_micro
+         |  FROM codes k JOIN dtab d ON k.sub = d.sub AND k.code = d.code
+         |  WHERE k.vec_id <> d.query_id
+         |  GROUP BY d.query_id, k.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, cand_id) AS BIGINT) AS rk
+         |  FROM adc)
+         |SELECT query_id, cand_id, adc_micro, rk FROM ranked WHERE rk <= $PqTopK
+         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      pqAdc(s, Tables.embeddings(s, dir))
     }
   )
+
+  /** PQ codebook train + encode + ADC top-k (see the sim_pq_adc comment).
+    * Exposed for PqRecallSpec.
+    */
+  def pqAdc(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = emb.select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+    // (vec_id, sub, sv): the PqSubs × PqSubDim subvectors of every vector
+    val subs = e
+      .select($"vec_id", $"v", explode(sequence(lit(0), lit(PqSubs - 1))).as("sub"))
+      .select($"vec_id", $"sub", expr(s"slice(v, sub * $PqSubDim + 1, $PqSubDim)").as("sv"))
+    // per-(sub, code) decimal-mean centroids of an assignment
+    def codebook(assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      assign.join(subs, Seq("vec_id", "sub"))
+        .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "x")))
+        .groupBy($"sub", $"code", $"pos")
+        .agg(round(sum($"x".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+        .groupBy($"sub", $"code")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+    // integer micro squared-L2 between a subvector and a centroid: exact
+    // comparisons + order-independent downstream sums
+    val d2m = expr("CAST(round(aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) * 1000000) AS BIGINT)")
+    def nearest(cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      subs.join(broadcast(cb), Seq("sub"))
+        .select($"vec_id", $"sub", $"code", d2m.as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"vec_id", $"sub").orderBy($"d2".asc, $"code".asc)))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"sub", $"code")
+    val init = subs.select($"vec_id", $"sub", ($"vec_id" % PqCodes).cast("int").as("code"))
+    // cache: cb1 feeds BOTH the encode pass and the query distance tables
+    // (the ta_collocations two-consumer lesson); 64 rows
+    val cb1 = codebook(nearest(codebook(init))).cache()
+    val codes = nearest(cb1)
+    val dtab = subs.filter($"vec_id" < PqQueryMax)
+      .select($"vec_id".as("query_id"), $"sub", $"sv")
+      .join(broadcast(cb1), Seq("sub"))
+      .select($"query_id", $"sub", $"code", d2m.as("d2"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"adc_micro".asc, $"cand_id".asc)
+    codes
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id".as("cand_id"))
+      .agg(sum($"d2").as("adc_micro"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= PqTopK)
+      .select($"query_id", $"cand_id", $"adc_micro", $"rk".cast("long").as("rk"))
+      .transform(d => QueryDef.smallSort(d, $"query_id", $"rk"))
+  }
 }

@@ -15,6 +15,15 @@ object TextAnalysis {
 
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
+  /** Bloom sizing for ta_decontam_bloom: 2^20 bits (128 KiB as 16384
+    * longs) × 3 probes. At the benchmark-gram counts of the test SFs
+    * (~1–10 k distinct 8-grams) the fill stays ≲ 3%, per-gram FPR ≲ 3e-5;
+    * a real deployment re-derives m from n·k/ln 2 for its benchmark size.
+    * Declared here (not inside `defs`) so BloomSpec can reuse them.
+    */
+  val BloomBits = 1 << 20
+  val BloomProbes = 3
+
   /** DuckDB fragment for the normWords tokenization (same text as every
     * inline occurrence above; shared by the newer oracles).
     */
@@ -641,6 +650,101 @@ object TextAnalysis {
         .join(hits, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"n_hits", lit(0L)).as("n_hits"))
+        .withColumn("contaminated", $"n_hits" >= 1)
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Benchmark decontamination through a BLOOM-FILTER prefilter — the
+    // cross-corpus membership shape ta_decontam's broadcast-the-exact-set
+    // form doesn't scale to: the benchmark gram set is folded into ONE
+    // fixed-size bit array ([[graft.functions.BloomAgg]], 2^20 bits × 3
+    // Kirsch–Mitzenmacher probes — merge = bitwise OR, so the build is a
+    // single all-reduce and partitioning-independent), the bloom
+    // broadcasts at 128 KiB regardless of benchmark size, and the corpus
+    // side tests each gram hash with pure integer bit arithmetic in-stage.
+    // Only bloom CANDIDATES reach the exact-verification join, so false
+    // positives cost a bounded re-check and false negatives are impossible
+    // by construction; the output reports both counts per doc
+    // (n_cand ≥ n_hits, the gap = the measured FP cost). Same planted
+    // canary/leak construction as ta_decontam. The probe positions are
+    // exact small-long arithmetic, so the oracle replays every set bit in
+    // BIGINT SQL: candidate ⇔ all 3 positions land in the benchmark's
+    // position set — literally the bloom's set-bit union.
+    sqlChecked(
+      "ta_decontam_bloom",
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 5
+         |         THEN text || ' graftbench canary alpha beta gamma delta epsilon zeta'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+         |                w -> w <> '') AS w
+         |  FROM planted),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(w)-7),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         |             w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS shingle
+         |    FROM toks WHERE len(w) >= 8)),
+         |shh AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(shingle),1,15)) AS BIGINT) AS h
+         |  FROM sh),
+         |bench AS (SELECT DISTINCT h FROM shh WHERE doc_id % 97 = 0),
+         |idx AS (SELECT unnest(generate_series(0, ${BloomProbes - 1})) AS i),
+         |bpos AS (SELECT DISTINCT ${graft.functions.BloomAgg.positionsSql("h", "i", BloomBits)} AS p
+         |         FROM bench CROSS JOIN idx),
+         |probes AS (
+         |  SELECT doc_id, h, ${graft.functions.BloomAgg.positionsSql("h", "i", BloomBits)} AS p
+         |  FROM shh CROSS JOIN idx WHERE doc_id % 97 <> 0),
+         |nset AS (SELECT doc_id, h, count(*) AS ns FROM probes JOIN bpos USING (p) GROUP BY doc_id, h),
+         |cand AS (SELECT doc_id, h FROM nset WHERE ns = $BloomProbes),
+         |roll AS (
+         |  SELECT c.doc_id, count(*) AS n_cand, count(b.h) AS n_hits
+         |  FROM cand c LEFT JOIN bench b ON c.h = b.h
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id, coalesce(n_cand, 0) AS n_cand, coalesce(n_hits, 0) AS n_hits,
+         |  coalesce(n_cand, 0) >= 1 AS bloom_flag, coalesce(n_hits, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN roll USING (doc_id)
+         |WHERE d.doc_id % 97 <> 0
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planted = Tables.documents(s, dir)
+        .select($"doc_id",
+          when($"doc_id" % 97 === 0 || $"doc_id" % 31 === 5,
+            concat($"text",
+              lit(" graftbench canary alpha beta gamma delta epsilon zeta")))
+            .otherwise($"text").as("text"))
+      val sh = Dedup.docShinglesOf(s, planted, 8)
+        .select($"doc_id", Exprs.hash60($"shingle").as("h"))
+      // bloom build: insertion is idempotent, so no distinct is needed
+      // before the fold (cheaper than the exact set, which must distinct)
+      val bloom = sh.filter($"doc_id" % 97 === 0)
+        .agg(graft.functions.BloomAgg($"h", BloomBits, BloomProbes).as("bits"))
+      val bench = sh.filter($"doc_id" % 97 === 0).select($"h").distinct()
+      // candidates: per-gram bit test against the broadcast 1-row bloom —
+      // integer expression work in the scan stage, no corpus shuffle
+      val cand = sh.filter($"doc_id" % 97 =!= 0)
+        .crossJoin(broadcast(bloom))
+        .filter(graft.functions.BloomAgg.mightContain("bits", "h", BloomBits, BloomProbes))
+        .select($"doc_id", $"h")
+      // exact verification touches ONLY candidates (at 100 TB this join —
+      // not the corpus scan — is what the bloom bounds); one pass computes
+      // both rollups
+      val roll = cand
+        .join(broadcast(bench.withColumn("known", lit(true))), Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_cand"), count($"known").as("n_hits"))
+      Tables.documents(s, dir).select($"doc_id")
+        .filter($"doc_id" % 97 =!= 0)
+        .join(roll, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_cand", lit(0L)).as("n_cand"),
+          coalesce($"n_hits", lit(0L)).as("n_hits"))
+        .withColumn("bloom_flag", $"n_cand" >= 1)
         .withColumn("contaminated", $"n_hits" >= 1)
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },

@@ -1112,6 +1112,53 @@ object Relational {
           round(array_max($"v"), 6).as("v_max"),
           round(aggregate($"v", lit(0.0), (acc, x) => acc + x) / size($"v"), 6).as("v_mean"))
         .transform(d => QueryDef.largeSort(d, $"vec_id"))
+    },
+
+    // Recursive CTE (WITH RECURSIVE → Catalyst UnionLoop/UnionLoopExec,
+    // new in Spark 4.x) — iteration with DATA-DEPENDENT depth, the one
+    // control-flow shape no fixed join chain expresses. The workload is a
+    // BOM-style subtree rollup over a derived part hierarchy (parent =
+    // partkey DIV 10 — a real tree: parent < child, contiguous keys make
+    // every ancestor a real part): walk every part up its ancestor chain,
+    // then roll up descendant count, max depth, and subtree value per
+    // ancestor. Spark recursion currently supports UNION ALL only
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which is exactly right here:
+    // the chain is strictly decreasing, so no dedup fixpoint is needed —
+    // cyclic closures (dd_components) stay on the pointer-doubling
+    // operator. Scale: each recursion level is one narrow projection over
+    // the previous level (no shuffle inside the loop — the frontier only
+    // maps anc → anc DIV 10), depth is bounded by log10(max key) ≈ 5-7 at
+    // any SF, and the single shuffle is the final ancestor-keyed
+    // aggregate. The oracle replays the identical recursion in DuckDB
+    // (integer // division = Spark's DIV).
+    sqlChecked(
+      "q39_bom_rollup",
+      """WITH RECURSIVE walk(part, anc, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part
+        |  UNION ALL
+        |  SELECT part, anc // 10, depth + 1 FROM walk WHERE anc >= 1)
+        |SELECT w.anc AS ancestor, count(*) AS n_desc,
+        |  CAST(max(w.depth) AS BIGINT) AS max_depth,
+        |  CAST(SUM(CAST(p.p_retailprice AS DECIMAL(20,8))) AS DOUBLE) AS subtree_value
+        |FROM walk w JOIN part p ON w.part = p.p_partkey
+        |GROUP BY w.anc
+        |ORDER BY ancestor""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir).createOrReplaceTempView("graft_part_bom")
+      val walk = s.sql(
+        """WITH RECURSIVE walk(part, anc, depth) AS (
+          |  SELECT p_partkey, p_partkey, 0 FROM graft_part_bom
+          |  UNION ALL
+          |  SELECT part, anc DIV 10, depth + 1 FROM walk WHERE anc >= 1)
+          |SELECT part, anc, depth FROM walk""".stripMargin)
+      walk
+        .join(Tables.part(s, dir).select($"p_partkey", $"p_retailprice"),
+          $"part" === $"p_partkey")
+        .groupBy($"anc".as("ancestor"))
+        .agg(count(lit(1)).as("n_desc"),
+          max($"depth").cast("long").as("max_depth"),
+          dsum($"p_retailprice").as("subtree_value"))
+        .transform(d => QueryDef.largeSort(d, $"ancestor"))
     }
   )
 }

@@ -117,4 +117,20 @@ class PlanSpec extends SparkSuite with Matchers {
     p should include("exact_unscaled_sum")
     (p should not).include("sum(cast(l_quantity")
   }
+
+  test("q39: recursion plans UnionLoop; depth is data-dependent, root covers all parts") {
+    val df = withPlainSort { SparkEntry.queries("q39_bom_rollup")(spark, dir) }
+    df.queryExecution.executedPlan.toString should include("UnionLoop")
+    val rows = df.collect()
+    val nParts = Tables.part(spark, dir).count()
+    val maxKey = rows.map(_.getLong(0)).max
+    // the virtual root (part 0) is an ancestor of every part...
+    val root = rows.find(_.getLong(0) == 0L).get
+    root.getLong(1) shouldBe nParts
+    // ...at the full chain depth: digits(maxKey) levels above the deepest leaf
+    root.getLong(2) shouldBe maxKey.toString.length.toLong
+    // a leaf-range ancestor (no other part has it as a proper ancestor
+    // except its own DIV-10 descendants): subtree must include itself
+    rows.foreach(r => r.getLong(1) should be >= 1L)
+  }
 }
