@@ -24,6 +24,20 @@ object TextAnalysis {
   val BloomBits = 1 << 20
   val BloomProbes = 3
 
+  /** Count-min sizing for ta_cms_heavy: 4 rows × 4096 counters (128 KiB).
+    * Overcount bound ≈ e·N/width per estimate; the query gates at the
+    * cleaner integer 3·N/width. Exposed for CountMinSpec.
+    */
+  val CmsWidth = 4096
+  val CmsDepth = 4
+  val CmsTopK = 20
+
+  /** ta_bigram_lm: bigrams below this corpus count stay OUT of the model
+    * (the unigram interpolation term alone scores them) — the cap that
+    * keeps the model zipf-small instead of O(vocab²).
+    */
+  val BigramMinCount = 2
+
   /** DuckDB fragment for the normWords tokenization (same text as every
     * inline occurrence above; shared by the newer oracles).
     */
@@ -749,6 +763,106 @@ object TextAnalysis {
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
+    // Heavy hitters through a COUNT-MIN SKETCH
+    // ([[graft.functions.CountMinAgg]]) — the frequency twin of the bloom
+    // membership structure: the word-frequency state is a FIXED 4×4096
+    // counter grid (128 KiB) built in one pass (merge = element-wise add,
+    // one all-reduce, partitioning-independent) instead of the
+    // vocabulary-sized exact count table. Estimates never undercount; the
+    // overcount is gated per word at the integer bound 3·N/width, the
+    // q20_sketch_stats discipline: the sketch answers, the exact companion
+    // (here the true top-20) is the oracle's ground truth, and the
+    // tolerance booleans are pinned TRUE by the oracle. Deterministic
+    // end-to-end (hash60 keys, Kirsch–Mitzenmacher rows, integer
+    // counters), so the oracle replays the ENTIRE grid and every estimate
+    // in BIGINT SQL.
+    sqlChecked(
+      "ta_cms_heavy",
+      s"""WITH words AS (
+         |  SELECT unnest(toks) AS word
+         |  FROM (SELECT $toksSqlFrag AS toks FROM documents)),
+         |wh AS (SELECT word, CAST(('0x' || substr(md5(word),1,15)) AS BIGINT) AS h FROM words),
+         |idx AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS i),
+         |cnt AS (
+         |  SELECT i, pos AS p, COUNT(*) AS c FROM (
+         |    SELECT i, ${graft.functions.CountMinAgg.positionSql("h", "i", CmsWidth)} AS pos
+         |    FROM wh CROSS JOIN idx)
+         |  GROUP BY i, pos),
+         |vocab AS (SELECT word, COUNT(*) AS true_cnt FROM words GROUP BY word),
+         |tot AS (SELECT SUM(true_cnt) AS n FROM vocab),
+         |top AS (SELECT word, true_cnt FROM vocab ORDER BY true_cnt DESC, word LIMIT $CmsTopK),
+         |tp AS (
+         |  SELECT t.word, t.true_cnt, i.i,
+         |    ${graft.functions.CountMinAgg.positionSql("CAST(('0x' || substr(md5(t.word),1,15)) AS BIGINT)", "i.i", CmsWidth)} AS p
+         |  FROM top t CROSS JOIN idx i),
+         |est AS (
+         |  SELECT word, true_cnt, MIN(c) AS est_cnt
+         |  FROM tp JOIN cnt ON tp.i = cnt.i AND tp.p = cnt.p
+         |  GROUP BY word, true_cnt)
+         |SELECT word, true_cnt, est_cnt,
+         |  (est_cnt >= true_cnt AND est_cnt - true_cnt <= (3 * (SELECT n FROM tot)) // $CmsWidth) AS within_bound
+         |FROM est ORDER BY true_cnt DESC, word""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val words = Tables.documents(s, dir)
+        .select(explode(Exprs.normWords($"text")).as("word"))
+      // one corpus pass builds the grid; the exact side below is the
+      // COMPANION (at 100 TB it is exactly what the sketch replaces —
+      // here it doubles as ground truth, as q20 does with its sketches)
+      val cms = words
+        .agg(graft.functions.CountMinAgg(Exprs.hash60($"word"), CmsWidth, CmsDepth).as("grid"))
+      // vocabulary-sized cache feeds the total AND the top-k (the
+      // ta_collocations multi-consumer lesson; the corpus is never cached)
+      val vocab = words.groupBy($"word").agg(count(lit(1)).as("true_cnt")).cache()
+      val n = vocab.agg(sum($"true_cnt")).collect().head.getLong(0)
+      val bound = 3L * n / CmsWidth
+      vocab.orderBy($"true_cnt".desc, $"word").limit(CmsTopK)
+        .crossJoin(broadcast(cms))
+        .withColumn("h", Exprs.hash60($"word"))
+        .withColumn("est_cnt",
+          graft.functions.CountMinAgg.estimate("grid", "h", CmsWidth, CmsDepth))
+        .select($"word", $"true_cnt", $"est_cnt",
+          ($"est_cnt" >= $"true_cnt" && $"est_cnt" - $"true_cnt" <= bound).as("within_bound"))
+        .transform(d => graft.QueryDef.smallSort(d, $"true_cnt".desc, $"word"))
+    },
+
+    // Interpolated bigram language-model scoring — the next rung above
+    // ta_unigram_logprob / ta_ccnet_buckets on the LM-quality ladder:
+    // P(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·c(w2)/N when the bigram is in
+    // the model, unigram-only backoff otherwise (Jelinek–Mercer
+    // interpolation with a count floor — [[BigramMinCount]] keeps the
+    // model zipf-small instead of O(vocab²), and every corpus word is in
+    // the vocab by construction so backoff probability is never zero).
+    // Per doc: bigram count, backoff count, mean negative log-likelihood
+    // (4 dp, the ta_unigram_logprob discipline). Scale: the vocab and the
+    // floored bigram model broadcast locally; at 100 TB the bigram-model
+    // join shifts to a shuffle join keyed on the bigram — the corpus-side
+    // bigram explode stays in-stage either way, and the only event-volume
+    // shuffles are the two model aggregates and the per-doc rollup.
+    sqlChecked(
+      "ta_bigram_lm",
+      s"""WITH toks AS (SELECT doc_id, $toksSqlFrag AS w FROM documents),
+         |words AS (SELECT unnest(w) AS word FROM toks),
+         |vocab AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+         |tot AS (SELECT SUM(c) AS n FROM vocab),
+         |b0 AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+         |       FROM toks WHERE len(w) >= 2),
+         |bi AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM b0),
+         |model AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+         |          HAVING COUNT(*) >= $BigramMinCount),
+         |j AS (
+         |  SELECT bi.doc_id, m.cb, a.c AS c1, b.c AS c2
+         |  FROM bi LEFT JOIN model m ON bi.w1 = m.w1 AND bi.w2 = m.w2
+         |  JOIN vocab a ON bi.w1 = a.word
+         |  JOIN vocab b ON bi.w2 = b.word)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+         |  round(avg(-ln(CASE WHEN cb IS NOT NULL
+         |    THEN 0.7 * (CAST(cb AS DOUBLE) / CAST(c1 AS DOUBLE)) + 0.3 * (CAST(c2 AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE))
+         |    ELSE 0.3 * (CAST(c2 AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)) END)), 4) AS score
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      bigramLm(s, Tables.documents(s, dir))
+    },
+
     // Sequence packing (concat-and-chop) — the step that turns a cleaned
     // corpus into fixed-budget training sequences: docs are concatenated in
     // deterministic order within a hash shard and chopped every 512 tokens;
@@ -1207,4 +1321,40 @@ object TextAnalysis {
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     }
   )
+
+  /** Interpolated bigram LM scoring (see the ta_bigram_lm comment).
+    * Exposed for CurationScoringSpec's fixture tests.
+    */
+  def bigramLm(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = docs.select($"doc_id", Exprs.normWords($"text").as("toks"))
+    val words = toks.select(explode($"toks").as("word"))
+    // vocabulary-sized cache: feeds the c1 side, the c2 side and the total
+    // (the ta_collocations multi-consumer lesson; the corpus-sized bigram
+    // explode below is recomputed per consumer instead of cached)
+    val vocab = words.groupBy($"word").agg(count(lit(1)).as("c")).cache()
+    val n = vocab.agg(sum($"c")).collect().head.getLong(0)
+    val bi = toks.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(zip_with(
+        slice($"toks", lit(1), size($"toks") - 1),
+        slice($"toks", lit(2), size($"toks") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    val model = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      .filter($"cb" >= BigramMinCount)
+    val pUni = lit(0.3) * ($"c2".cast("double") / n.toDouble)
+    val p = when($"cb".isNotNull,
+      lit(0.7) * ($"cb".cast("double") / $"c1".cast("double")) + pUni).otherwise(pUni)
+    bi
+      .join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(broadcast(vocab.select($"word".as("w1"), $"c".as("c1"))), Seq("w1"))
+      .join(broadcast(vocab.select($"word".as("w2"), $"c".as("c2"))), Seq("w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"cb".isNull, 1L).otherwise(0L)).as("n_backoff"),
+        round(avg(-log(p)), 4).as("score"))
+      .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+  }
 }

@@ -118,4 +118,29 @@ class CurationScoringSpec extends SparkSuite with Matchers {
     val again = graft.SparkEntry.queries("ta_weighted_sample")(spark, sf("sf0.01")).collect()
     again.map(_.toString) shouldBe rows.map(_.toString)
   }
+
+  test("ta_bigram_lm: predictable text scores lower NLL than shuffled text; floored bigrams back off") {
+    import spark.implicits._
+    // docs 1-4 repeat the same word order (their bigrams reach the model);
+    // doc 5 uses the SAME unigrams in a once-seen order — every one of its
+    // bigrams has corpus count 1 < BigramMinCount -> pure unigram backoff
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "the cat sat on the mat"),
+      (5L, "mat the on cat the sat")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramLm(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // modeled docs: every bigram in-model, no backoff
+    (1L to 4L).foreach { id =>
+      rows(id)._1 shouldBe 5L
+      rows(id)._2 shouldBe 0L
+    }
+    // shuffled doc: every bigram unseen-or-floored -> all backoff
+    rows(5L)._1 shouldBe 5L
+    rows(5L)._2 shouldBe 5L
+    // interpolation makes the modeled word order strictly more likely
+    rows(1L)._3 should be < rows(5L)._3
+  }
 }
