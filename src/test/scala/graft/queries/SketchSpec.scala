@@ -57,4 +57,38 @@ class SketchSpec extends SparkSuite with Matchers {
       }
     }
   }
+
+  test("q40: merged sketch rollup within band, overlap-aware, partition-invariant") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q40_hll_cube")(spark, dir).collect()
+    rows should not be empty
+    // every tolerance gate the oracle pins TRUE really is TRUE here too
+    rows.foreach { r =>
+      withClue(s"flag=${r.getString(0)}") {
+        r.getBoolean(3) shouldBe true // union_est_ok
+        r.getBoolean(4) shouldBe true // sum_overcounts (union dedups overlap)
+      }
+    }
+    // MERGEABILITY: a sketch built per fine group then union-merged must
+    // estimate the same as one sketch built directly over the coarse group,
+    // and be invariant to input partitioning (merge is associative +
+    // commutative — the property that makes the sketch table answer
+    // rollups without rescanning raw data).
+    val li = graft.Tables.lineitem(spark, dir)
+    def est(df: org.apache.spark.sql.DataFrame): Map[String, Long] = df
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = est(li.groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_partkey")).as("e")))
+    val merged = est(li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("e")))
+    val repart = est(li.repartition(13, $"l_partkey")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("e")))
+    merged shouldBe direct
+    repart shouldBe merged
+  }
 }
