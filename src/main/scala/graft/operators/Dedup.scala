@@ -33,6 +33,11 @@ object Dedup {
     */
   val HotShingleDfCap = 128
 
+  /** Sliding-window width (tokens) for exact-substring duplicate-span
+    * removal: shared spans ≥ this many tokens are detected and removed.
+    */
+  val SubstrWindow = 20
+
   /** DuckDB twin of `Exprs.normText + Exprs.words` as a CTE over documents. */
   private val ToksCte =
     """toks AS (
@@ -816,6 +821,105 @@ object Dedup {
                 x => x("keep")),
               x => x("l")))).as("kept_fp"))
         .transform(d => QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Exact-substring duplicate-span REMOVAL (the end product Lee et al.
+    // 2022's ExactSubstr computes with a suffix array; the Spark-native
+    // equivalent hashes every W-token sliding window): a window occurrence
+    // that is not the globally first occurrence of its hash (first = min
+    // (doc_id, pos) — the dd_line_dedup keep-first discipline) marks its W
+    // token positions for removal; the doc is reconstructed from the
+    // surviving tokens. Complements dd_span_dup (which SCORES docs by
+    // duplicated-gram fraction but removes nothing). Scale: strictly
+    // linear, unlike any pair-emitting generator — window hashing is
+    // in-stage per row, the keep-first window shuffles (hash, doc, pos)
+    // 16-byte keys once, coverage explode is ≤ W × duplicate OCCURRENCES
+    // (not corpus), and reconstruction shuffles doc-keyed tokens once. The
+    // suffix array's arbitrary-length matches degrade to "any shared span
+    // ≥ W tokens is caught, boundaries quantized to the window" — the
+    // standard trade for a distributed setting.
+    sqlChecked(
+      "dd_substr_dedup",
+      s"""WITH $ToksCte,
+         |win AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(list_slice(w, i, i + ${SubstrWindow - 1}), ' ')) AS h
+         |  FROM toks, unnest(generate_series(1, len(w) - ${SubstrWindow - 1})) AS u(i)
+         |  WHERE len(w) >= $SubstrWindow),
+         |dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |    FROM win)
+         |  WHERE rn > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos + j AS tpos
+         |  FROM dup, unnest(generate_series(0, ${SubstrWindow - 1})) AS v(j)),
+         |tok AS (
+         |  SELECT doc_id, i AS tpos, w[i] AS tk
+         |  FROM toks, unnest(generate_series(1, len(w))) AS u(i)),
+         |k AS (
+         |  SELECT t.doc_id, t.tpos, t.tk, c.tpos IS NULL AS keep
+         |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+         |    md5(coalesce(string_agg(tk, ' ' ORDER BY tpos) FILTER (keep), '')) AS kept_fp
+         |  FROM k GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(a.kept_fp, md5('')) AS kept_fp
+         |FROM toks t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      substrDedup(Tables.documents(s, dir))
+        .transform(d => QueryDef.largeSort(d, $"doc_id"))
     }
   )
+
+  /** Core of dd_substr_dedup over any (doc_id, text) frame — exposed so the
+    * planted-case spec can drive it on adversarial inputs.
+    */
+  def substrDedup(docs0: DataFrame): DataFrame = {
+    val W = SubstrWindow
+    val docs = docs0.select(col("doc_id"), Exprs.normWords(col("text")).as("w"))
+    // window hashes computed IN-STAGE per row (no shuffle): (pos, h) pairs
+    val wins = docs.filter(size(col("w")) >= W)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (W - 1)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("w"), i, lit(W)))).as("h")))).as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"), col("pw.h").as("h"))
+    // keep-first: one window per hash, 16-byte shuffle keys
+    val byH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val dup = wins.withColumn("rn", row_number().over(byH))
+      .filter(col("rn") > 1).select(col("doc_id"), col("pos"))
+    // covered token positions: ≤ W × duplicate occurrences rows
+    val cov = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("tpos"))
+      .distinct()
+    val tok = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tk")))
+      .select(col("doc_id"), (col("i") + 1).as("tpos"), col("tk"))
+    val k = tok
+      .join(cov.withColumn("hit", lit(true)), Seq("doc_id", "tpos"), "left")
+      .select(col("doc_id"), col("tpos"), col("tk"), col("hit").isNotNull.as("rm"))
+    val agg = k.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+      md5(concat_ws(" ",
+        transform(
+          filter(array_sort(collect_list(struct(col("tpos"), col("tk"), col("rm")))),
+            x => !x("rm")),
+          x => x("tk")))).as("kept_fp"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+  }
 }
