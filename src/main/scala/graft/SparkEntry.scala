@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
+      operators.Graph.defs ++
       streaming.Events.defs ++
       streaming.EventAnalytics.defs
 
