@@ -208,6 +208,66 @@ object EventAnalytics {
           .awaitTermination()
       }
       s.read.parquet(outDir).orderBy($"event_id")
+    },
+
+    // Audience-overlap set algebra through THETA sketches
+    // ([[graft.functions.ThetaAgg]]) — the set-operation twin of the
+    // q40_hll_cube mergeable rollup: per-audience sketches (heavy
+    // purchasers / heavy clickers, ≥10 events each) are built in one pass
+    // over the qualifying users, then distinct-count UNION, INTERSECTION
+    // and DIFFERENCE are answered by driver-side set algebra over the
+    // KILOBYTE sketches — never by re-joining the raw tables. HLL cannot
+    // intersect (register maxima lose the sample identity); theta retains
+    // hash samples, so "users in A and B" composes from independently
+    // built sketches — at 100 TB, across audiences sketched on different
+    // days/tables. Exact companions are hash-checked; estimate tolerance
+    // booleans are pinned TRUE by the oracle (q20 discipline; below k=4096
+    // retained hashes the sketch is exact by construction, and ThetaSpec
+    // separately pins estimation-mode error above k).
+    sqlChecked(
+      "ev_theta_audience",
+      """WITH a AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |           GROUP BY user_id HAVING count(*) >= 10),
+        |b AS (SELECT user_id FROM events WHERE event_type = 'click'
+        |      GROUP BY user_id HAVING count(*) >= 10)
+        |SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+        |  CAST((SELECT count(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS exact_both,
+        |  CAST((SELECT count(*) FROM a ANTI JOIN b USING (user_id)) AS BIGINT) AS exact_a_only,
+        |  TRUE AS est_a_ok, TRUE AS est_union_ok,
+        |  TRUE AS est_both_ok, TRUE AS est_a_only_ok""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.ThetaAgg
+      val qualified = Tables.events(s, dir)
+        .filter($"event_type".isin("purchase", "click"))
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 10)
+        .cache() // feeds the sketch pass AND the exact companions
+      // one aggregate builds both audience sketches; 2 rows reach the
+      // driver (model-collect scale)
+      val sk = qualified.groupBy($"event_type").agg(ThetaAgg($"user_id").as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+      val (a, b) = (ThetaAgg.wrap(sk("purchase")), ThetaAgg.wrap(sk("click")))
+      val estA = a.getEstimate
+      val estU = ThetaAgg.union(a, b).getEstimate
+      val estI = ThetaAgg.intersect(a, b).getEstimate
+      val estD = ThetaAgg.aNotB(a, b).getEstimate
+      // exact companions (verification-scale — the joins the sketches
+      // replace at 100 TB)
+      val aSet = qualified.filter($"event_type" === "purchase").select($"user_id")
+      val bSet = qualified.filter($"event_type" === "click").select($"user_id")
+      val exactA = aSet.count()
+      val exactB = bSet.count()
+      val exactBoth = aSet.join(bSet, Seq("user_id")).count()
+      val exactAOnly = aSet.join(bSet, Seq("user_id"), "left_anti").count()
+      qualified.unpersist()
+      def ok(est: Double, exact: Long): Boolean =
+        math.abs(est - exact) <= math.max(exact, 1L) * 0.05
+      Seq((exactA, exactB, exactBoth, exactAOnly,
+        ok(estA, exactA), ok(estU, exactA + exactB - exactBoth),
+        ok(estI, exactBoth), ok(estD, exactAOnly)))
+        .toDF("exact_a", "exact_b", "exact_both", "exact_a_only",
+          "est_a_ok", "est_union_ok", "est_both_ok", "est_a_only_ok")
     }
   )
 }
