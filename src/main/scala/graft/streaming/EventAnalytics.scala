@@ -268,6 +268,81 @@ object EventAnalytics {
         ok(estI, exactBoth), ok(estD, exactAOnly)))
         .toDF("exact_a", "exact_b", "exact_both", "exact_a_only",
           "est_a_ok", "est_union_ok", "est_both_ok", "est_a_only_ok")
+    },
+
+    // Exactly-once streaming UPSERT sink — update-mode aggregation +
+    // `foreachBatch` with an IDEMPOTENT write (overwrite keyed on batchId,
+    // the Structured Streaming production pattern for sinks without
+    // transactional support): the checkpoint gives at-least-once batch
+    // delivery, batchId-keyed overwrite makes replays no-ops, and the
+    // final state is the last update per key — so the materialized result
+    // equals the batch aggregate REGARDLESS of how input was split into
+    // micro-batches (the source is re-laid out as 4 files read with
+    // maxFilesPerTrigger=1, so every run really exercises multi-batch
+    // update emission — per-batch updates carry only keys CHANGED in that
+    // batch). Recovery/idempotence under restart is pinned separately by
+    // StreamRestartSpec (checkpoint resume over an extended source; batch
+    // outputs byte-stable across reruns). Scale: state is the running
+    // per-key aggregate (bounded by key cardinality); each batch write is
+    // only the changed keys; the batchId partition column turns the sink
+    // into an append-only log compacted by last-writer-wins — the
+    // lakehouse CDC-merge topology without the table format.
+    sqlChecked(
+      "ev_stream_upsert",
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val srcDir = Events.streamTmpDir("ev-upsert-src")
+      val outDir = Events.streamTmpDir("ev-upsert-out")
+      val ckDir = Events.streamTmpDir("ev-upsert-ck")
+      Tables.events(s, dir).repartition(4)
+        .write.mode("overwrite").parquet(srcDir)
+      upsertStreamPass(s, srcDir, outDir, ckDir)
+      upsertState(s, outDir)
+        .transform(d => QueryDef.largeSort(d, $"user_id"))
     }
   )
+
+  /** One AvailableNow pass of the upsert stream: per-user update-mode
+    * aggregate, idempotent batchId-keyed foreachBatch sink. Incremental by
+    * construction — a second call with the SAME checkpoint processes only
+    * files added since the first (StreamRestartSpec pins that).
+    */
+  private[streaming] def upsertStreamPass(
+      s: org.apache.spark.sql.SparkSession,
+      srcDir: String, outDir: String, ckDir: String): Unit = {
+    import s.implicits._
+    val schema = s.read.parquet(srcDir).schema
+    Events.withStreamPartitions(s) {
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // idempotent: a replayed batch overwrites its own partition
+          // with identical content, never corrupting neighbours
+          df.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+  }
+
+  /** Materialized view over the upsert sink's batch log: last update per
+    * key wins (the compaction a lakehouse MERGE target would run).
+    */
+  private[streaming] def upsertState(
+      s: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    import s.implicits._
+    val log = s.read.option("basePath", outDir).parquet(s"$outDir/batch=*")
+    val latest = Window.partitionBy($"user_id").orderBy($"batch".desc)
+    log.withColumn("rn", row_number().over(latest)).filter($"rn" === 1)
+      .select($"user_id", $"n_events", $"total_value")
+  }
 }
