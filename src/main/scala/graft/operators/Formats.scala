@@ -110,8 +110,49 @@ object Formats {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
         .orderBy($"event_type")
+    },
+
+    // Parquet SCHEMA EVOLUTION (`mergeSchema`): a dataset written over time
+    // gains a column — generation 1 (even orderkeys) has (o_orderkey,
+    // o_custkey), generation 2 (odd) adds o_totalprice — and one merged
+    // read reconciles both vintages, null-filling the old files' missing
+    // column. This is the default state of any 100 TB table (years of
+    // files, schema additions along the way); the footer-merge is a
+    // file-count-bounded planning cost, and per-file projection pushes the
+    // missing column to a constant-null vector, not a scan. The oracle
+    // replays the evolution as a CASE over the original table. FormatsSpec
+    // pins the merged schema's shape and the old-vintage null fill.
+    sqlChecked(
+      "io_schema_evolution",
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.read.option("mergeSchema", "true").parquet(evolvedOrdersDir(s, dir))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
   )
+
+  /** Two-vintage parquet dir for io_schema_evolution (write-once per source
+    * dir per JVM, the partitionedEventsDir discipline).
+    */
+  private val evolvedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def evolvedOrdersDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    evolvedDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val p = Files.createTempDirectory("graft-evolved-orders").toString
+      val orders = Tables.orders(s, dir)
+      orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey")
+        .write.mode("append").parquet(p)
+      orders.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("append").parquet(p)
+      p
+    })
 
   /** The pruned scan half of io_partitioned_prune, exposed so FormatsSpec
     * can assert the physical plan prunes to exactly one partition

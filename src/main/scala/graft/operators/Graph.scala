@@ -61,10 +61,14 @@ object Graph {
     */
   def pagerank(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    // undirected: materialize both directions once; every iteration reuses
-    // this cache (the multi-consumer ReuseExchange-defeat lesson)
+    // undirected: materialize both directions once, PRE-PARTITIONED on the
+    // source key and cached — the cached InMemoryRelation keeps
+    // hashpartitioning(a), so each iteration's join against the rank
+    // vector shuffles only the O(nodes) state side, never the edge list
+    // (the big side moves once for the whole run, not once per round)
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
       .cache()
     val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).cache()
     val n = deg.count() // 1-row driver scalar (model-collect discipline)

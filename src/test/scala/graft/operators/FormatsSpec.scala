@@ -42,4 +42,19 @@ class FormatsSpec extends SparkSuite with Matchers {
     pruned.select(org.apache.spark.sql.functions.countDistinct($"day")).collect()
       .head.getLong(0) shouldBe 1L
   }
+
+  test("io_schema_evolution: merged read reconciles vintages, null-fills the old one") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(Formats.evolvedOrdersDir(spark, dir))
+    merged.schema.fieldNames.sorted shouldBe
+      Array("o_custkey", "o_orderkey", "o_totalprice")
+    val orders = graft.Tables.orders(spark, dir)
+    merged.count() shouldBe orders.count()
+    // exactly the generation-1 (even-key) rows lack the added column
+    merged.filter($"o_totalprice".isNull).count() shouldBe
+      orders.filter($"o_orderkey" % 2 === 0).count()
+    merged.filter($"o_totalprice".isNull && $"o_orderkey" % 2 === 1).count() shouldBe 0L
+  }
 }
