@@ -32,7 +32,16 @@ object ScaleSmoke {
     // quantifies how much of that the clustering absorbs vs the all-pairs
     // baseline), corpus-level line dedup (line-hash window), and the
     // within-doc repetition rules (per-doc keyed rollups)
-    "dd_semdedup", "dd_line_dedup", "ta_repetition")
+    "dd_semdedup", "dd_line_dedup", "ta_repetition",
+    // round-9 session additions: iterative graph dataflow (edges ×8, rank
+    // vector ×~1 — per-iteration cost should track edges), exact-substring
+    // removal (8 exact copies make ~every window a duplicate — removal
+    // volume is the stress, still linear by construction), the fixed-state
+    // sketches (grid/sketch size CONSTANT as data grows — the whole
+    // point), the bigram LM (model zipf-small vs corpus), and the layout
+    // op (two scans + two group-bys, no joins)
+    "pr_pagerank", "dd_substr_dedup", "ta_cms_heavy", "ta_bigram_lm",
+    "q40_hll_cube", "lo_zorder", "ev_theta_audience")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
@@ -55,7 +64,8 @@ object ScaleSmoke {
     val marker = java.nio.file.Paths.get(dst, "copies.marker")
     // "v2" = the synthesized table set now includes events; a v1 dst (no
     // events.parquet) must re-synthesize even with matching copies:src
-    val markerVal = s"$copies:$src:v2"
+    // v3 = + orders (shared order-key shift, per-copy custkey shift)
+    val markerVal = s"$copies:$src:v3"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == markerVal
     if (!fresh) {
@@ -171,9 +181,24 @@ object ScaleSmoke {
       val shift = df.agg(max(col(key))).collect().head.getLong(0) + 1
       (0 until copies).map(i => tweak(shifted(df, key, shift, i), i)).reduce(_ union _)
     }
+    // orders + lineitem share ONE order-key shift (orders' max — the
+    // superset domain) so the join stays intact across copies; customers
+    // shift per copy so the purchase GRAPH grows ×copies (new users, same
+    // part catalog — pr_pagerank's growth mode; without the custkey shift
+    // the distinct edge set would collapse back to the original)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val orderShift = ord.agg(max(col("o_orderkey"))).collect().head.getLong(0) + 1
+    val custShift = ord.agg(max(col("o_custkey"))).collect().head.getLong(0) + 1
+    (0 until copies).map(i => ord
+      .withColumn("o_orderkey", col("o_orderkey") + lit(orderShift * i))
+      .withColumn("o_custkey", col("o_custkey") + lit(custShift * i)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
       .withColumn("l_orderkey", col("l_orderkey").cast("long"))
-    union(li, "l_orderkey", (d, _) => d)
+    (0 until copies).map(i => li
+      .withColumn("l_orderkey", col("l_orderkey") + lit(orderShift * i)))
+      .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     union(docs, "doc_id", (d, i) =>
@@ -191,6 +216,6 @@ object ScaleSmoke {
     union(ev, "event_id", (d, i) =>
       d.withColumn("user_id", col("user_id") + lit(userShift * i)))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    println(s"[scale] synthesized ${copies}x copies of lineitem/documents/embeddings/events at $dst")
+    println(s"[scale] synthesized ${copies}x copies of orders/lineitem/documents/embeddings/events at $dst")
   }
 }

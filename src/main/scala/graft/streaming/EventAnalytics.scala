@@ -293,16 +293,30 @@ object EventAnalytics {
         | CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val srcDir = Events.streamTmpDir("ev-upsert-src")
+      val srcDir = upsertSrcDir(s, dir)
       val outDir = Events.streamTmpDir("ev-upsert-out")
       val ckDir = Events.streamTmpDir("ev-upsert-ck")
-      Tables.events(s, dir).repartition(4)
-        .write.mode("overwrite").parquet(srcDir)
       upsertStreamPass(s, srcDir, outDir, ckDir)
       upsertState(s, outDir)
         .transform(d => QueryDef.largeSort(d, $"user_id"))
     }
   )
+
+  /** 4-file re-layout of events for the multi-batch upsert source —
+    * write-once per source dir per JVM (the partitionedEventsDir
+    * discipline; checkpoints/outputs stay per-call, only the immutable
+    * source is shared).
+    */
+  private val upsertSrcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def upsertSrcDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    upsertSrcDirs.getOrElseUpdate(dir, {
+      val p = Events.streamTmpDir("ev-upsert-src")
+      Tables.events(s, dir).repartition(4)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** One AvailableNow pass of the upsert stream: per-user update-mode
     * aggregate, idempotent batchId-keyed foreachBatch sink. Incremental by
