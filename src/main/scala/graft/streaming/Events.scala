@@ -182,6 +182,60 @@ object Events {
       s.read.parquet(outDir).orderBy($"hour", $"event_type")
     },
 
+    // Streaming windowed CARDINALITY — per-hour distinct users over the
+    // event stream. True distinct aggregation is unsupported in streaming
+    // (it needs unbounded per-group key sets); `approx_count_distinct`
+    // (HLL++) IS supported because its state is a fixed-size sketch per
+    // window — the streaming face of the q20/q40 sketch discipline, and
+    // the only way to answer per-window cardinality with bounded state at
+    // 100 TB event rates. Append mode emits each hour once its window
+    // closes at the watermark. The row carries the batch-side exact
+    // companion (hash-checked) and a Spark-computed 7% tolerance gate
+    // (3.5σ at rsd 0.02, the q20 calibration) the oracle pins TRUE.
+    sqlChecked(
+      "ev_stream_cardinality",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS est_ok
+        |FROM events
+        |GROUP BY hour
+        |HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        |ORDER BY hour""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val outDir = streamTmpDir("ev-card-out")
+      val ckDir = streamTmpDir("ev-card-ck")
+      withStreamPartitions(s) { Tables.eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(approx_count_distinct($"user_id", 0.02).as("est_users"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("hour"), $"est_users")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      }
+      // exact companion from the batch table — verification-scale, the
+      // per-key set state the streaming sketch replaces
+      val exact = Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(countDistinct($"user_id").as("exact_users"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("hour"), $"exact_users")
+      // band = max(7% relative, 4 absolute): the relative term is the q20
+      // dense-mode calibration (3.5σ at rsd 0.02); the absolute floor
+      // covers sparse-register resolution at tiny per-window cardinalities
+      // (measured worst: ±2 on 4-28-user windows at sf0.01, 3.8% relative
+      // at sf0.1 — both inside half the band)
+      s.read.parquet(outDir).join(exact, Seq("hour"))
+        .select($"hour", $"exact_users",
+          (abs($"est_users" - $"exact_users") <=
+            greatest($"exact_users" * 0.07, lit(4.0))).as("est_ok"))
+        .orderBy($"hour")
+    },
+
     // Streaming DEDUP — `dropDuplicatesWithinWatermark` keyed on event_id
     // over a stream that deliberately duplicates every input event (the same
     // parquet read by two stream sources, unioned). The WithinWatermark
