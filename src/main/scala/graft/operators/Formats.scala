@@ -132,7 +132,53 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  )
+  ) :+ compactionQuery
+
+  /** Small-files COMPACTION (`coalesce`, the OPTIMIZE/bin-packing half of
+    * lakehouse maintenance): a 64-tiny-file table — the classic streaming-
+    * ingest residue, where per-file open cost and footer reads dominate the
+    * scan — is rewritten as 4 right-sized files. `coalesce` merges
+    * partitions WITHOUT a shuffle (FormatsSpec pins zero Exchange in the
+    * write plan — `repartition` would pay a full data shuffle for the same
+    * file count), so compaction cost is one read + one write, the floor.
+    * Content preservation is gated by order-independent aggregates (count,
+    * exact decimal value sum, event_id sum) compared across the rewrite;
+    * the oracle pins the constructed file counts and the gate TRUE. At
+    * 100 TB this runs per partition-directory, parallel across them.
+    */
+  private def compactionQuery: QueryDef =
+    sqlChecked(
+      "io_compaction",
+      """SELECT CAST(64 AS BIGINT) AS n_files_small,
+        | CAST(4 AS BIGINT) AS n_files_compacted,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | TRUE AS content_preserved
+        |FROM events""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val smallDir = smallFilesDir(s, dir)
+      val outDir = Files.createTempDirectory("graft-compacted").toString
+      val small = s.read.parquet(smallDir)
+      small.coalesce(4).write.mode("overwrite").parquet(outDir)
+      val compacted = s.read.parquet(outDir)
+      def parquetFiles(d: String): Long =
+        new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+      def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)), dsum($"value"), sum($"event_id")).collect().head
+      Seq((parquetFiles(smallDir), parquetFiles(outDir),
+        compacted.count(), sig(small) == sig(compacted)))
+        .toDF("n_files_small", "n_files_compacted", "n_rows", "content_preserved")
+    }
+
+  /** 64-small-file events layout (write-once per source dir per JVM). */
+  private val smallFileDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def smallFilesDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    smallFileDirs.getOrElseUpdate(dir, {
+      val p = Files.createTempDirectory("graft-small-files").toString
+      Tables.events(s, dir).repartition(64).write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Two-vintage parquet dir for io_schema_evolution (write-once per source
     * dir per JVM, the partitionedEventsDir discipline).

@@ -57,4 +57,23 @@ class FormatsSpec extends SparkSuite with Matchers {
       orders.filter($"o_orderkey" % 2 === 0).count()
     merged.filter($"o_totalprice".isNull && $"o_orderkey" % 2 === 1).count() shouldBe 0L
   }
+
+  test("io_compaction: coalesce merges 64 files to 4 with zero shuffle") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val small = spark.read.parquet(Formats.smallFilesDir(spark, dir))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = small.coalesce(4).queryExecution.executedPlan
+      plan.toString should include("Coalesce")
+      plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      } shouldBe empty
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    val row = graft.SparkEntry.queries("io_compaction")(spark, dir).collect().head
+    row.getLong(0) shouldBe 64L
+    row.getLong(1) shouldBe 4L
+    row.getLong(2) shouldBe graft.Tables.events(spark, dir).count()
+    row.getBoolean(3) shouldBe true
+  }
 }
