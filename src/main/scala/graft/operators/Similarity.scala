@@ -28,6 +28,13 @@ object Similarity {
     * log2(16) = 4 bits/code, 8 codes/vector (4 packed bytes — 64×
     * compression vs float32). Exposed for PqRecallSpec.
     */
+  /** JL projection geometry: [[RpInDim]] → [[RpOutDim]] (4× reduction).
+    * Declared before `defs` — the oracle SQL interpolates them at object
+    * initialization.
+    */
+  val RpInDim = 64
+  val RpOutDim = 16
+
   val PqSubs = 8
   val PqSubDim = 8
   val PqCodes = 16
@@ -645,8 +652,58 @@ object Similarity {
          |SELECT query_id, cand_id, adc_micro, rk FROM ranked WHERE rk <= $PqTopK
          |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       pqAdc(s, Tables.embeddings(s, dir))
+    },
+
+    // Johnson–Lindenstrauss RANDOM PROJECTION (Achlioptas 2003 Rademacher
+    // form): 64 dims → 16 via a ±1 sign matrix seeded from md5 — fully
+    // deterministic, so the ENTIRE projected output is hash-checked
+    // against an oracle that re-derives the matrix and every coordinate
+    // (micro-unit integer quantization, the sim_pq_adc discipline; no
+    // float hash-compare). y_j = Σ_i x_i·s(i,j) / √16, so E‖y‖² = ‖x‖²
+    // and pairwise distances are preserved in expectation (RpProjectSpec
+    // pins the statistical JL property and a basis-vector exactness case).
+    // Scale: the dense per-row transform is SCAN-SPEED work against a
+    // broadcast 16×64 sign matrix (1 KB — no RNG state to coordinate
+    // across executors; the md5 seed IS the shared randomness); the
+    // output feeds the LSH/IVF family at 4× fewer dimensions, which is
+    // the point — at 100 TB you project once, then every downstream
+    // distance computation is 4× cheaper.
+    sqlChecked(
+      "sim_rp_project",
+      s"""WITH signs AS (
+         |  SELECT j, list_transform(generate_series(1, $RpInDim), i ->
+         |    CASE WHEN CAST(('0x' || substr(md5('rp:' || i || ':' || j),1,15)) AS BIGINT) % 2 = 0
+         |         THEN 1 ELSE -1 END) AS sgn
+         |  FROM (SELECT unnest(generate_series(1, $RpOutDim)) AS j)),
+         |proj AS (
+         |  SELECT e.vec_id, s.j,
+         |    CAST(round(list_sum(list_transform(generate_series(1, $RpInDim), i ->
+         |      CAST(e.embedding[i] AS DOUBLE) * s.sgn[i])) * 0.25 * 1000000) AS BIGINT) AS proj_micro
+         |  FROM embeddings e CROSS JOIN signs s)
+         |SELECT vec_id, j, proj_micro FROM proj
+         |ORDER BY vec_id, j""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      rpProject(s, Tables.embeddings(s, dir))
+        .transform(d => QueryDef.largeSort(d, $"vec_id", $"j"))
     }
   )
+
+  /** Core of sim_rp_project — exposed for RpProjectSpec. */
+  def rpProject(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val signs = s.range(1, RpOutDim + 1).toDF("j")
+      .select($"j".cast("int").as("j"),
+        transform(sequence(lit(1), lit(RpInDim)), i =>
+          when(Exprs.hash60(concat(lit("rp:"), i.cast("string"), lit(":"), $"j".cast("string"))) % 2 === 0,
+            lit(1.0)).otherwise(lit(-1.0))).as("sgn"))
+    emb.select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+      .crossJoin(broadcast(signs))
+      .select($"vec_id", $"j",
+        round(aggregate(zip_with($"v", $"sgn", (x, sg) => x * sg),
+          lit(0.0), (acc, x) => acc + x) * 0.25 * 1000000)
+          .cast("long").as("proj_micro"))
+  }
 
   /** PQ codebook train + encode + ADC top-k (see the sim_pq_adc comment).
     * Exposed for PqRecallSpec.
