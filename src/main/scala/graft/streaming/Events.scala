@@ -643,8 +643,106 @@ object Events {
       q.awaitTermination()
       }
       s.read.parquet(outDir).orderBy($"user_id", $"session_start")
+    },
+
+    // transformWithState (Spark 4.x arbitrary-state v2, the successor to
+    // flatMapGroupsWithState): per-user purchase MILESTONES — every 5th
+    // purchase in event-time order emits (user, running count, event) —
+    // a running-counter shape the windowed APIs can't express (state is a
+    // single long per user, output cadence is data-driven). The processor
+    // keeps ONE ValueState[Long]; each batch folds its rows in
+    // (event-time, event_id) order on top of the persisted count, so the
+    // milestone sequence is deterministic under any batch split (TwsSpec
+    // pins 1-batch ≡ 2-batch ≡ the batch oracle, cross-boundary
+    // milestones included). transformWithState requires the RocksDB state
+    // store — the spillable backend (conf scoped to this query; the same
+    // provider RocksDbStateSpec exercises for sessionize). Scale: state is
+    // 8 bytes/user (vs the sessionizer's buffered-events list), updates
+    // are append-time, and the per-key fold shuffles each event once on
+    // user_id — the same topology as every ev_* aggregate.
+    sqlChecked(
+      "ev_tws_milestones",
+      """WITH p AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(rn AS BIGINT) AS n_events, event_id FROM p
+        |WHERE rn % 5 = 0 ORDER BY user_id, n_events""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val outDir = streamTmpDir("ev-tws-out")
+      val ckDir = streamTmpDir("ev-tws-ck")
+      milestoneStreamPass(s, Tables.eventsStream(s, dir), outDir, ckDir)
+      s.read.parquet(outDir).orderBy($"user_id", $"n_events")
     }
   )
+
+  /** One AvailableNow transformWithState pass over a purchase stream,
+    * parquet-sinked. Exposed (with any source frame) for TwsSpec's
+    * multi-batch and restart runs.
+    */
+  private[streaming] def milestoneStreamPass(
+      s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame,
+      outDir: String, ckDir: String): Unit = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey, rocks)
+    try withStreamPartitions(s) {
+      src.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id").as[MsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new MilestoneProcessor(5), TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
+  case class MsEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class Milestone(user_id: Long, n_events: Long, event_id: Long)
+
+  /** Running per-user purchase counter over ONE `ValueState[Long]`; emits a
+    * row at every `every`-th purchase. Batch rows fold in event-time order
+    * on top of the persisted count, so output is batch-split-invariant
+    * whenever batch boundaries respect event time (TwsSpec's split does;
+    * the single-file AvailableNow query trivially does).
+    */
+  class MilestoneProcessor(every: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MsEvent, Milestone] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[MsEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Milestone] = {
+      def us(e: MsEvent): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+      val sorted = rows.toSeq.sortBy(e => (us(e), e.event_id))
+      var c = if (count.exists()) count.get() else 0L
+      val out = Seq.newBuilder[Milestone]
+      sorted.foreach { e =>
+        c += 1
+        if (c % every == 0) out += Milestone(key, c, e.event_id)
+      }
+      count.update(c)
+      out.result().iterator
+    }
+  }
 
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class SessBuffer(events: List[SessEvent])
