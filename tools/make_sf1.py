@@ -98,16 +98,38 @@ def remap_order(oid: str, k: int) -> str:
     return oid if k == 0 else f"{oid}X{k}"
 
 
-CUST_STRIDE = 800  # fixture holds C0001..C0800; copies offset by this
+# ADVICE r08 follow-up: the copy stride is DERIVED from the max customer id
+# referenced ANYWHERE in the fixture (customers.csv AND order files — orders
+# deliberately reference unknown customers like C0803 as a pipeline trap),
+# rounded up to the next hundred. A stride covering only customers.csv would
+# land copy 0's dangling reference inside copy 1's VALID id range — silently
+# defusing the unknown-customer trap and breaking disjoint shards.
+def _cust_stride() -> int:
+    src = Path(FK_SRC)
+    ids = []
+
+    def note(cid: str):
+        if cid.startswith("C") and cid[1:].isdigit():
+            ids.append(int(cid[1:]))
+
+    for ln in src.joinpath("customers.csv").read_text().rstrip("\n").split("\n")[1:]:
+        note(ln.split(",")[0])
+    for f in sorted(src.glob("orders_*.json")):
+        for r in json.loads(f.read_text()):
+            note(str(r.get("customer_id", "")))
+    return (max(ids) + 99) // 100 * 100
+
+
+CUST_STRIDE = _cust_stride()
 
 
 def remap_cust(cid: str, k: int) -> str:
     if k == 0 or not (cid.startswith("C") and cid[1:].isdigit()):
         return cid
-    # ADVICE r08: the stride must cover the fixture's id range or copy k and
-    # k+1 silently collide, breaking the disjoint-shard invariant.
+    # belt-and-braces: the derivation above makes this unreachable unless
+    # ids stop matching the C%04d scheme entirely
     assert int(cid[1:]) <= CUST_STRIDE, \
-        f"customer id {cid} exceeds CUST_STRIDE={CUST_STRIDE}; raise the stride"
+        f"customer id {cid} exceeds derived CUST_STRIDE={CUST_STRIDE}"
     return f"C{int(cid[1:]) + CUST_STRIDE * k:04d}"
 
 
