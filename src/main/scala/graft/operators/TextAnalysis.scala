@@ -1319,6 +1319,59 @@ object TextAnalysis {
           $"dup_line_frac" <= 0.30 && $"dup_line_char_frac" <= 0.20
             && $"top_bigram_frac" <= 0.18)
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Corpus SNAPSHOT DIFF — the incremental-ingest primitive: given two
+    // crawl versions of the corpus, classify every doc as added / removed
+    // / changed (content fingerprint moved) and emit ONLY the delta. The
+    // "new" version is derived deterministically from the same table so
+    // the oracle replays it: docs with doc_id % 97 == 0 disappear
+    // (removed), docs with doc_id % 89 == 0 get re-crawled with a marker
+    // appended (changed), and a shifted id range appears (added). Scale:
+    // both sides collapse to (doc_id, md5(text)) — 24-byte rows — BEFORE
+    // the full outer join, so the diff shuffles fingerprints, never text;
+    // the emitted delta is change-sized, not corpus-sized. This is the
+    // incremental topology every recrawl pipeline runs: diff → route the
+    // `added`/`changed` slice through cleaning/dedup → tombstone the
+    // `removed` ids downstream.
+    sqlChecked(
+      "ta_snapshot_diff",
+      """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 0 THEN md5(text || ' [recrawl]')
+        |         ELSE md5(text) END AS fp
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, fp FROM (
+        |    SELECT doc_id, md5('new page ' || doc_id) AS fp
+        |    FROM documents WHERE doc_id % 83 = 0))
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val a = docs.select($"doc_id", md5($"text").as("fp"))
+      val b = docs.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 89 === 0, md5(concat($"text", lit(" [recrawl]"))))
+            .otherwise(md5($"text")).as("fp"))
+        .union(docs.filter($"doc_id" % 83 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            md5(concat(lit("new page "), $"doc_id")).as("fp")))
+      // both sides derive from the same scan — qualify through aliases so
+      // the self-join columns resolve unambiguously
+      a.as("va").join(b.as("vb"), $"va.doc_id" === $"vb.doc_id", "full_outer")
+        .filter($"va.doc_id".isNull || $"vb.doc_id".isNull || $"va.fp" =!= $"vb.fp")
+        .select(coalesce($"va.doc_id", $"vb.doc_id").as("doc_id"),
+          when($"va.doc_id".isNull, "added")
+            .when($"vb.doc_id".isNull, "removed")
+            .otherwise("changed").as("status"))
+        .transform(d => graft.QueryDef.smallSort(d, $"doc_id"))
     }
   )
 
