@@ -35,6 +35,10 @@ object Similarity {
   val RpInDim = 64
   val RpOutDim = 16
 
+  /** Query count and result size for sim_rp_topk (same init-order rule). */
+  val RpQueryMax = 5
+  val RpTopK = 10
+
   val PqSubs = 8
   val PqSubDim = 8
   val PqCodes = 16
@@ -685,8 +689,76 @@ object Similarity {
       import s.implicits._
       rpProject(s, Tables.embeddings(s, dir))
         .transform(d => QueryDef.largeSort(d, $"vec_id", $"j"))
+    },
+
+    // The projection's CONSUMER (the sim_ivf_int8 lesson: a bandwidth
+    // claim needs the operator that cashes it): top-10 nearest neighbours
+    // by L2 distance computed ENTIRELY in the 16-dim projected integer
+    // space — per-pair work drops 4× (16 integer diffs vs 64 double
+    // mults), and every arithmetic step (squared micro-distances summed in
+    // BIGINT) is exact, so ranking is deterministic and the oracle replays
+    // the whole search. Query vecs broadcast; the candidate side is one
+    // linear scan (the sim_topk_bruteforce topology at a quarter of the
+    // bytes). RpRecallSpec pins neighbour preservation on clustered
+    // vectors — the regime JL guarantees; on pure-random vectors
+    // distances concentrate and NO dimensionality reduction preserves
+    // top-k, which is why the gate data is planted, not the testdata.
+    sqlChecked(
+      "sim_rp_topk",
+      s"""WITH signs AS (
+         |  SELECT j, list_transform(generate_series(1, $RpInDim), i ->
+         |    CASE WHEN CAST(('0x' || substr(md5('rp:' || i || ':' || j),1,15)) AS BIGINT) % 2 = 0
+         |         THEN 1 ELSE -1 END) AS sgn
+         |  FROM (SELECT unnest(generate_series(1, $RpOutDim)) AS j)),
+         |proj AS (
+         |  SELECT e.vec_id, s.j,
+         |    CAST(round(list_sum(list_transform(generate_series(1, $RpInDim), i ->
+         |      CAST(e.embedding[i] AS DOUBLE) * s.sgn[i])) * 0.25 * 1000000) AS BIGINT) AS p
+         |  FROM embeddings e CROSS JOIN signs s),
+         |pv AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(generate_series(1, $RpOutDim),
+         |      j -> (q.pv[j] - c.pv[j]) * (q.pv[j] - c.pv[j]))) AS BIGINT) AS d2
+         |  FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $RpQueryMax),
+         |ranked AS (
+         |  SELECT query_id, cand_id, d2,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT query_id, cand_id, d2, rk FROM ranked WHERE rk <= $RpTopK
+         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      rpTopk(s, Tables.embeddings(s, dir))
+        .transform(d => QueryDef.smallSort(d, $"query_id", $"rk"))
     }
   )
+
+  /** Projected-space exact top-k (core of sim_rp_topk; exposed for
+    * RpRecallSpec): project once, assemble per-vec integer coordinate
+    * arrays, broadcast the query slice, rank by exact BIGINT squared
+    * distance.
+    */
+  def rpTopk(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val pv = rpProject(s, emb)
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"j", $"proj_micro"))),
+        x => x("proj_micro")).as("pv"))
+      .cache() // one projection pass feeds both join sides
+    val queries = pv.filter($"vec_id" < RpQueryMax)
+      .select($"vec_id".as("query_id"), $"pv".as("qv"))
+    val d2 = aggregate(
+      zip_with($"qv", $"pv", (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d2", $"cand_id")
+    pv.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"), d2.as("d2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= RpTopK)
+  }
 
   /** Core of sim_rp_project — exposed for RpProjectSpec. */
   def rpProject(s: org.apache.spark.sql.SparkSession,
