@@ -156,7 +156,7 @@ object Formats {
         |FROM events""".stripMargin) { (s, dir) =>
       import s.implicits._
       val smallDir = smallFilesDir(s, dir)
-      val outDir = Files.createTempDirectory("graft-compacted").toString
+      val outDir = scratchDir("graft-compacted")
       val small = s.read.parquet(smallDir)
       small.coalesce(4).write.mode("overwrite").parquet(outDir)
       val compacted = s.read.parquet(outDir)
@@ -175,10 +175,30 @@ object Formats {
 
   def smallFilesDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
     smallFileDirs.getOrElseUpdate(dir, {
-      val p = Files.createTempDirectory("graft-small-files").toString
+      val p = scratchDir("graft-small-files")
       Tables.events(s, dir).repartition(64).write.mode("overwrite").parquet(p)
       p
     })
+
+  /** Scratch root for this module's derived-layout temp dirs (evolved
+    * vintages, small-files fixtures, compaction outputs) — one shutdown
+    * hook removes the whole tree (the Events.scratchRoot discipline;
+    * partitionedEventsDir keeps its own bespoke hook for historical
+    * reasons).
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft-formats-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles(); if (kids != null) kids.foreach(rm); p.delete()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def scratchDir(prefix: String): String =
+    Files.createTempDirectory(scratchRoot, prefix).toString
 
   /** Two-vintage parquet dir for io_schema_evolution (write-once per source
     * dir per JVM, the partitionedEventsDir discipline).
@@ -189,7 +209,7 @@ object Formats {
   def evolvedOrdersDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
     evolvedDirs.getOrElseUpdate(dir, {
       import s.implicits._
-      val p = Files.createTempDirectory("graft-evolved-orders").toString
+      val p = scratchDir("graft-evolved-orders")
       val orders = Tables.orders(s, dir)
       orders.filter($"o_orderkey" % 2 === 0)
         .select($"o_orderkey", $"o_custkey")
