@@ -41,7 +41,11 @@ object ScaleSmoke {
     // point), the bigram LM (model zipf-small vs corpus), and the layout
     // op (two scans + two group-bys, no joins)
     "pr_pagerank", "dd_substr_dedup", "ta_cms_heavy", "ta_bigram_lm",
-    "q40_hll_cube", "lo_zorder", "ev_theta_audience")
+    "q40_hll_cube", "lo_zorder", "ev_theta_audience",
+    // late additions: scan-speed projection and the fingerprint diff (both
+    // linear; sim_rp_topk stays OUT like dd_embedding_cosine — it is the
+    // labeled O(n²) projected-space baseline)
+    "sim_rp_project", "ta_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
