@@ -673,6 +673,57 @@ object Events {
       val ckDir = streamTmpDir("ev-tws-ck")
       milestoneStreamPass(s, Tables.eventsStream(s, dir), outDir, ckDir)
       s.read.parquet(outDir).orderBy($"user_id", $"n_events")
+    },
+
+    // Event-time TIMERS through transformWithState ([[InactiveProcessor]]):
+    // users inactive ≥ 1 day after their last purchase, emitted by
+    // `handleExpiredTimer` when the WATERMARK passes the armed expiry —
+    // output driven by time passing, not by rows arriving (the half of the
+    // v2 API ev_tws_milestones doesn't touch). Users still active at
+    // stream end hold an armed-but-unfired timer — exactly the open-tail
+    // discipline of the sessionizer's timeout. The oracle replays the
+    // final verdict as a per-user max(ts) against the corpus max.
+    sqlChecked(
+      "ev_tws_inactive",
+      """WITH p AS (SELECT user_id, max(ts) AS last_ts FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id),
+        |m AS (SELECT max(ts) AS mx FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase
+        |FROM p, m WHERE last_ts + INTERVAL 1 DAY <= mx
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val outDir = streamTmpDir("ev-twsi-out")
+      val ckDir = streamTmpDir("ev-twsi-ck")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey, rocks)
+      try withStreamPartitions(s) {
+        Tables.eventsStream(s, dir)
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id")
+          .withWatermark("ts", "0 seconds")
+          .as[MsEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(new InactiveProcessor(InactiveGapUs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+      s.read.parquet(outDir)
+        .select($"user_id", date_format($"last_purchase", TsFmt).as("last_purchase"))
+        .orderBy($"user_id")
     }
   )
 
@@ -707,6 +758,58 @@ object Events {
     } finally prev match {
       case Some(v) => s.conf.set(providerKey, v)
       case None => s.conf.unset(providerKey)
+    }
+  }
+
+  // --- transformWithState TIMERS: event-time inactivity detection ----------
+
+  /** Gap after a user's last purchase before they count as inactive. */
+  val InactiveGapUs: Long = 24L * 3600 * 1000 * 1000
+
+  case class Inactive(user_id: Long, last_purchase: java.sql.Timestamp)
+
+  /** Event-time TIMER face of transformWithState (ev_tws_milestones covers
+    * the data path; this covers `handleExpiredTimer` — output produced by
+    * the passage of WATERMARK TIME, not by input rows): per user, keep
+    * last-purchase time in a ValueState, re-arm one timer at last + gap
+    * (deleting the stale one — timers don't replace by key), and when the
+    * watermark passes an armed expiry with no newer purchase, the expired-
+    * timer callback emits the inactivity record. Same state topology as
+    * the sessionizer's timeout but through the v2 API. Scale: state is one
+    * long + one timer per user; timer firings are watermark-driven scans
+    * of the timer column family, never a full-state sweep.
+    */
+  class InactiveProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, MsEvent, Inactive] {
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var lastSeen: ValueState[Long] = _ // event-time micros
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    private def us(e: MsEvent): Long =
+      e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+    override def handleInputRows(
+        key: Long, rows: Iterator[MsEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Inactive] = {
+      val batchMax = rows.map(us).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      val mx = math.max(prev, batchMax)
+      lastSeen.update(mx)
+      // one live timer per user: drop stale arms, arm at last + gap (ms)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((mx + gapUs) / 1000)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(
+        key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Inactive] = {
+      val mxUs = lastSeen.get()
+      val t = new java.sql.Timestamp(mxUs / 1000)
+      t.setNanos(((mxUs % 1000000) * 1000).toInt)
+      Iterator.single(Inactive(key, t))
     }
   }
 
