@@ -798,7 +798,7 @@ object Dedup {
         |     row_number() OVER (PARTITION BY md5(l) ORDER BY doc_id, pos) = 1) AS keep
         |  FROM lines)
         |SELECT doc_id, COUNT(*) AS n_lines,
-        |  SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |  md5(COALESCE(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS kept_fp
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._

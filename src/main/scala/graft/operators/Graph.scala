@@ -100,7 +100,7 @@ object Graph {
          |  SELECT d.node, d.deg,
          |    (15 * (SELECT r0 FROM params) // 100) + $PrDampNum * s.acc // 100 AS r
          |  FROM deg d JOIN (
-         |    SELECT e.b AS node, sum(r.r // r.deg) AS acc
+         |    SELECT e.b AS node, CAST(sum(r.r // r.deg) AS BIGINT) AS acc
          |    FROM edges e JOIN r${k - 1} r ON e.a = r.node GROUP BY e.b) s
          |  ON d.node = s.node)"""
     }.mkString(",\n")
@@ -112,7 +112,7 @@ object Graph {
        |params AS (SELECT $PrScale // count(*) AS r0 FROM deg),
        |r0 AS (SELECT node, deg, (SELECT r0 FROM params) AS r FROM deg),
        |$iters
-       |SELECT node, r AS rank_micro FROM r$PrIters
+       |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r$PrIters
        |ORDER BY rank_micro DESC, node LIMIT $PrTopK""".stripMargin
   }
 }

@@ -390,7 +390,7 @@ object TextAnalysis {
          |        CAST(round((ln((cpos + 1.0) / (p + 1024.0)) - ln((cneg + 1.0) / (n + 1024.0))) * 1000000) AS BIGINT) AS w_micro
          |      FROM m CROSS JOIN tot),
          |bias AS (SELECT CAST(round(ln((dpos + 1.0) / (dneg + 1.0)) * 1000000) AS BIGINT) AS b FROM dtot),
-         |scored AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(w_micro) AS sw
+         |scored AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w_micro) AS BIGINT) AS sw
          |           FROM wb JOIN w USING (bucket) GROUP BY doc_id),
          |fs AS (SELECT l.doc_id,
          |           COALESCE(n_tokens, 0) AS n_tokens,
@@ -415,10 +415,17 @@ object TextAnalysis {
         distinctRatio >= 0.3 && nStop >= 2
       val labeled = Tables.documents(s, dir)
         .select($"doc_id", label.as("label"), toks.as("toks"))
+      // two-tier cache so the corpus is tokenized + exploded exactly ONCE:
+      // wb (the word explode) feeds the model aggregate AND the scoring
+      // join; docLabels (doc-level, 2 columns — tiny) feeds the class
+      // counts AND the final left join. Without these the plan re-ran the
+      // explode up to 4× (the ta_collocations multi-consumer lesson).
       val wb = labeled
         .select($"doc_id", $"label", explode($"toks").as("word"))
         .withColumn("bucket",
           conv(substring(md5($"word"), 1, 8), 16, 10).cast("long") % 1024)
+        .cache()
+      val docLabels = labeled.select($"doc_id", $"label").cache()
       val model = wb.groupBy($"bucket").agg(
         sum(when($"label", 1L).otherwise(0L)).as("cpos"),
         sum(when(!$"label", 1L).otherwise(0L)).as("cneg"))
@@ -427,7 +434,7 @@ object TextAnalysis {
       val t = model.agg(
         sum($"cpos").as("p"), sum($"cneg").as("n")).collect().head
       val (p, n) = (t.getLong(0), t.getLong(1))
-      val dt = labeled.agg(
+      val dt = docLabels.agg(
         sum(when($"label", 1L).otherwise(0L)),
         sum(when(!$"label", 1L).otherwise(0L))).collect().head
       val (dpos, dneg) = (dt.getLong(0), dt.getLong(1))
@@ -440,22 +447,26 @@ object TextAnalysis {
       val scored = wb.join(broadcast(weights), Seq("bucket"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"w_micro").as("sw"))
-      val full = labeled.select($"doc_id", $"label")
+      val full = docLabels
         .join(scored, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"n_tokens", lit(0L)).as("n_tokens"),
           (lit(bias) + coalesce($"sw", lit(0L))).as("score_micro"),
           $"label")
+        .persist()
       // calibrated decision threshold = midpoint of the class-conditional
       // mean scores (the NB sum has a positive drift: smoothing makes
       // zero-cneg buckets common when the negative corpus is the smaller
       // one, so raw sign predicts all-positive). Both means are exact
       // integer sums / counts — the double division is deterministic. One
-      // more 1-row driver fetch; the recompute of `full` for it is the
-      // price of staying stateless (a pipeline would persist `scored`).
+      // more 1-row driver fetch — it materializes the persisted `full`
+      // (doc-level, 4 columns), so the returned frame reads the cache.
       val tau = full.agg(
         ((avg(when($"label", $"score_micro")) + avg(when(!$"label", $"score_micro"))) / 2)
           .as("t")).collect().head.getDouble(0)
+      // full is materialized; the upstream caches can go
+      wb.unpersist()
+      docLabels.unpersist()
       full.select($"doc_id", $"n_tokens", $"score_micro",
           ($"score_micro" > tau).as("pred"), $"label")
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
@@ -1253,7 +1264,7 @@ object TextAnalysis {
          |  WHERE trim(l) <> ''),
          |lc AS (SELECT doc_id, l, chars, COUNT(*) AS cnt FROM lines GROUP BY doc_id, l, chars),
          |line_stats AS (
-         |  SELECT doc_id, SUM(cnt) AS n_lines,
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
          |    CASE WHEN SUM(cnt) = 0 THEN 0.0
          |         ELSE round(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 6) END AS dup_line_frac,
          |    CASE WHEN SUM(cnt * chars) = 0 THEN 0.0

@@ -295,7 +295,7 @@ object TextIndex {
        |  SELECT q.query_id, tf.doc_id,
        |    CAST(round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (dl.dl * 0.75) / (SELECT avgdl FROM st))) * 1000000) AS BIGINT) AS c
        |  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id),
-       |scored AS (SELECT query_id, doc_id, COUNT(*) AS n_terms, SUM(c) AS score_micro
+       |scored AS (SELECT query_id, doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS score_micro
        |           FROM contrib GROUP BY query_id, doc_id),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rk
        |           FROM scored)

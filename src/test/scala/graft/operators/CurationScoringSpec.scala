@@ -57,6 +57,29 @@ class CurationScoringSpec extends SparkSuite with Matchers {
     accuracy should be >= 0.7
   }
 
+  test("ta_classifier_score: plan reads the persisted intermediate — corpus exploded once") {
+    // The fix for the 4× corpus re-explode (r9 verdict): wb is cached for
+    // the model + scoring consumers and `full` is persisted before the tau
+    // fetch, so the RETURNED frame must read the in-memory relation, not
+    // re-derive the explode from the parquet scan.
+    // plain sort so the presentation tail doesn't hide the read behind a
+    // localCheckpoint RDD scan
+    spark.conf.set(graft.QueryDef.PlainSortConf, "true")
+    try {
+      val df = graft.SparkEntry.queries("ta_classifier_score")(spark, sf("sf0.001"))
+      val lp = df.queryExecution.optimizedPlan
+      // every leaf of the RETURNED frame is the persisted intermediate —
+      // no parquet re-scan, no re-run of the word explode downstream
+      // (pre-fix the plan re-derived both up to 4×)
+      val leaves = lp.collectLeaves()
+      leaves should not be empty
+      all(leaves.map(_.getClass.getSimpleName)) shouldBe "InMemoryRelation"
+      lp.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      } shouldBe empty
+    } finally spark.conf.unset(graft.QueryDef.PlainSortConf)
+  }
+
   test("ta_bm25: planted ranking — more matched terms and higher tf outrank, non-matches absent") {
     import spark.implicits._
     val filler = Seq.fill(17)("filler").mkString(" ")
