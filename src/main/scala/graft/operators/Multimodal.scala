@@ -82,8 +82,8 @@ object Multimodal {
        |  octet_length(content) AS byte_len,
        |  CAST(concat('0x', substr(hex(content), 33, 8)) AS BIGINT) AS width,
        |  CAST(concat('0x', substr(hex(content), 41, 8)) AS BIGINT) AS height,
-       |  CASE CAST(concat('0x', substr(hex(content), 51, 2)) AS BIGINT)
-       |    WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 4 THEN 2 WHEN 6 THEN 4 END AS channels
+       |  CAST(CASE CAST(concat('0x', substr(hex(content), 51, 2)) AS BIGINT)
+       |    WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 4 THEN 2 WHEN 6 THEN 4 END AS BIGINT) AS channels
        |FROM read_blob('$mediaDir/*.png')""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -123,7 +123,7 @@ object Multimodal {
       s"""SELECT doc_id,
          | (width * 224) // GREATEST(width, height) AS width,
          | (height * 224) // GREATEST(width, height) AS height,
-         | 224 AS scale_num, GREATEST(width, height) AS scale_den
+         | CAST(224 AS BIGINT) AS scale_num, GREATEST(width, height) AS scale_den
          |FROM ($IhdrSql) ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       mediaFiles(s)

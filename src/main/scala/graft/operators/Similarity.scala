@@ -765,7 +765,7 @@ object Similarity {
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val signs = s.range(1, RpOutDim + 1).toDF("j")
-      .select($"j".cast("int").as("j"),
+      .select($"j",
         transform(sequence(lit(1), lit(RpInDim)), i =>
           when(Exprs.hash60(concat(lit("rp:"), i.cast("string"), lit(":"), $"j".cast("string"))) % 2 === 0,
             lit(1.0)).otherwise(lit(-1.0))).as("sgn"))

@@ -114,7 +114,7 @@ object TextAnalysis {
       Tables.documents(s, dir)
         .select(
           $"doc_id",
-          size(Exprs.normWords($"text")).as("n_tokens"),
+          size(Exprs.normWords($"text")).cast("long").as("n_tokens"),
           length($"text").cast("long").as("char_len"))
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
@@ -288,7 +288,7 @@ object TextAnalysis {
       val bpePat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
       Tables.documents(s, dir)
         .select($"doc_id",
-          size(Exprs.normWords($"text")).as("ws_tokens"),
+          size(Exprs.normWords($"text")).cast("long").as("ws_tokens"),
           size(regexp_extract_all(lower($"text"), lit(bpePat), lit(0)))
             .cast("long").as("bpe_tokens"))
         .withColumn("inflation",
