@@ -95,6 +95,12 @@ object ThetaAgg {
     */
   def wrap(bytes: Array[Byte]): Sketch = Sketches.wrapSketch(Memory.wrap(bytes))
 
+  /** Serialized empty sketch — the identity for union/intersect/aNotB, used
+    * as the fallback when an audience has no qualifying members.
+    */
+  def emptySketchBytes: Array[Byte] =
+    SetOperation.builder().buildUnion().getResult.toByteArray
+
   def union(a: Sketch, b: Sketch): CompactSketch = {
     val u = SetOperation.builder().buildUnion()
     u.union(a); u.union(b); u.getResult

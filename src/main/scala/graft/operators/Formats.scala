@@ -158,7 +158,22 @@ object Formats {
       val smallDir = smallFilesDir(s, dir)
       val outDir = scratchDir("graft-compacted")
       val small = s.read.parquet(smallDir)
-      small.coalesce(4).write.mode("overwrite").parquet(outDir)
+      // coalesce can only REDUCE partition count, and the 64-file scan is
+      // bin-packed by min(maxPartitionBytes, max(openCost, bytes/cores)) —
+      // on a low-core session that packs to <4 partitions and the output
+      // file count silently misses the pinned 4 (ADVICE r09). Scope the
+      // split knobs so the scan always yields ≥4 partitions (4 MiB open
+      // cost × ≤4 files per 16 MiB bin → ≥16 splits), on any core count.
+      val splitKnobs = Seq(
+        "spark.sql.files.maxPartitionBytes" -> (16L * 1024 * 1024).toString,
+        "spark.sql.files.openCostInBytes" -> (4L * 1024 * 1024).toString)
+      val prevKnobs = splitKnobs.map { case (k, _) => k -> s.conf.getOption(k) }
+      splitKnobs.foreach { case (k, v) => s.conf.set(k, v) }
+      try small.coalesce(4).write.mode("overwrite").parquet(outDir)
+      finally prevKnobs.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
       val compacted = s.read.parquet(outDir)
       def parquetFiles(d: String): Long =
         new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))

@@ -247,7 +247,13 @@ object EventAnalytics {
       // driver (model-collect scale)
       val sk = qualified.groupBy($"event_type").agg(ThetaAgg($"user_id").as("sk"))
         .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-      val (a, b) = (ThetaAgg.wrap(sk("purchase")), ThetaAgg.wrap(sk("click")))
+      // an audience with no qualifying user yields NO group row — fall back
+      // to an empty sketch so the query degrades to the oracle's zero
+      // counts instead of dying on the Map lookup (ADVICE r09; hit at tiny
+      // scale factors / filtered inputs)
+      def audience(t: String) = ThetaAgg.wrap(
+        sk.getOrElse(t, ThetaAgg.emptySketchBytes))
+      val (a, b) = (audience("purchase"), audience("click"))
       val estA = a.getEstimate
       val estU = ThetaAgg.union(a, b).getEstimate
       val estI = ThetaAgg.intersect(a, b).getEstimate

@@ -97,7 +97,7 @@ object Events {
 
   /** 12 hours in microseconds. */
   val SessionGapUs: Long = 12L * 3600 * 1000 * 1000
-  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[streaming] val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   private val sessionizeOracle =
     s"""WITH e AS (
@@ -683,6 +683,15 @@ object Events {
     // stream end hold an armed-but-unfired timer — exactly the open-tail
     // discipline of the sessionizer's timeout. The oracle replays the
     // final verdict as a per-user max(ts) against the corpus max.
+    //
+    // Semantics note (ADVICE r09, pinned by InactiveSpec): the oracle
+    // models END-OF-STREAM inactivity only, which coincides with the live
+    // alerting semantics here because [[Tables.eventsStream]] reads the
+    // single events.parquet as ONE batch. Under a multi-batch split a
+    // mid-stream >gap pause fires the alert when the watermark passes it —
+    // the operationally correct behavior for an inactivity ALERT (the
+    // user WAS inactive at that point in stream time), but a superset of
+    // the end-of-stream oracle rows. InactiveSpec pins both faces.
     sqlChecked(
       "ev_tws_inactive",
       """WITH p AS (SELECT user_id, max(ts) AS last_ts FROM events
@@ -691,41 +700,52 @@ object Events {
         |SELECT user_id, strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase
         |FROM p, m WHERE last_ts + INTERVAL 1 DAY <= mx
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       import s.implicits._
       val outDir = streamTmpDir("ev-twsi-out")
       val ckDir = streamTmpDir("ev-twsi-ck")
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      val prev = s.conf.getOption(providerKey)
-      s.conf.set(providerKey, rocks)
-      try withStreamPartitions(s) {
-        Tables.eventsStream(s, dir)
-          .filter($"event_type" === "purchase")
-          .select($"user_id", $"ts", $"event_id")
-          .withWatermark("ts", "0 seconds")
-          .as[MsEvent]
-          .groupByKey(_.user_id)
-          .transformWithState(new InactiveProcessor(InactiveGapUs),
-            TimeMode.EventTime(), OutputMode.Append())
-          .toDF()
-          .writeStream
-          .outputMode("append")
-          .format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", ckDir)
-          .trigger(Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
-      } finally prev match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
+      inactiveStreamPass(s, Tables.eventsStream(s, dir), outDir, ckDir)
       s.read.parquet(outDir)
         .select($"user_id", date_format($"last_purchase", TsFmt).as("last_purchase"))
         .orderBy($"user_id")
     }
   )
+
+  /** One AvailableNow transformWithState TIMER pass over a purchase stream,
+    * parquet-sinked. Exposed (with any source frame) for InactiveSpec's
+    * multi-batch run.
+    */
+  private[streaming] def inactiveStreamPass(
+      s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame,
+      outDir: String, ckDir: String): Unit = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey, rocks)
+    try withStreamPartitions(s) {
+      src.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+        .withWatermark("ts", "0 seconds")
+        .as[MsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new InactiveProcessor(InactiveGapUs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
 
   /** One AvailableNow transformWithState pass over a purchase stream,
     * parquet-sinked. Exposed (with any source frame) for TwsSpec's
@@ -797,9 +817,12 @@ object Events {
       val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
       val mx = math.max(prev, batchMax)
       lastSeen.update(mx)
-      // one live timer per user: drop stale arms, arm at last + gap (ms)
+      // one live timer per user: drop stale arms, arm at last + gap (ms).
+      // Round the expiry UP to the next millisecond (ADVICE r09): flooring
+      // would let the timer fire inside the truncated ms, before the true
+      // microsecond deadline last + gap that the oracle checks exactly.
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer((mx + gapUs) / 1000)
+      getHandle.registerTimer((mx + gapUs + 999) / 1000)
       Iterator.empty
     }
     override def handleExpiredTimer(

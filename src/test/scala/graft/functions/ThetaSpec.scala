@@ -27,6 +27,19 @@ class ThetaSpec extends SparkSuite with Matchers {
     ThetaAgg.aNotB(a, b).getEstimate shouldBe 200.0
   }
 
+  test("empty-sketch fallback is the set-algebra identity (empty-audience guard)") {
+    // ev_theta_audience falls back to this when an audience has no
+    // qualifying member (ADVICE r09) — all four operations must degrade to
+    // the zero-count answers instead of throwing
+    val e = ThetaAgg.wrap(ThetaAgg.emptySketchBytes)
+    val a = ThetaAgg.wrap(sketchOf(1L to 100L))
+    e.getEstimate shouldBe 0.0
+    ThetaAgg.union(e, a).getEstimate shouldBe 100.0
+    ThetaAgg.intersect(e, a).getEstimate shouldBe 0.0
+    ThetaAgg.aNotB(e, a).getEstimate shouldBe 0.0
+    ThetaAgg.aNotB(a, e).getEstimate shouldBe 100.0
+  }
+
   test("estimation mode (n ≫ k): within 5% of the true distinct count") {
     val n = 50000L
     val est = ThetaAgg.wrap(sketchOf(1L to n)).getEstimate
