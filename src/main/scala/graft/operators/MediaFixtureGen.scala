@@ -40,6 +40,45 @@ object MediaFixtureGen {
     println(s"wrote 48 png fixtures to $outDir")
 
     writeGifs(outDir)
+    writePhash(outDir)
+  }
+
+  /** Truecolor pixel formula for the perceptual-hash family, shared verbatim
+    * with the mm_phash / mm_phash_dedup oracles. Variants (doc_id ≥ 1000)
+    * reuse their base's formula with the red channel shifted +128 in the
+    * 4×4 top-left corner — byte-different files whose 9×8 box-mean dHash
+    * stays within the near-dup threshold.
+    */
+  def phashRgb(x: Int, y: Int, fi: Int, perturbed: Boolean): Int = {
+    val bump = if (perturbed && x < 4 && y < 4) 128 else 0
+    (((x * 31 + y * 17 + fi * 7 + bump) % 256) << 16) |
+      (((x * 13 + fi) % 256) << 8) | ((y * 11 + fi * 3) % 256)
+  }
+
+  val PhashBases = 24
+  val PhashVariants = 8
+  /** Variant k perturbs base 3k (spread across the corpus). */
+  def phashVariantBase(k: Int): Int = (k * 3) % PhashBases
+  def phashDims(fi: Int): (Int, Int) = (18 + (fi * 13) % 46, 16 + (fi * 29) % 40)
+
+  /** Perceptual-hash dedup fixtures: 24 truecolor bases + 8 near-dup
+    * variants. All TYPE_3BYTE_BGR (PNG color type 2) so the encode→decode
+    * roundtrip is pixel-exact and the oracle can recompute the decoded
+    * raster from this formula — grayscale would pass through the JDK's
+    * ICC colorspace conversion and break SQL replay.
+    */
+  def writePhash(outDir: java.nio.file.Path): Unit = {
+    def write(docId: Int, fi: Int, perturbed: Boolean): Unit = {
+      val (w, h) = phashDims(fi)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, 0xFF000000 | phashRgb(x, y, fi, perturbed))
+      ImageIO.write(img, "png", outDir.resolve(f"ph_$docId%04d.png").toFile)
+    }
+    for (i <- 0 until PhashBases) write(i, i, perturbed = false)
+    for (k <- 0 until PhashVariants)
+      write(1000 + k, phashVariantBase(k), perturbed = true)
+    println(s"wrote ${PhashBases + PhashVariants} phash png fixtures to $outDir")
   }
 
   /** 64-level gray palette, value = index*4 — encode→decode is pixel-exact

@@ -24,6 +24,9 @@ final case class SampledFrame(
     doc_id: Long, frame_idx: Long, n_frames: Long,
     width: Long, height: Long, pix_hash: Long)
 
+/** 64-bit dHash of one decoded image as 4×16-bit LSH bands. */
+final case class PhashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded via a per-partition batch function.
   *
@@ -73,6 +76,104 @@ object Multimodal {
       img.getWidth.toLong, img.getHeight.toLong,
       img.getRaster.getNumBands.toLong)
   }
+
+  /** 9×8 box-mean dHash of a decoded raster, as 4×16-bit bands (band k =
+    * rows 2k..2k+1). All-integer: per-box luma sum (299R+587G+114B per
+    * pixel), mean scaled ×1e6 with floor division, bit(r,c) = 1 iff
+    * mean[r][c] < mean[r][c+1] — every step exactly replayable in SQL.
+    */
+  private def phashOf(img: BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val m = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val xs = w * c / 9; val xe = w * (c + 1) / 9
+        val ys = h * r / 8; val ye = h * (r + 1) / 8
+        var sum = 0L
+        var y = ys
+        while (y < ye) {
+          var x = xs
+          while (x < xe) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        m(r)(c) = 1000000L * sum / ((xe - xs).toLong * (ye - ys))
+        c += 1
+      }
+      r += 1
+    }
+    val bands = Array.fill(4)(0L)
+    for (rr <- 0 until 8; cc <- 0 until 8)
+      if (m(rr)(cc) < m(rr)(cc + 1))
+        bands(rr / 2) |= 1L << ((rr % 2) * 8 + cc)
+    bands
+  }
+
+  /** binaryFile scan of the ph_* family → real decode → dHash bands. */
+  private def phashFrames(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", "ph_*.png").load(mediaDir)
+      .select(
+        regexp_extract($"path", "ph_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        $"content")
+      .as[MediaFile]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { mf =>
+          val img = ImageIO.read(new ByteArrayInputStream(mf.content))
+          val b = phashOf(img)
+          PhashBands(mf.doc_id, b(0), b(1), b(2), b(3))
+        }
+      }
+      .toDF()
+  }
+
+  /** Shared oracle CTE: per-image dHash bands recomputed from the committed
+    * bytes (dims from the real IHDR) + the [[MediaFixtureGen.phashRgb]]
+    * generator contract — the mm_framesample discipline: a decoder that
+    * returned wrong rasters hash-mismatches every band value.
+    */
+  private val PhBandsSql =
+    s"""g AS (
+       |  SELECT CAST(regexp_extract(filename, 'ph_(\\d+)', 1) AS BIGINT) AS doc_id,
+       |    CAST(CAST(concat('0x', substr(hex(content), 33, 8)) AS BIGINT) AS INT) AS w,
+       |    CAST(CAST(concat('0x', substr(hex(content), 41, 8)) AS BIGINT) AS INT) AS h
+       |  FROM read_blob('$mediaDir/ph_*.png')),
+       |f AS (
+       |  SELECT doc_id, w, h,
+       |    CAST(CASE WHEN doc_id >= 1000 THEN ((doc_id - 1000) * 3) % 24
+       |              ELSE doc_id END AS INT) AS fi,
+       |    doc_id >= 1000 AS pert
+       |  FROM g),
+       |cells AS (
+       |  SELECT doc_id, r, c,
+       |    1000000 * list_sum(flatten(list_transform(
+       |        generate_series(h * r // 8, h * (r + 1) // 8 - 1), y ->
+       |          list_transform(generate_series(w * c // 9, w * (c + 1) // 9 - 1), x ->
+       |            299 * ((x*31 + y*17 + fi*7 +
+       |                    CASE WHEN pert AND x < 4 AND y < 4 THEN 128 ELSE 0 END) % 256)
+       |          + 587 * ((x*13 + fi) % 256)
+       |          + 114 * ((y*11 + fi*3) % 256)))))
+       |      // ((w * (c + 1) // 9 - w * c // 9) * (h * (r + 1) // 8 - h * r // 8)) AS m
+       |  FROM f,
+       |    (SELECT unnest(generate_series(0, 7)) AS r),
+       |    (SELECT unnest(generate_series(0, 8)) AS c)),
+       |bits AS (
+       |  SELECT a.doc_id, a.r, a.c, CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+       |  WHERE a.c < 8),
+       |bands AS (
+       |  SELECT doc_id, r // 2 AS band,
+       |    CAST(SUM(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS v
+       |  FROM bits GROUP BY doc_id, r // 2)""".stripMargin
 
   /** IHDR fields re-derived in SQL: width @ bytes 16-19, height @ 20-23,
     * color type @ byte 25 (hex-string offsets 33/41/51, 1-indexed pairs).
@@ -231,6 +332,83 @@ object Multimodal {
         }
         .toDF()
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id", $"frame_idx"))
+    },
+
+    // Perceptual hash over REAL decoded images (the mm_ ↔ dd_ bridge: image
+    // near-dup with the text families' banding discipline). dHash variant —
+    // public aHash/dHash scheme: downsample to a 9×8 luma grid, hash bit =
+    // sign of each horizontal neighbour difference — robust to re-encode /
+    // small edits, cheap enough for a per-image scan stage. All-integer box
+    // means (no Graphics2D resample) so the oracle replays the ENTIRE
+    // pipeline from the committed bytes + the generator pixel contract.
+    // Scale: 32 bytes of hash per image leave the decode stage — the
+    // corpus' pixel bytes never shuffle.
+    sqlChecked(
+      "mm_phash",
+      s"""WITH $PhBandsSql
+         |SELECT doc_id,
+         |  MAX(CASE WHEN band = 0 THEN v END) AS b0,
+         |  MAX(CASE WHEN band = 1 THEN v END) AS b1,
+         |  MAX(CASE WHEN band = 2 THEN v END) AS b2,
+         |  MAX(CASE WHEN band = 3 THEN v END) AS b3
+         |FROM bands GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      phashFrames(s)
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Image NEAR-DUP detection over the dHash: 4×16-bit LSH bands bucket
+    // the candidates (two hashes within Hamming distance ≤ 3 differ in ≤ 3
+    // bands, so by pigeonhole they SHARE at least one — the candidate set
+    // is COMPLETE, not approximate, unlike minhash banding), then the
+    // exact Hamming verify runs per candidate pair. Planted variants
+    // (ph_1000+k = base 3k with a perturbed corner) surface alongside the
+    // genuine gradient near-dups of the formula corpus; PhashSpec pins the
+    // planted pairs and the no-cartesian plan. Scale: the band join
+    // shuffles (band, v) 16-byte keys — candidate volume is Σ bucket², the
+    // dd_minhash_lsh bound — and each verify is 4 xors; nothing touches
+    // pixels after the scan stage.
+    sqlChecked(
+      "mm_phash_dedup",
+      s"""WITH $PhBandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON b.band = a.band AND b.v = a.v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(SUM(bit_count(xor(x.v, y.v))) AS BIGINT) AS dist
+         |FROM cand
+         |  JOIN bands x ON x.doc_id = doc_a
+         |  JOIN bands y ON y.doc_id = doc_b AND y.band = x.band
+         |GROUP BY doc_a, doc_b
+         |HAVING SUM(bit_count(xor(x.v, y.v))) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // model-sized cache (32 bytes/image of hash): feeds the band explode
+      // twice (both join sides) and the verify join twice
+      val ph = phashFrames(s).cache()
+      val bands = ph.select($"doc_id", explode(array(
+          struct(lit(0L).as("band"), $"b0".as("v")),
+          struct(lit(1L).as("band"), $"b1".as("v")),
+          struct(lit(2L).as("band"), $"b2".as("v")),
+          struct(lit(3L).as("band"), $"b3".as("v")))).as("bv"))
+        .select($"doc_id", $"bv.band".as("band"), $"bv.v".as("v"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val dist =
+        bit_count($"x.b0".bitwiseXOR($"y.b0")) +
+          bit_count($"x.b1".bitwiseXOR($"y.b1")) +
+          bit_count($"x.b2".bitwiseXOR($"y.b2")) +
+          bit_count($"x.b3".bitwiseXOR($"y.b3"))
+      cand
+        .join(ph.as("x"), $"doc_a" === col("x.doc_id"))
+        .join(ph.as("y"), $"doc_b" === col("y.doc_id"))
+        .select($"doc_a", $"doc_b", dist.cast("long").as("dist"))
+        .filter($"dist" <= 3)
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_a", $"doc_b"))
     }
   )
 }
