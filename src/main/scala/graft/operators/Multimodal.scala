@@ -62,7 +62,9 @@ object Multimodal {
   /** The binaryFile scan: path + raw bytes → (doc_id, content). */
   private def mediaFiles(s: org.apache.spark.sql.SparkSession) = {
     import s.implicits._
-    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(mediaDir)
+    // img_ prefix, not *.png: the ph_* perceptual-hash family lives in the
+    // same fixture dir and must not leak into the decode queries
+    s.read.format("binaryFile").option("pathGlobFilter", "img_*.png").load(mediaDir)
       .select(
         regexp_extract($"path", "img_(\\d+)\\.png", 1).cast("long").as("doc_id"),
         $"content")
@@ -185,7 +187,7 @@ object Multimodal {
        |  CAST(concat('0x', substr(hex(content), 41, 8)) AS BIGINT) AS height,
        |  CAST(CASE CAST(concat('0x', substr(hex(content), 51, 2)) AS BIGINT)
        |    WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 4 THEN 2 WHEN 6 THEN 4 END AS BIGINT) AS channels
-       |FROM read_blob('$mediaDir/*.png')""".stripMargin
+       |FROM read_blob('$mediaDir/img_*.png')""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 

