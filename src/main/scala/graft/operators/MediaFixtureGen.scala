@@ -41,6 +41,49 @@ object MediaFixtureGen {
 
     writeGifs(outDir)
     writePhash(outDir)
+    writeWavs(outDir)
+  }
+
+  /** 8-bit unsigned mono PCM sample formula for the audio family, shared
+    * with the mm_audio oracles THROUGH THE FILE BYTES (the oracles replay
+    * energies from the WAV data section itself — canonical 44-byte header,
+    * samples at byte 44+i — so this formula never appears in SQL).
+    * Variant k (doc_id = 1000+k) shifts the first 150·(k+1) samples by
+    * 6+k mod 256: a byte-different file whose 65-window energy fingerprint
+    * stays within the near-dup threshold (planted distances 0–3).
+    */
+  def audioSample(i: Int, doc: Int, variantK: Int): Int = {
+    val v = (i * (2 * doc + 3) + (i % 64) * 5) % 256
+    if (variantK >= 0 && i < 150 * (variantK + 1)) (v + 6 + variantK) % 256 else v
+  }
+
+  val AudioBases = 12
+  val AudioVariants = 4
+  def audioVariantBase(k: Int): Int = k * 3
+  def audioLen(doc: Int): Int = 2000 + doc * 256
+
+  /** WAV fixtures for the audio modality: 12 bases + 4 near-dup variants,
+    * written through `javax.sound.sampled` (real encoder; canonical RIFF
+    * header), 8 kHz 8-bit unsigned mono — the one PCM layout where the
+    * byte stream IS the sample stream, keeping the oracle's from-bytes
+    * replay exact.
+    */
+  def writeWavs(outDir: java.nio.file.Path): Unit = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def write(docId: Int, base: Int, variantK: Int): Unit = {
+      val n = audioLen(base)
+      val bytes = Array.tabulate(n)(i => audioSample(i, base, variantK).toByte)
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+        outDir.resolve(f"au_$docId%04d.wav").toFile)
+      ais.close()
+    }
+    for (d <- 0 until AudioBases) write(d, d, -1)
+    for (k <- 0 until AudioVariants) write(1000 + k, audioVariantBase(k), k)
+    println(s"wrote ${AudioBases + AudioVariants} wav fixtures to $outDir")
   }
 
   /** Truecolor pixel formula for the perceptual-hash family, shared verbatim

@@ -27,6 +27,10 @@ final case class SampledFrame(
 /** 64-bit dHash of one decoded image as 4×16-bit LSH bands. */
 final case class PhashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
 
+/** Typed metadata + total energy of one decoded audio stream. */
+final case class AudioMeta(
+    doc_id: Long, n_samples: Long, sample_rate: Long, energy_total: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded via a per-partition batch function.
   *
@@ -176,6 +180,80 @@ object Multimodal {
        |  SELECT doc_id, r // 2 AS band,
        |    CAST(SUM(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS v
        |  FROM bits GROUP BY doc_id, r // 2)""".stripMargin
+
+  /** Real WAV decode via `javax.sound.sampled`: 8-bit unsigned mono PCM,
+    * so the decoded frame bytes ARE the sample values. Returns the sample
+    * array per file.
+    */
+  private def decodeWav(content: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(content))
+    val data = ais.readAllBytes()
+    ais.close()
+    data.map(_ & 0xFF)
+  }
+
+  private def audioFiles(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", "au_*.wav").load(mediaDir)
+      .select(
+        regexp_extract($"path", "au_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        $"content")
+      .as[MediaFile]
+  }
+
+  /** 65-window energy-difference fingerprint of a decoded sample stream as
+    * 4×16-bit bands (the [[phashOf]] scheme in the time domain): window
+    * size n/65 (tail dropped), window energy = Σ|s−128|, bit(w) = 1 iff
+    * e[w] < e[w+1]. All-integer → the oracle replays it from the WAV data
+    * bytes directly.
+    */
+  private def audioBandsOf(samples: Array[Int]): Array[Long] = {
+    val W = samples.length / 65
+    val e = Array.tabulate(65) { w =>
+      var acc = 0L
+      var i = w * W
+      while (i < (w + 1) * W) { acc += math.abs(samples(i) - 128); i += 1 }
+      acc
+    }
+    val bands = Array.fill(4)(0L)
+    for (b <- 0 until 64) if (e(b) < e(b + 1)) bands(b / 16) |= 1L << (b % 16)
+    bands
+  }
+
+  private def audioBandFrames(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    audioFiles(s).mapPartitions(_.map { mf =>
+      val b = audioBandsOf(decodeWav(mf.content))
+      PhashBands(mf.doc_id, b(0), b(1), b(2), b(3))
+    }).toDF()
+  }
+
+  /** Shared oracle CTE for the audio family: doc_id + sample count from the
+    * canonical 44-byte RIFF header, per-window energies straight from the
+    * data-section bytes (sample i lives at byte 44+i ⇒ hex pair 89+2i) —
+    * a pure file-format replay, no generator formula in SQL.
+    */
+  private val AuBandsSql =
+    s"""wav AS (
+       |  SELECT CAST(regexp_extract(filename, 'au_(\\d+)', 1) AS BIGINT) AS doc_id,
+       |    hex(content) AS h,
+       |    CAST(octet_length(content) - 44 AS BIGINT) AS n
+       |  FROM read_blob('$mediaDir/au_*.wav')),
+       |e AS (
+       |  SELECT doc_id, w,
+       |    list_sum(list_transform(
+       |      generate_series(w * (n // 65), (w + 1) * (n // 65) - 1),
+       |      i -> abs(CAST(('0x' || substr(h, CAST(89 + 2 * i AS INT), 2)) AS INT) - 128))) AS e
+       |  FROM wav, (SELECT unnest(generate_series(0, 64)) AS w)),
+       |bits AS (
+       |  SELECT a.doc_id, a.w, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+       |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+       |  WHERE a.w < 64),
+       |bands AS (
+       |  SELECT doc_id, w // 16 AS band,
+       |    CAST(SUM(bit * (1 << (w % 16))) AS BIGINT) AS v
+       |  FROM bits GROUP BY doc_id, w // 16)""".stripMargin
 
   /** IHDR fields re-derived in SQL: width @ bytes 16-19, height @ 20-23,
     * color type @ byte 25 (hex-string offsets 33/41/51, 1-indexed pairs).
@@ -408,6 +486,106 @@ object Multimodal {
       cand
         .join(ph.as("x"), $"doc_a" === col("x.doc_id"))
         .join(ph.as("y"), $"doc_b" === col("y.doc_id"))
+        .select($"doc_a", $"doc_b", dist.cast("long").as("dist"))
+        .filter($"dist" <= 3)
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_a", $"doc_b"))
+    },
+
+    // AUDIO modality, real decode: committed WAV fixtures through
+    // `javax.sound.sampled` (pure JDK, same discipline as the imageio
+    // queries). 8-bit unsigned mono PCM means decoded frames == data-
+    // section bytes, so the oracle replays geometry AND content from the
+    // file bytes alone: sample rate from the RIFF header (LE32 @ byte 24),
+    // total energy summed over the data section. A decoder returning wrong
+    // frames mismatches energy_total on every row.
+    sqlChecked(
+      "mm_audio_decode",
+      s"""SELECT doc_id,
+         |  CAST(octet_length(content) - 44 AS BIGINT) AS n_samples,
+         |  CAST(CAST(('0x' || substr(hex(content), 49, 2)) AS INT)
+         |     + 256 * CAST(('0x' || substr(hex(content), 51, 2)) AS INT)
+         |     + 65536 * CAST(('0x' || substr(hex(content), 53, 2)) AS INT)
+         |     + 16777216 * CAST(('0x' || substr(hex(content), 55, 2)) AS INT) AS BIGINT) AS sample_rate,
+         |  CAST(list_sum(list_transform(
+         |    generate_series(0, octet_length(content) - 45),
+         |    i -> abs(CAST(('0x' || substr(hex(content), CAST(89 + 2 * i AS INT), 2)) AS INT) - 128))) AS BIGINT) AS energy_total
+         |FROM (SELECT CAST(regexp_extract(filename, 'au_(\\d+)', 1) AS BIGINT) AS doc_id, content
+         |      FROM read_blob('$mediaDir/au_*.wav'))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      audioFiles(s)
+        .mapPartitions(_.map { mf =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(mf.content))
+          val rate = ais.getFormat.getSampleRate.toLong
+          val samples = ais.readAllBytes().map(_ & 0xFF)
+          ais.close()
+          AudioMeta(mf.doc_id, samples.length.toLong, rate,
+            samples.map(v => math.abs(v - 128).toLong).sum)
+        })
+        .toDF()
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Audio fingerprint: the 65-window energy-difference hash per stream
+    // (public Shazam-lineage shape reduced to its deterministic core:
+    // band-energy deltas → sign bits). Pins the decode per WINDOW, not
+    // just in total; the dedup twin consumes these bands.
+    sqlChecked(
+      "mm_audio_fingerprint",
+      s"""WITH $AuBandsSql
+         |SELECT doc_id,
+         |  MAX(CASE WHEN band = 0 THEN v END) AS b0,
+         |  MAX(CASE WHEN band = 1 THEN v END) AS b1,
+         |  MAX(CASE WHEN band = 2 THEN v END) AS b2,
+         |  MAX(CASE WHEN band = 3 THEN v END) AS b3
+         |FROM bands GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      audioBandFrames(s)
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // Audio NEAR-DUP via the fingerprint bands — the mm_phash_dedup
+    // topology verbatim (complete for Hamming ≤ 3 by pigeonhole over the
+    // 4 bands; planted WAV variants carry distances 0–3 including the
+    // threshold boundary). Scale: 32 bytes of fingerprint per stream
+    // shuffle; the audio bytes never leave the decode stage.
+    sqlChecked(
+      "mm_audio_dedup",
+      s"""WITH $AuBandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON b.band = a.band AND b.v = a.v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(SUM(bit_count(xor(x.v, y.v))) AS BIGINT) AS dist
+         |FROM cand
+         |  JOIN bands x ON x.doc_id = doc_a
+         |  JOIN bands y ON y.doc_id = doc_b AND y.band = x.band
+         |GROUP BY doc_a, doc_b
+         |HAVING SUM(bit_count(xor(x.v, y.v))) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val au = audioBandFrames(s).cache()
+      val bands = au.select($"doc_id", explode(array(
+          struct(lit(0L).as("band"), $"b0".as("v")),
+          struct(lit(1L).as("band"), $"b1".as("v")),
+          struct(lit(2L).as("band"), $"b2".as("v")),
+          struct(lit(3L).as("band"), $"b3".as("v")))).as("bv"))
+        .select($"doc_id", $"bv.band".as("band"), $"bv.v".as("v"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val dist =
+        bit_count($"x.b0".bitwiseXOR($"y.b0")) +
+          bit_count($"x.b1".bitwiseXOR($"y.b1")) +
+          bit_count($"x.b2".bitwiseXOR($"y.b2")) +
+          bit_count($"x.b3".bitwiseXOR($"y.b3"))
+      cand
+        .join(au.as("x"), $"doc_a" === col("x.doc_id"))
+        .join(au.as("y"), $"doc_b" === col("y.doc_id"))
         .select($"doc_a", $"doc_b", dist.cast("long").as("dist"))
         .filter($"dist" <= 3)
         .transform(d => graft.QueryDef.largeSort(d, $"doc_a", $"doc_b"))
