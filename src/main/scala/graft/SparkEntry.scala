@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.Graph.defs ++
+      operators.SkewJoin.defs ++
       operators.Layout.defs ++
       streaming.Events.defs ++
       streaming.EventAnalytics.defs
