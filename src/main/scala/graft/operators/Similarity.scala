@@ -45,6 +45,114 @@ object Similarity {
   val PqTopK = 10
   val PqQueryMax = 5
 
+  /** Embeddings as double vectors + L2 norms (the shared scan prefix). */
+  private def embWithNorm(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+      .withColumn("nrm", Exprs.l2norm($"v"))
+  }
+
+  /** Deterministic per-label coarse centroids (the trained IVF quantizer). */
+  private def ivfCentroids(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+      .withColumn("cnrm", Exprs.l2norm($"c"))
+  }
+
+  /** Nearest-centroid assignment: every vector → its inverted list. */
+  private def ivfAssigned(
+      e: org.apache.spark.sql.DataFrame,
+      centroids: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("label").asc)
+    e.crossJoin(bc(centroids))
+      .select(col("vec_id"), col("label"),
+        round(Exprs.dot(col("v"), col("c")) / (col("nrm") * col("cnrm")), 6).as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label").as("cluster"))
+  }
+
+  /** Shared oracle for sim_ivf_topk and its persisted-index twin — the
+    * index build is deterministic, so both must produce THIS result.
+    */
+  private val IvfTopkSql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+      |cent AS (
+      |  SELECT label, list(mu ORDER BY pos) AS c FROM (
+      |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+      |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+      |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |                FROM embeddings))
+      |    GROUP BY label, pos) GROUP BY label),
+      |cn AS (SELECT label, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm FROM cent),
+      |assigned AS (
+      |  SELECT vec_id, label AS cluster FROM (
+      |    SELECT n.vec_id, cn.label,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cn.c[i]))
+      |          / (n.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+      |    FROM n CROSS JOIN cn) WHERE rk = 1),
+      |probes AS (
+      |  SELECT query_id, cluster FROM (
+      |    SELECT q.vec_id AS query_id, cn.label AS cluster,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * cn.c[i]))
+      |          / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+      |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS cand_id,
+      |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+      |      / (q.nrm * c.nrm), 6) AS cos
+      |  FROM probes p
+      |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      |  JOIN n q ON q.vec_id = p.query_id
+      |  JOIN n c ON c.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** Write-once-per-(dir, JVM) PERSISTED IVF INDEX: `centroids/` (K rows)
+    * plus `postings/` — the inverted lists as parquet PARTITIONED BY
+    * cluster, so a probe's read prunes to nprobe/K of the partition
+    * directories at planning time (the io_partitioned_prune discipline
+    * applied to an ANN index). This is the long-lived form: the build cost
+    * amortizes over every query batch served from it.
+    */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ivfIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIndexDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(p))
+      }))
+      val e = embWithNorm(s, dir)
+      val centroids = ivfCentroids(s, dir)
+      centroids.write.mode("overwrite").parquet(s"$p/centroids")
+      ivfAssigned(e, centroids)
+        .join(e, "vec_id")
+        .select($"cluster", $"vec_id", $"v", $"nrm")
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$p/postings")
+      p
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     sqlChecked(
@@ -143,64 +251,12 @@ object Similarity {
     // means, rounded cosines, label/id tie-breaks) is deterministic, so —
     // unlike an RNG-trained IVF — the whole operator is oracle-checked, and
     // IvfRecallSpec additionally measures recall vs the exact baseline.
-    sqlChecked(
-      "sim_ivf_topk",
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
-        |cent AS (
-        |  SELECT label, list(mu ORDER BY pos) AS c FROM (
-        |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
-        |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
-        |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |                FROM embeddings))
-        |    GROUP BY label, pos) GROUP BY label),
-        |cn AS (SELECT label, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm FROM cent),
-        |assigned AS (
-        |  SELECT vec_id, label AS cluster FROM (
-        |    SELECT n.vec_id, cn.label,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cn.c[i]))
-        |          / (n.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
-        |    FROM n CROSS JOIN cn) WHERE rk = 1),
-        |probes AS (
-        |  SELECT query_id, cluster FROM (
-        |    SELECT q.vec_id AS query_id, cn.label AS cluster,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * cn.c[i]))
-        |          / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
-        |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3),
-        |scored AS (
-        |  SELECT p.query_id, a.vec_id AS cand_id,
-        |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
-        |      / (q.nrm * c.nrm), 6) AS cos
-        |  FROM probes p
-        |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
-        |  JOIN n q ON q.vec_id = p.query_id
-        |  JOIN n c ON c.vec_id = a.vec_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
-        |  FROM scored)
-        |SELECT query_id, cand_id, cos, rk FROM ranked WHERE rk <= 10
-        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+    sqlChecked("sim_ivf_topk", IvfTopkSql) { (s, dir) =>
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
-        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
-        .withColumn("nrm", Exprs.l2norm($"v"))
-      val centroids = Tables.embeddings(s, dir)
-        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
-        .withColumn("cnrm", Exprs.l2norm($"c"))
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"label".asc)
+      val e = embWithNorm(s, dir)
+      val centroids = ivfCentroids(s, dir)
       // index build: every vector → its nearest centroid's partition
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"label",
-          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter($"rk" === 1)
-        .select($"vec_id", $"label".as("cluster"))
+      val assigned = ivfAssigned(e, centroids)
       // probe: each query → its nprobe=3 nearest centroids
       val probes = e.filter($"vec_id" < 5).crossJoin(broadcast(centroids))
         .select($"vec_id".as("query_id"), $"label",
@@ -220,6 +276,49 @@ object Similarity {
         .join(e.as("c"), $"cand_id" === $"c.vec_id")
         .select($"query_id", $"cand_id",
           round(Exprs.dot($"qv", $"c.v") / ($"qnrm" * $"c.nrm"), 6).as("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter($"rk" <= 10)
+        .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+        .orderBy($"query_id", $"rk")
+    },
+
+    // The PERSISTED-index twin of sim_ivf_topk — the long-lived serving
+    // form: [[ivfIndexDir]] materializes the quantizer (centroids) and the
+    // inverted lists (postings parquet PARTITIONED BY cluster) once; this
+    // query then serves a batch of queries by probing the index. The probed
+    // cluster set (≤ queries × nprobe ids — model-sized) prunes the
+    // postings read at PLANNING time (`PartitionFilters`, pinned by
+    // IvfPersistSpec), so the probe reads nprobe/K of the partition
+    // directories — the literal at-100 TB story where the index partitions
+    // ARE the storage layout and a query batch never scans the corpus.
+    // Same deterministic build ⇒ same oracle as sim_ivf_topk.
+    sqlChecked("sim_ivf_persist", IvfTopkSql) { (s, dir) =>
+      import s.implicits._
+      val idx = ivfIndexDir(s, dir)
+      val centroids = s.read.parquet(s"$idx/centroids")
+      // queries arrive fresh (from the source table), the index is served
+      val q = embWithNorm(s, dir).filter($"vec_id" < 5)
+      val probes = q.crossJoin(broadcast(centroids))
+        .select($"vec_id".as("query_id"), $"label",
+          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
+        .filter($"rk" <= 3)
+        .select($"query_id", $"label".as("cluster"))
+      // ≤ 15 (query, cluster) rows — the model-collect discipline; the
+      // cluster id list becomes a partition-pruning predicate
+      val probedClusters = probes.select($"cluster").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val posts = s.read.parquet(s"$idx/postings")
+        .filter($"cluster".isin(probedClusters: _*))
+      val qv = q.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+      broadcast(probes)
+        .join(posts, Seq("cluster"))
+        .filter($"vec_id" =!= $"query_id")
+        .join(broadcast(qv), Seq("query_id"))
+        .select($"query_id", $"vec_id".as("cand_id"),
+          round(Exprs.dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
         .withColumn("rk", row_number().over(wTop))
         .filter($"rk" <= 10)
         .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
