@@ -45,7 +45,13 @@ object ScaleSmoke {
     // late additions: scan-speed projection and the fingerprint diff (both
     // linear; sim_rp_topk stays OUT like dd_embedding_cosine — it is the
     // labeled O(n²) projected-space baseline)
-    "sim_rp_project", "ta_snapshot_diff")
+    "sim_rp_project", "ta_snapshot_diff",
+    // round-10 additions: incremental-index dedup (batch-proportional
+    // hashing + candidate-sized verify), index-served ANN (probe-
+    // proportional — sf1 measured FLAT), and the salted skew join
+    // (fact-side linear). The mm_* families stay out: their committed
+    // media fixtures don't scale with the ×copies corpus.
+    "dd_minhash_incr", "sim_ivf_persist", "jo_skew_salted")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
