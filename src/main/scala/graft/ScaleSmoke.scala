@@ -75,7 +75,8 @@ object ScaleSmoke {
     // "v2" = the synthesized table set now includes events; a v1 dst (no
     // events.parquet) must re-synthesize even with matching copies:src
     // v3 = + orders (shared order-key shift, per-copy custkey shift)
-    val markerVal = s"$copies:$src:v3"
+    // v4 = + part (unscaled dim copy for jo_skew_salted)
+    val markerVal = s"$copies:$src:v4"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == markerVal
     if (!fresh) {
@@ -226,6 +227,11 @@ object ScaleSmoke {
     union(ev, "event_id", (d, i) =>
       d.withColumn("user_id", col("user_id") + lit(userShift * i)))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    println(s"[scale] synthesized ${copies}x copies of orders/lineitem/documents/embeddings/events at $dst")
+    // part is the DIM side (jo_skew_salted): copied unscaled — the
+    // realistic growth mode where the fact side explodes and the catalog
+    // doesn't. The hot key joins the synthetic (0, 1) dim row anyway.
+    spark.read.parquet(s"$src/part.parquet")
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    println(s"[scale] synthesized ${copies}x copies of orders/lineitem/documents/embeddings/events (+ part dim) at $dst")
   }
 }
