@@ -585,8 +585,12 @@ object Dedup {
       // verify re-reads ONLY candidate old docs (candidate-sized, not
       // corpus-sized), then the standard exact-Jaccard on hashed shingles
       val candOld = cands.select($"doc_b".as("doc_id")).distinct()
+      // candidate-sized cache: jaccardFor reads the shingle table three
+      // times (counts + both join sides) — without it the semi-join +
+      // re-shingle of the old docs would run per consumer
       val shOld = docShinglesOf(s,
         Tables.documents(s, dir).join(candOld, Seq("doc_id"), "left_semi"), 3)
+        .cache()
       jaccardFor(cands, shNew.union(shOld))
         .filter($"jaccard" >= 0.5)
         .select($"doc_a".as("new_doc"), $"doc_b".as("old_doc"), $"jaccard")
