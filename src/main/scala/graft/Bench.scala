@@ -167,7 +167,14 @@ object Bench {
     val prevMedians: Map[String, Double] =
       if (java.nio.file.Files.exists(prevPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        // the basis is only comparable at ITS scale factor: an sf1 (or
+        // scale-smoke) run compared against the sf0.1 basis spuriously
+        // flags/retries every data-proportional query (seen with
+        // ta_pipeline_e2e at sf1, r10)
+        val prevSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (prevSf.exists(_ != sfDir)) Map.empty
+        else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .filter(m => m.group(1) != "round" && m.group(1) != "runs" && m.group(1) != "sf")
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
