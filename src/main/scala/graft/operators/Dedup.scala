@@ -230,6 +230,49 @@ object Dedup {
       p
     })
 
+  /** New-vs-old pairs for ONE arrival batch against the persisted index —
+    * shared by the batch and streaming faces of dd_minhash_incr. Every
+    * pair couples one arrival with the fixed index, so the output over any
+    * partitioning of arrivals into batches is the union of the per-batch
+    * outputs (batch-split-invariant; IncrDedupSpec pins it).
+    */
+  def incrementalMinhashPairs(
+      s: SparkSession, arrivals: DataFrame, dir: String): DataFrame = {
+    import s.implicits._
+    val idxBuckets = s.read.parquet(s"${minhashIndexDir(s, dir)}/buckets")
+    val shNew = docShinglesOf(s, arrivals, 3).cache()
+    val newBuckets = minhashBandBuckets(minhashSignatures(shNew, 32), 32, 8)
+    val cands = newBuckets.as("x")
+      .join(idxBuckets.as("y"), $"x.band" === $"y.band" && $"x.sig" === $"y.sig")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    // verify re-reads ONLY candidate old docs (candidate-sized, not
+    // corpus-sized), then the standard exact-Jaccard on hashed shingles.
+    // candidate-sized cache: jaccardFor reads the shingle table three
+    // times (counts + both join sides) — without it the semi-join +
+    // re-shingle of the old docs would run per consumer
+    val candOld = cands.select($"doc_b".as("doc_id")).distinct()
+    val shOld = docShinglesOf(s,
+      Tables.documents(s, dir).join(candOld, Seq("doc_id"), "left_semi"), 3)
+      .cache()
+    jaccardFor(cands, shNew.union(shOld))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a".as("new_doc"), $"doc_b".as("old_doc"), $"jaccard")
+  }
+
+  /** Shared oracle for both faces: the all-pairs pipeline restricted to
+    * mixed (new, old) pairs.
+    */
+  private val incrMinhashOracle =
+    s"""WITH ${minhashPairsCtes(k = 32, bands = 8, threshold = 0.5)}
+       |SELECT
+       |  CASE WHEN doc_a % $IncrMod = $IncrRem THEN doc_a ELSE doc_b END AS new_doc,
+       |  CASE WHEN doc_a % $IncrMod = $IncrRem THEN doc_b ELSE doc_a END AS old_doc,
+       |  jaccard
+       |FROM mh_pairs
+       |WHERE (doc_a % $IncrMod = $IncrRem) <> (doc_b % $IncrMod = $IncrRem)
+       |ORDER BY new_doc, old_doc""".stripMargin
+
   /** MinHash signature column m0..m{k-1} per doc from (doc_id, shingle).
     *
     * Hash family i is Kirsch-Mitzenmacher double hashing
@@ -564,36 +607,52 @@ object Dedup {
     // (new, old) pairs — the incremental path must reproduce it verbatim.
     sqlChecked(
       "dd_minhash_incr",
-      s"""WITH ${minhashPairsCtes(k = 32, bands = 8, threshold = 0.5)}
-         |SELECT
-         |  CASE WHEN doc_a % $IncrMod = $IncrRem THEN doc_a ELSE doc_b END AS new_doc,
-         |  CASE WHEN doc_a % $IncrMod = $IncrRem THEN doc_b ELSE doc_a END AS old_doc,
-         |  jaccard
-         |FROM mh_pairs
-         |WHERE (doc_a % $IncrMod = $IncrRem) <> (doc_b % $IncrMod = $IncrRem)
-         |ORDER BY new_doc, old_doc""".stripMargin) { (s, dir) =>
+      incrMinhashOracle) { (s, dir) =>
       import s.implicits._
-      val idxBuckets = s.read.parquet(s"${minhashIndexDir(s, dir)}/buckets")
-      val arrivals = Tables.documents(s, dir)
+      incrementalMinhashPairs(s,
+          Tables.documents(s, dir).filter($"doc_id" % IncrMod === IncrRem), dir)
+        .transform(d => QueryDef.smallSort(d, $"new_doc", $"old_doc"))
+    },
+
+    // The STREAMING face of incremental ingest dedup (the ev_ ↔ dd_
+    // bridge): arrivals flow in as a file stream; each micro-batch is
+    // independently deduped against the persisted index inside
+    // `foreachBatch` and appended under a batchId-keyed partition (the
+    // ev_stream_upsert idempotent-sink pattern — a replayed batch
+    // overwrites its own partition). Because every pair is (one arrival ×
+    // the fixed index), the result is batch-split-INVARIANT by
+    // construction — any partitioning of arrivals into micro-batches
+    // yields the same union (IncrDedupSpec pins the property on a 2-way
+    // split) — so the oracle is the batch twin's. At 100 TB this IS the
+    // production shape: a crawl feed dedups continuously, paying O(batch)
+    // per trigger, state lives in the index, not the stream.
+    sqlChecked(
+      "dd_minhash_incr_stream",
+      incrMinhashOracle) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val outDir = java.nio.file.Files
+        .createTempDirectory("dd-incr-stream-out").toString
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("dd-incr-stream-ck").toString
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter($"doc_id" % IncrMod === IncrRem)
-      val shNew = docShinglesOf(s, arrivals, 3).cache()
-      val newBuckets = minhashBandBuckets(minhashSignatures(shNew, 32), 32, 8)
-      val cands = newBuckets.as("x")
-        .join(idxBuckets.as("y"), $"x.band" === $"y.band" && $"x.sig" === $"y.sig")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .distinct()
-      // verify re-reads ONLY candidate old docs (candidate-sized, not
-      // corpus-sized), then the standard exact-Jaccard on hashed shingles
-      val candOld = cands.select($"doc_b".as("doc_id")).distinct()
-      // candidate-sized cache: jaccardFor reads the shingle table three
-      // times (counts + both join sides) — without it the semi-join +
-      // re-shingle of the old docs would run per consumer
-      val shOld = docShinglesOf(s,
-        Tables.documents(s, dir).join(candOld, Seq("doc_id"), "left_semi"), 3)
-        .cache()
-      jaccardFor(cands, shNew.union(shOld))
-        .filter($"jaccard" >= 0.5)
-        .select($"doc_a".as("new_doc"), $"doc_b".as("old_doc"), $"jaccard")
+        .writeStream
+        .option("checkpointLocation", ckDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            incrementalMinhashPairs(s, batch, dir)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.option("basePath", outDir).parquet(s"$outDir/batch=*")
+        .select($"new_doc", $"old_doc", $"jaccard")
         .transform(d => QueryDef.smallSort(d, $"new_doc", $"old_doc"))
     },
 

@@ -31,4 +31,27 @@ class IncrDedupSpec extends SparkSuite with Matchers {
       .queryExecution.executedPlan.toString
     p should include("graft-minhash-index")
   }
+
+  test("batch-split invariance: pairs(A) ∪ pairs(B) ≡ pairs(A ∪ B) for any arrival split") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.01")
+    val arrivals = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalMinhashPairs(spark, df, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val whole = pairsOf(arrivals)
+    val split = pairsOf(arrivals.filter(col("doc_id") % 2 === 0)) ++
+      pairsOf(arrivals.filter(col("doc_id") % 2 =!= 0))
+    whole should not be empty
+    split shouldBe whole // each arrival couples only with the fixed index
+  }
+
+  test("the streaming face equals the batch face") {
+    val dir = sf("sf0.01")
+    def res(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    res("dd_minhash_incr_stream") shouldBe res("dd_minhash_incr")
+  }
 }
