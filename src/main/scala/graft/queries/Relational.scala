@@ -854,6 +854,38 @@ object Relational {
         .transform(d => QueryDef.largeSort(d, $"o_custkey", $"o_orderkey"))
     },
 
+    // TIME-INTERVAL RANGE window frames — the one frame type q30's family
+    // doesn't touch: per order, the trailing-7-day order count and revenue
+    // for its customer via RANGE BETWEEN INTERVAL ... PRECEDING (value-
+    // based frame over the timestamp, peers included — the batch form of a
+    // sliding event-time window, and deterministic per (custkey, date)
+    // regardless of intra-date order). Money sums in DECIMAL as everywhere.
+    // Both frames share one (custkey → orderdate) window sort → a single
+    // Exchange for the pair. Scale: identical to any windowed family —
+    // one hash partition on the key, per-partition ordered scan.
+    sqlChecked(
+      "q41_range_interval_window",
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) OVER w AS DOUBLE) AS rev_7d
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val frame = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 300)
+        .selectExpr(
+          "o_custkey", "o_orderkey",
+          "date_format(o_orderdate, 'yyyy-MM-dd') AS order_date",
+          s"CAST(COUNT(*) $frame AS BIGINT) AS n_7d",
+          s"CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) $frame AS DOUBLE) AS rev_7d")
+        .transform(d => QueryDef.largeSort(d, $"o_custkey", $"o_orderkey"))
+    },
+
     // GROUPING SETS — arbitrary grouping combinations (here: by flag, by
     // status, and the grand total — a set ROLLUP/CUBE cannot express) in one
     // Expand + one aggregate; grouping_id disambiguates the all-null rows.

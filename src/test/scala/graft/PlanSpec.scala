@@ -59,6 +59,12 @@ class PlanSpec extends SparkSuite with Matchers {
     "Exchange hashpartitioning".r.findAllMatchIn(p).size shouldBe 1
   }
 
+  test("q41: both interval-RANGE frames share ONE window sort + exchange") {
+    val p = plan("q41_range_interval_window")
+    "Exchange hashpartitioning".r.findAllMatchIn(p).size shouldBe 1
+    "Window ".r.findAllMatchIn(p).size shouldBe 1 // one Window node for the pair
+  }
+
   test("q31: grouping sets plan one Expand over one scan, not one scan per set") {
     val p = plan("q31_grouping_sets")
     p should include("Expand")
