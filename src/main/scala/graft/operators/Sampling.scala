@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlChecked
+import graft.functions.Exprs
 
 /** Sampling and splitting for training-data curation.
   *
@@ -137,6 +138,64 @@ object Sampling {
     // Scale: one expression pass + a global top-k, which Spark plans as
     // TakeOrderedAndProject — a bounded k-row heap per task and a k-row
     // driver merge; no corpus shuffle, no global sort.
+    // Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    // arXiv:2302.03169): select raw documents whose hashed-n-gram profile
+    // resembles a TARGET distribution (here the corpus' English slice — in
+    // production, a curated high-quality set). Both distributions are
+    // bag-of-hashed-features multinomials over 1024 buckets (unigrams +
+    // bigrams, Laplace-smoothed); a doc's log importance weight is
+    //   log ŵ = Σ_features [log p̂_target(b) − log q̂_raw(b)],
+    // and resampling WITHOUT replacement is Gumbel top-k over
+    // log ŵ + G, with G = −ln(−ln u) and u a CONTENT hash (the
+    // ta_weighted_sample discipline — the paper's RNG replaced by a pure
+    // function of the row, so the sample is reproducible and fully
+    // oracle-checked). Per-bucket log ratios are quantized to integer
+    // micro-units at the MODEL (1024 rows), so per-doc weights are exact
+    // integer sums — order-independent, bit-identical across engines and
+    // partitionings (the ta_classifier_score discipline).
+    // Scale: the feature explode is per-row expression work; the model is
+    // ONE bucket-keyed aggregate collapsing to 1024 rows that broadcast
+    // back; the corpus shuffles only (doc_id, lam_micro) pairs for the
+    // per-doc rollup; selection is a global top-k planned as
+    // TakeOrderedAndProject (bounded k-row heap per task, k-row driver
+    // merge — no global sort). DsirSpec pins that planted target-like
+    // docs outrank off-distribution docs and win selection.
+    sqlChecked(
+      "ta_dsir",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+        |                w -> w <> '') AS toks
+        |  FROM documents),
+        |fb AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(list_concat(toks,
+        |            list_transform(generate_series(1, len(toks) - 1),
+        |                           i -> toks[i] || ' ' || toks[i + 1]))) AS f
+        |        FROM toks)),
+        |m AS (SELECT bucket,
+        |        SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+        |        COUNT(*) AS rc
+        |      FROM fb GROUP BY bucket),
+        |tot AS (SELECT SUM(tc) AS t, SUM(rc) AS r FROM m),
+        |lam AS (SELECT bucket,
+        |          CAST(round((ln((tc + 1.0) / (t + 1024.0))
+        |                    - ln((rc + 1.0) / (r + 1024.0))) * 1000000) AS BIGINT) AS lam_micro
+        |        FROM m CROSS JOIN tot),
+        |logw AS (SELECT doc_id, CAST(SUM(lam_micro) AS BIGINT) AS logw_micro
+        |         FROM fb JOIN lam USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(logw_micro, 0) AS logw_micro,
+        |  CAST(round(-ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS gumbel_micro,
+        |  COALESCE(logw_micro, 0)
+        |    + CAST(round(-ln(-ln((CAST(('0x' || substr(md5('dsir:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS key_micro
+        |FROM documents d LEFT JOIN logw ON d.doc_id = logw.doc_id
+        |ORDER BY key_micro DESC, d.doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      dsir(s, Tables.documents(s, dir), "en", 100)
+    },
+
     sqlChecked(
       "ta_weighted_sample",
       """SELECT doc_id, n_chars,
@@ -155,4 +214,50 @@ object Sampling {
         .limit(100)
     }
   )
+
+  /** DSIR core (see the ta_dsir comment) — exposed for DsirSpec. `docs`
+    * needs (doc_id, lang, text); `targetLang` defines the target slice.
+    */
+  def dsir(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      targetLang: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = Exprs.normWords($"text")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    // the feature explode feeds TWO consumers (model aggregate + scoring
+    // join) — cache it once, the ta_classifier_score lesson; rows are
+    // (doc_id, bool, bucket), never text
+    val fb = docs
+      .select($"doc_id", ($"lang" === targetLang).as("tgt"),
+        explode(concat(toks, bigrams)).as("f"))
+      .withColumn("bucket",
+        conv(substring(md5($"f"), 1, 8), 16, 10).cast("long") % 1024)
+      .drop("f")
+      .cache()
+    val m = fb.groupBy($"bucket").agg(
+      sum(when($"tgt", 1L).otherwise(0L)).as("tc"),
+      count(lit(1)).as("rc"))
+    // feature totals: a 2-scalar model-sized driver fetch (the documented
+    // k-means/classifier pattern — never corpus-sized)
+    val totRow = m.agg(sum($"tc"), sum($"rc")).collect().head
+    val (t, r) = (totRow.getLong(0), totRow.getLong(1))
+    val lam = m.select($"bucket",
+      round((log(($"tc" + 1.0) / (t + 1024.0)) - log(($"rc" + 1.0) / (r + 1024.0))) * 1e6)
+        .cast("long").as("lam_micro"))
+    val logw = fb.join(broadcast(lam), Seq("bucket"))
+      .groupBy($"doc_id").agg(sum($"lam_micro").as("logw_micro"))
+    val u = (conv(substring(md5(concat(lit("dsir:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000 + 0.5) / 1000000.0
+    docs.select($"doc_id", $"lang")
+      .join(logw, Seq("doc_id"), "left")
+      .select($"doc_id", $"lang",
+        coalesce($"logw_micro", lit(0L)).as("logw_micro"),
+        round(-log(-log(u)) * 1e6).cast("long").as("gumbel_micro"))
+      .withColumn("key_micro", $"logw_micro" + $"gumbel_micro")
+      .orderBy($"key_micro".desc, $"doc_id")
+      .limit(k)
+  }
 }
