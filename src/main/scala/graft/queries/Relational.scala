@@ -886,6 +886,36 @@ object Relational {
         .transform(d => QueryDef.largeSort(d, $"o_custkey", $"o_orderkey"))
     },
 
+    // LATERAL correlated subquery — the per-row table subquery surface
+    // (SQL:1999 LATERAL; Spark 3.2+ lateral join, DuckDB native): for each
+    // nation, the top-2 customers by account balance, the correlated
+    // ORDER BY … LIMIT living INSIDE the lateral body. Catalyst
+    // decorrelates this into a rank window over one customer-side
+    // partitioning (no per-nation re-scan, no nested loop) — the same plan
+    // q35's window formulation hand-writes, reached from the LATERAL
+    // surface instead. Scale: one nationkey-keyed shuffle of the customer
+    // table; the nation side is dimension-sized.
+    sqlChecked(
+      "q42_lateral",
+      """SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal
+          |FROM nation n JOIN LATERAL (
+          |  SELECT c_custkey, c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+          |""".stripMargin)
+        .transform(d => QueryDef.smallSort(d, $"n_name", $"c_acctbal".desc, $"c_custkey"))
+    },
+
     // GROUPING SETS — arbitrary grouping combinations (here: by flag, by
     // status, and the grand total — a set ROLLUP/CUBE cannot express) in one
     // Expand + one aggregate; grouping_id disambiguates the all-null rows.

@@ -65,6 +65,15 @@ class PlanSpec extends SparkSuite with Matchers {
     "Window ".r.findAllMatchIn(p).size shouldBe 1 // one Window node for the pair
   }
 
+  test("q42: the correlated LATERAL LIMIT decorrelates to a rank window, no nested loop") {
+    val p = plan("q42_lateral")
+    // Catalyst rewrites the per-nation ORDER BY ... LIMIT 2 into a window
+    // over ONE customer-side partitioning joined back to nation — a
+    // per-row lateral re-scan would print BroadcastNestedLoopJoin
+    p should include("Window")
+    (p should not).include("NestedLoop")
+  }
+
   test("q31: grouping sets plan one Expand over one scan, not one scan per set") {
     val p = plan("q31_grouping_sets")
     p should include("Expand")
