@@ -80,11 +80,12 @@ object Similarity {
       .select(col("vec_id"), col("label").as("cluster"))
   }
 
-  /** Shared oracle for sim_ivf_topk and its persisted-index twin — the
-    * index build is deterministic, so both must produce THIS result.
+  /** The deterministic IVF index build + probe as oracle CTEs (v, n, cent,
+    * cn, assigned, probes) — shared verbatim by sim_ivf_topk,
+    * sim_ivf_persist and sim_ivfpq_adc, so all three probe the SAME index.
     */
-  private val IvfTopkSql =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  private val IvfPrefixSql =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
       |cent AS (
       |  SELECT label, list(mu ORDER BY pos) AS c FROM (
@@ -107,7 +108,13 @@ object Similarity {
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * cn.c[i]))
       |          / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
-      |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3),
+      |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3)""".stripMargin
+
+  /** Shared oracle for sim_ivf_topk and its persisted-index twin — the
+    * index build is deterministic, so both must produce THIS result.
+    */
+  private val IvfTopkSql =
+    s"""WITH $IvfPrefixSql,
       |scored AS (
       |  SELECT p.query_id, a.vec_id AS cand_id,
       |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
@@ -757,6 +764,83 @@ object Similarity {
       pqAdc(s, Tables.embeddings(s, dir))
     },
 
+    // IVF + residual PQ + asymmetric distance — the COMPOSED serving
+    // topology (Jégou et al. 2011 §IV, "IVFADC"; the FAISS IndexIVFPQ
+    // default) that every billion-vector deployment actually runs: the
+    // coarse quantizer (the sim_ivf_topk per-label centroids) partitions
+    // the corpus into inverted lists; PQ codebooks are trained on the
+    // RESIDUAL (v − coarse centroid), whose energy is far below the raw
+    // vector's, so the same 4 packed bytes quantize much finer; a query
+    // probes its nprobe=3 nearest cells and builds ONE 8×16 integer
+    // distance table PER PROBED CELL from its residual against that cell's
+    // centroid (per-list tables are the signature IVFADC step — the query
+    // residual differs per cell); candidates are scored by 8 lookups + 7
+    // integer adds. Scale: combines both factors — the probe reads
+    // nprobe/K of the corpus (IVF) AND 4 bytes per candidate (PQ), i.e.
+    // storage-bandwidth cost drops ~K/nprobe × 64 vs brute force; the
+    // codebook (4 KiB) and the ≤ nprobe·queries distance tables broadcast;
+    // every training/encode/score step reuses the already-oracle-pinned
+    // deterministic arithmetic, so the WHOLE composition is replayed by
+    // the oracle. IvfPqRecallSpec pins recall vs exact L2 on clustered
+    // vectors and the candidate-set containment in the probed cells.
+    sqlChecked(
+      "sim_ivfpq_adc",
+      s"""WITH $IvfPrefixSql,
+         |res AS (
+         |  SELECT a.vec_id, a.cluster,
+         |    list_transform(generate_series(1, len(n.v)), i -> n.v[i] - ct.c[i]) AS rv
+         |  FROM assigned a JOIN n ON n.vec_id = a.vec_id JOIN cent ct ON ct.label = a.cluster),
+         |idx AS (SELECT unnest(generate_series(0, ${PqSubs - 1})) AS sub),
+         |rsubs AS (SELECT vec_id, sub, list_transform(generate_series(1, $PqSubDim), i -> rv[sub * $PqSubDim + i]) AS sv
+         |          FROM res CROSS JOIN idx),
+         |cb0 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
+         |    SELECT sub, CAST(vec_id % $PqCodes AS INT) AS code, pos,
+         |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+         |    FROM (SELECT vec_id, sub, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x FROM rsubs)
+         |    GROUP BY sub, code, pos) GROUP BY sub, code),
+         |a1 AS (SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))) * 1000000) AS BIGINT), c.code) AS rk
+         |    FROM rsubs s JOIN cb0 c ON s.sub = c.sub) WHERE rk = 1),
+         |cb1 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
+         |    SELECT sub, code, pos,
+         |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+         |    FROM (SELECT a1.sub AS sub, a1.code AS code,
+         |            unnest(generate_series(1, len(s2.sv))) AS pos, unnest(s2.sv) AS x
+         |          FROM a1 JOIN rsubs s2 ON a1.vec_id = s2.vec_id AND a1.sub = s2.sub)
+         |    GROUP BY sub, code, pos) GROUP BY sub, code),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+         |        CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))) * 1000000) AS BIGINT), c.code) AS rk
+         |    FROM rsubs s JOIN cb1 c ON s.sub = c.sub) WHERE rk = 1),
+         |qres AS (
+         |  SELECT p.query_id, p.cluster,
+         |    list_transform(generate_series(1, len(q.v)), i -> q.v[i] - ct.c[i]) AS rv
+         |  FROM probes p JOIN n q ON q.vec_id = p.query_id JOIN cent ct ON ct.label = p.cluster),
+         |qsubs AS (SELECT query_id, cluster, sub, list_transform(generate_series(1, $PqSubDim), i -> rv[sub * $PqSubDim + i]) AS sv
+         |          FROM qres CROSS JOIN idx),
+         |dtab AS (
+         |  SELECT s.query_id, s.cluster, c.sub, c.code,
+         |    CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))) * 1000000) AS BIGINT) AS d2
+         |  FROM qsubs s JOIN cb1 c ON s.sub = c.sub),
+         |adc AS (
+         |  SELECT p.query_id, a.vec_id AS cand_id, CAST(SUM(d.d2) AS BIGINT) AS adc_micro
+         |  FROM probes p
+         |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+         |  JOIN codes k ON k.vec_id = a.vec_id
+         |  JOIN dtab d ON d.query_id = p.query_id AND d.cluster = p.cluster
+         |             AND d.sub = k.sub AND d.code = k.code
+         |  GROUP BY p.query_id, a.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, cand_id) AS BIGINT) AS rk
+         |  FROM adc)
+         |SELECT query_id, cand_id, adc_micro, rk FROM ranked WHERE rk <= $PqTopK
+         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      ivfPqAdc(s, Tables.embeddings(s, dir))
+    },
+
     // Johnson–Lindenstrauss RANDOM PROJECTION (Achlioptas 2003 Rademacher
     // form): 64 dims → 16 via a ±1 sign matrix seeded from md5 — fully
     // deterministic, so the ENTIRE projected output is hash-checked
@@ -879,37 +963,68 @@ object Similarity {
   /** PQ codebook train + encode + ADC top-k (see the sim_pq_adc comment).
     * Exposed for PqRecallSpec.
     */
+  /** Integer micro squared-L2 between `sv` and codebook entry `c`: exact
+    * comparisons + order-independent downstream sums.
+    */
+  private val pqD2 = expr("CAST(round(aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) * 1000000) AS BIGINT)")
+
+  /** Per-(sub, code) decimal-mean centroids of an assignment over a
+    * (vec_id, sub, sv) subvector table.
+    */
+  private def pqCodebook(
+      subs: org.apache.spark.sql.DataFrame,
+      assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    assign.join(subs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))), x => x("mu")).as("c"))
+
+  /** Nearest-codebook-entry assignment per (vec_id, sub). */
+  private def pqNearest(
+      subs: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"), pqD2.as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("d2").asc, col("code").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+  /** Deterministic PQ training (init = vec_id % PqCodes, ONE Lloyd step)
+    * + encode over a (vec_id, sub, sv) subvector table → (codebook, codes).
+    * The codebook comes back CACHED — it feeds both the encode pass and the
+    * query distance tables (the ta_collocations two-consumer lesson);
+    * 128 rows.
+    */
+  private def pqTrain(subs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val init = subs.select(col("vec_id"), col("sub"),
+      (col("vec_id") % PqCodes).cast("int").as("code"))
+    val cb1 = pqCodebook(subs, pqNearest(subs, pqCodebook(subs, init))).cache()
+    (cb1, pqNearest(subs, cb1))
+  }
+
+  /** The PqSubs × PqSubDim subvectors of a (vec_id, <vcol>) vector table. */
+  private def pqSubvectors(
+      vecs: org.apache.spark.sql.DataFrame, vcol: String,
+      keyCols: String*): org.apache.spark.sql.DataFrame = {
+    val keep = keyCols.map(col)
+    vecs.select(keep :+ col(vcol) :+
+        explode(sequence(lit(0), lit(PqSubs - 1))).as("sub"): _*)
+      .select(keep :+ col("sub") :+
+        expr(s"slice($vcol, sub * $PqSubDim + 1, $PqSubDim)").as("sv"): _*)
+  }
+
   def pqAdc(s: org.apache.spark.sql.SparkSession,
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val e = emb.select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
     // (vec_id, sub, sv): the PqSubs × PqSubDim subvectors of every vector
-    val subs = e
-      .select($"vec_id", $"v", explode(sequence(lit(0), lit(PqSubs - 1))).as("sub"))
-      .select($"vec_id", $"sub", expr(s"slice(v, sub * $PqSubDim + 1, $PqSubDim)").as("sv"))
-    // per-(sub, code) decimal-mean centroids of an assignment
-    def codebook(assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      assign.join(subs, Seq("vec_id", "sub"))
-        .select($"sub", $"code", posexplode($"sv").as(Seq("pos", "x")))
-        .groupBy($"sub", $"code", $"pos")
-        .agg(round(sum($"x".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
-        .groupBy($"sub", $"code")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
-    // integer micro squared-L2 between a subvector and a centroid: exact
-    // comparisons + order-independent downstream sums
-    val d2m = expr("CAST(round(aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x) * 1000000) AS BIGINT)")
-    def nearest(cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      subs.join(broadcast(cb), Seq("sub"))
-        .select($"vec_id", $"sub", $"code", d2m.as("d2"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"vec_id", $"sub").orderBy($"d2".asc, $"code".asc)))
-        .filter($"rk" === 1)
-        .select($"vec_id", $"sub", $"code")
-    val init = subs.select($"vec_id", $"sub", ($"vec_id" % PqCodes).cast("int").as("code"))
-    // cache: cb1 feeds BOTH the encode pass and the query distance tables
-    // (the ta_collocations two-consumer lesson); 64 rows
-    val cb1 = codebook(nearest(codebook(init))).cache()
-    val codes = nearest(cb1)
+    val subs = pqSubvectors(e, "v", "vec_id")
+    val d2m = pqD2
+    val (cb1, codes) = pqTrain(subs)
     val dtab = subs.filter($"vec_id" < PqQueryMax)
       .select($"vec_id".as("query_id"), $"sub", $"sv")
       .join(broadcast(cb1), Seq("sub"))
@@ -918,6 +1033,68 @@ object Similarity {
     codes
       .join(broadcast(dtab), Seq("sub", "code"))
       .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id".as("cand_id"))
+      .agg(sum($"d2").as("adc_micro"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= PqTopK)
+      .select($"query_id", $"cand_id", $"adc_micro", $"rk".cast("long").as("rk"))
+      .transform(d => QueryDef.smallSort(d, $"query_id", $"rk"))
+  }
+
+  /** IVFADC core (see the sim_ivfpq_adc comment) — exposed for
+    * IvfPqRecallSpec. `emb` needs (vec_id, embedding, label).
+    */
+  def ivfPqAdc(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = emb.select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+      .withColumn("nrm", Exprs.l2norm($"v"))
+    val centroids = emb
+      .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+      .withColumn("cnrm", Exprs.l2norm($"c"))
+      .cache() // 4 consumers: assignment, residuals, probes, query residuals
+    // the inverted lists: each vector → its coarse cell (consumed by the
+    // residual build AND the probe-side candidate join)
+    val assigned = ivfAssigned(e, centroids).cache()
+    // residual encode: PQ codebooks are trained on (v − coarse centroid),
+    // the IVFADC form — residual energy ≪ vector energy, so the same 4
+    // bytes/vector quantize much finer than raw-vector PQ
+    val res = assigned
+      .join(e.select($"vec_id", $"v"), Seq("vec_id"))
+      .join(broadcast(centroids.select($"label".as("cluster"), $"c")), Seq("cluster"))
+      .select($"vec_id", zip_with($"v", $"c", (a, b) => a - b).as("rv"))
+    val rsubs = pqSubvectors(res, "rv", "vec_id")
+    val (cb1, codes) = pqTrain(rsubs)
+    // probe: each query → its nprobe=3 nearest coarse cells
+    val probes = e.filter($"vec_id" < PqQueryMax).crossJoin(broadcast(centroids))
+      .select($"vec_id".as("query_id"), $"label",
+        round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"label".as("cluster"))
+    // per-(query, probed cell) residual → the ADC distance TABLE for that
+    // cell (8×16 integer micro-distances; residual quantization is why the
+    // table is per-probe — FAISS recomputes it per inverted list too)
+    val qres = broadcast(probes)
+      .join(e.select($"vec_id".as("query_id"), $"v"), Seq("query_id"))
+      .join(broadcast(centroids.select($"label".as("cluster"), $"c")), Seq("cluster"))
+      .select($"query_id", $"cluster", zip_with($"v", $"c", (a, b) => a - b).as("rv"))
+    val qsubs = pqSubvectors(qres, "rv", "query_id", "cluster")
+    val dtab = qsubs.join(broadcast(cb1), Seq("sub"))
+      .select($"query_id", $"cluster", $"sub", $"code", pqD2.as("d2"))
+    // candidate scan: codes of the probed cells only, scored by table
+    // lookups — 4 bytes + 8 integer adds per candidate
+    val wTop = Window.partitionBy($"query_id").orderBy($"adc_micro".asc, $"cand_id".asc)
+    broadcast(probes)
+      .join(assigned, Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("query_id", "cluster", "sub", "code"))
       .groupBy($"query_id", $"vec_id".as("cand_id"))
       .agg(sum($"d2").as("adc_micro"))
       .withColumn("rk", row_number().over(wTop))
