@@ -51,7 +51,19 @@ object ScaleSmoke {
     // proportional — sf1 measured FLAT), and the salted skew join
     // (fact-side linear). The mm_* families stay out: their committed
     // media fixtures don't scale with the ×copies corpus.
-    "dd_minhash_incr", "sim_ivf_persist", "jo_skew_salted")
+    "dd_minhash_incr", "sim_ivf_persist", "jo_skew_salted",
+    // round-10 session additions: DSIR (bucket model + per-doc rollup +
+    // top-k — linear), the Hilbert layout twin (two scans + two group-bys,
+    // like lo_zorder), and composed IVFADC (assignment/training linear in
+    // vectors; the probe-side candidate scan reads nprobe/K of the codes).
+    // q42_lateral stays out: it reads nation/customer, which the
+    // synthesized dir doesn't carry (dimension-sized anyway).
+    // dd_ppjoin: exact prefix-filtered similarity join — candidate volume
+    // is Σ df² over PREFIX (rarest) tokens; ×8 exact copy families make
+    // every prefix token's df grow ×8, so candidates grow ~64× WITHIN
+    // families (inherent to any exact pairs-emitting operator — the
+    // dd_components lesson), while the non-family corpus stays pruned.
+    "ta_dsir", "lo_hilbert", "sim_ivfpq_adc", "dd_ppjoin")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

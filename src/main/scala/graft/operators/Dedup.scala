@@ -332,6 +332,47 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
   }
 
+  /** Prefix-filtered EXACT Jaccard pairs at threshold 1/2 (see the
+    * dd_ppjoin comment) — exposed for PpJoinSpec's brute-force equality.
+    */
+  def ppJoinPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // feeds the df rollup, the ordering join, both verify sides and the
+    // size rollup — cache once; rows are (doc_id, 8-byte h), never text
+    val sh = docShinglesOf(s, docs, 3)
+      .select($"doc_id", Exprs.hash60($"shingle").as("h"))
+      .cache()
+    val dfr = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfr, Seq("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    // prefix length |x| − ⌈|x|/2⌉ + 1, all-integer so the cut is
+    // bit-identical cross-engine
+    val pref = ordered
+      .filter($"pos" <= $"n" - expr("(n + 1) DIV 2") + 1)
+      .select($"doc_id", $"h", $"n")
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.n" * 2 >= $"a.n" && $"a.n" * 2 >= $"b.n")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val com = cand
+      .join(sh.as("x"), $"doc_a" === $"x.doc_id")
+      .join(sh.as("y"), $"doc_b" === $"y.doc_id" && $"y.h" === $"x.h")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    com
+      .join(counts.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
+      .withColumn("jaccard",
+        round($"common".cast("double") / ($"ca.n" + $"cb.n" - $"common").cast("double"), 6))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"common", $"jaccard")
+  }
+
   def minhashLshPairs(
       s: SparkSession, docs: DataFrame,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
@@ -582,6 +623,68 @@ object Dedup {
         .filter($"jaccard" >= 0.2)
         .select($"doc_a", $"doc_b", $"common", $"jaccard")
         .transform(d => QueryDef.smallSort(d, $"doc_a", $"doc_b"))
+    },
+
+    // EXACT set-similarity join via PREFIX FILTERING (All-Pairs, Bayardo
+    // et al. 2007; PPJoin, Xiao et al. 2008) — the third Jaccard-pair
+    // regime: dd_ngram_jaccard is the df-capped heuristic baseline (drops
+    // hot-shingle similarity mass), dd_minhash_lsh is probabilistic;
+    // THIS one is exact AND subquadratic, with completeness a THEOREM:
+    // order every doc's shingle set by ascending global df (rare first);
+    // if J(x,y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, so the first
+    // |x| − ⌈t·|x|⌉ + 1 tokens of BOTH docs must share an element — the
+    // candidate join runs on PREFIX tokens only, which by construction
+    // are the rarest (low df ⇒ tiny join fan-out; a stop-phrase shingle
+    // lands in nobody's prefix — the cap heuristic made exact). A length
+    // filter (t·|x| ≤ |y| ≤ |x|/t, exact in integers for t=1/2) prunes
+    // size-incompatible pairs inside the join; only candidates reach the
+    // full-set intersection verify. t = 0.5 (the dd_minhash verify
+    // threshold); all ceils are integer ((n+1) DIV 2), so the prefix cut
+    // is bit-identical cross-engine. Scale: one h-keyed df rollup, one
+    // doc-keyed ordering window, a low-df prefix self-join on 8-byte
+    // keys, candidate-sized verify — corpus text never shuffles.
+    // PpJoinSpec pins EQUALITY with the brute-force all-pairs join (not
+    // recall — exactness).
+    sqlChecked(
+      "dd_ppjoin",
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+        |                w -> w <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, ${sqlHash60("shingle")} AS h FROM (
+        |    SELECT DISTINCT doc_id, shingle FROM (
+        |      SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w)-2),
+        |                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |      FROM toks WHERE len(w) >= 3))),
+        |df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+        |ordered AS (
+        |  SELECT doc_id, h,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS pos,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM sh JOIN df USING (h)),
+        |pref AS (SELECT doc_id, h, n FROM ordered WHERE pos <= n - (n + 1) // 2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  WHERE 2 * b.n >= a.n AND 2 * a.n >= b.n),
+        |com AS (
+        |  SELECT doc_a, doc_b, count(*) AS common
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |            JOIN sh y ON y.doc_id = doc_b AND y.h = x.h
+        |  GROUP BY doc_a, doc_b),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+        |SELECT doc_a, doc_b, common,
+        |  round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+        |FROM com JOIN counts ca ON doc_a = ca.doc_id
+        |         JOIN counts cb ON doc_b = cb.doc_id
+        |WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      QueryDef.smallSort(
+        ppJoinPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
     // MinHash (K=32) + LSH (8 bands × 4 rows) candidate pairs, then exact
