@@ -132,7 +132,80 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery
+
+  /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
+    * join topology. Both sides are written ONCE as bucketed tables —
+    * hash-partitioned into the same bucket count on the join key, sorted
+    * within buckets — and every subsequent join (and aggregation) on that
+    * key reads the co-located buckets directly: ZERO shuffle exchanges in
+    * the whole plan, pinned by BucketedJoinSpec. A plain shuffle join moves
+    * BOTH sides over the network every time the join runs; bucketing pays
+    * the shuffle once at write time and amortizes it over every downstream
+    * query — at 100 TB with a fact table joined daily, that is the
+    * difference between an O(bytes) network stage per run and a local
+    * merge. The per-customer rollup after the join ALSO reuses the bucket
+    * distribution (group key = bucket key), so the full pipeline
+    * scan→join→agg runs exchange-free. The oracle replays the plain join
+    * in SQL: bucketing changes placement, never semantics.
+    */
+  private def bucketedJoinQuery: QueryDef =
+    sqlChecked(
+      "io_bucketed_join",
+      """SELECT o_custkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE) AS sum_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_mktsegment
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (ordersTbl, custTbl) = bucketedTables(s, dir)
+      bucketedJoinPlan(s, ordersTbl, custTbl)
+        .transform(d => QueryDef.largeSort(d, $"o_custkey"))
+    }
+
+  /** The unsorted join+agg over the bucketed tables, exposed so
+    * BucketedJoinSpec can pin the exchange-free physical plan without the
+    * presentation sort's checkpoint hiding it.
+    */
+  def bucketedJoinPlan(
+      s: org.apache.spark.sql.SparkSession,
+      ordersTbl: String, custTbl: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.table(ordersTbl)
+      .join(s.table(custTbl), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_custkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_spend"))
+  }
+
+  /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
+    * customer tables per source dir. Table names carry the dir hash so
+    * alternating source dirs in one session don't collide in the catalog;
+    * data lands under the module scratch root (external tables), cleaned
+    * by the shutdown hook. Bucket count is a layout choice: at 100 TB it
+    * would be sized so bucket ≈ target task size (and both sides MUST
+    * agree — Spark only prunes the shuffle when counts match).
+    */
+  private val bucketedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  def bucketedTables(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    bucketedDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+      Tables.orders(s, dir).select($"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", scratchDir("graft-bkt-orders"))
+        .saveAsTable(ot)
+      Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", scratchDir("graft-bkt-customer"))
+        .saveAsTable(ct)
+      (ot, ct)
+    })
 
   /** Small-files COMPACTION (`coalesce`, the OPTIMIZE/bin-packing half of
     * lakehouse maintenance): a 64-tiny-file table — the classic streaming-
