@@ -551,6 +551,39 @@ object Events {
         .transform(d => QueryDef.largeSort(d, $"user_id", $"run_id"))
     },
 
+    // CDC APPLY (change-data-capture log → current snapshot, the
+    // merge-on-read half of the lakehouse CDC pair whose write half is
+    // ev_stream_upsert): a keyed change log of upserts and deletes — derived
+    // deterministically from orders: seq = orderkey (unique, totally
+    // ordered), every 11th change is a tombstone — collapses to the latest
+    // state per key, with tombstoned keys absent. The apply is ONE
+    // partial-aggregable aggregate: max(seq) + max_by(payload, seq) +
+    // count(*) per key — map-side combine collapses each key to a ~32-byte
+    // state BEFORE the shuffle, so a 100 TB log with hot keys (the normal
+    // CDC shape: few entities, many changes) shuffles per-key states, not
+    // log rows. The window-function formulation (row_number DESC = 1) the
+    // oracle uses would shuffle and SORT the full log; CdcApplySpec pins
+    // that the chosen plan has no window sort and exactly one exchange.
+    sqlChecked(
+      "ev_cdc_apply",
+      """WITH log AS (
+        |  SELECT o_orderkey AS seq, o_custkey AS key,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val
+        |  FROM orders),
+        |latest AS (
+        |  SELECT key, seq, op, val,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY key) AS n_changes
+        |  FROM log)
+        |SELECT key, CAST(seq AS BIGINT) AS last_seq,
+        |  CAST(val AS DOUBLE) AS last_val, CAST(n_changes AS BIGINT) AS n_changes
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      cdcApplyPlan(s, dir).transform(d => QueryDef.largeSort(d, $"key"))
+    },
+
     // The SAME sessionization through Spark's NATIVE session_window
     // aggregate (the idiomatic form — Catalyst plans UpdatingSessionsExec +
     // MergingSessionsExec, which merge sessions inside the aggregate
@@ -915,5 +948,26 @@ object Events {
       }
       Session(userId, sess.head.ts, sess.last.ts, sess.size.toLong, total.toDouble)
     }
+  }
+
+  /** ev_cdc_apply's merge, exposed unsorted so CdcApplySpec can pin the
+    * plan shape (single exchange, no window sort). Last-writer-wins via
+    * max_by over the unique, totally-ordered seq; the tombstone filter runs
+    * AFTER the merge — a pre-filter would wrongly resurrect a key whose
+    * latest change is a delete but that has earlier upserts.
+    */
+  def cdcApplyPlan(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val log = graft.Tables.orders(s, dir).select(
+      $"o_orderkey".as("seq"), $"o_custkey".as("key"),
+      when($"o_orderkey" % 11 === 0, "D").otherwise("U").as("op"),
+      $"o_totalprice".as("val"))
+    log.groupBy($"key")
+      .agg(
+        max($"seq").as("last_seq"),
+        max_by(struct($"op", $"val"), $"seq").as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter($"last.op" =!= "D")
+      .select($"key", $"last_seq", $"last.val".as("last_val"), $"n_changes")
   }
 }
