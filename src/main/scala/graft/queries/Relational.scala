@@ -916,6 +916,55 @@ object Relational {
         .transform(d => QueryDef.smallSort(d, $"n_name", $"c_acctbal".desc, $"c_custkey"))
     },
 
+    // MERGEABLE quantile sketch (custom KllAgg TypedImperativeAggregate over
+    // DataSketches KLL): per-group price distribution summarized in ~1 KiB
+    // with the published rank-error guarantee — the bounded-state,
+    // STORABLE answer to percentiles at 100 TB, completing the sketch-table
+    // family (q40 HLL counts, ev_theta sets, ta_cms frequencies → KLL
+    // distributions). q32 is the labeled exact baseline (per-group value
+    // sort); q20's approx_percentile answers one query in-plan but can't be
+    // persisted/merged across days. Estimates are run-specific (randomized
+    // compaction), so rows carry exact companions + rank-error gates the
+    // oracle pins TRUE (the q20 discipline): rank_true(q̂_p) computed
+    // EXACTLY by a second conditional-count pass must sit within 2× the
+    // published ε of p. KllSpec pins tight-ε accuracy, partitioning
+    // robustness, and serialization round-trip.
+    sqlChecked(
+      "q43_kll_quantiles",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        | TRUE AS p25_rank_ok, TRUE AS p50_rank_ok, TRUE AS p75_rank_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.KllAgg
+      val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      // sketch pass: map-side combine collapses each partition to one ~1 KiB
+      // sketch per group; 3 KB-sized rows reach the driver (model-collect)
+      val sk = li.groupBy($"l_returnflag").agg(KllAgg($"l_extendedprice").as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> KllAgg.wrap(r.getAs[Array[Byte]]("sk")))
+      val est = sk.map { case (flag, sketch) =>
+        // 2× the published single-quantile ε absorbs the ~1% tail of the
+        // probabilistic guarantee, keeping the gate stable run to run
+        (flag, sketch.getQuantile(0.25), sketch.getQuantile(0.5),
+          sketch.getQuantile(0.75), 2.0 * sketch.getNormalizedRankError(false))
+      }.toSeq.toDF("l_returnflag", "q25", "q50", "q75", "eps")
+      // exact-rank verification pass (the full-data work the sketch replaces
+      // at 100 TB): rank_true(q̂) = count(x <= q̂)/n, INCLUSIVE — the
+      // sketch's default search criterion
+      li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (count(when($"l_extendedprice" <= $"q25", 1)) / count(lit(1))).as("r25"),
+          (count(when($"l_extendedprice" <= $"q50", 1)) / count(lit(1))).as("r50"),
+          (count(when($"l_extendedprice" <= $"q75", 1)) / count(lit(1))).as("r75"),
+          max($"eps").as("eps"))
+        .select($"l_returnflag", $"n",
+          (abs($"r25" - 0.25) <= $"eps").as("p25_rank_ok"),
+          (abs($"r50" - 0.5) <= $"eps").as("p50_rank_ok"),
+          (abs($"r75" - 0.75) <= $"eps").as("p75_rank_ok"))
+        .orderBy($"l_returnflag")
+    },
+
     // GROUPING SETS — arbitrary grouping combinations (here: by flag, by
     // status, and the grand total — a set ROLLUP/CUBE cannot express) in one
     // Expand + one aggregate; grouping_id disambiguates the all-null rows.

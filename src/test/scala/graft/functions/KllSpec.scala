@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+/** Pins the KLL aggregate's guarantee independently of q43's oracle gates:
+  * measured rank error within the published ε on a known corpus, the bound
+  * holding under BOTH a 1-partition and a 16-partition build (merge path —
+  * estimates may differ between the two, the bound may not), and exact
+  * serialization round-trip (the buffer crosses the wire between partial
+  * and final aggregation).
+  */
+class KllSpec extends SparkSuite with Matchers {
+
+  private val n = 50000
+  private lazy val corpusDf = {
+    import spark.implicits._
+    // deterministic non-uniform values: quadratic spread, worst-case-ish
+    // for naive binning, ordinary for a rank sketch
+    (0 until n).map(i => (i.toLong % 16, (i.toDouble * i) / n)).toDF("p", "v")
+  }
+
+  private def rankOf(q: Double): Double =
+    (0 until n).count(i => (i.toDouble * i) / n <= q).toDouble / n
+
+  test("rank error within published epsilon at p10..p90, any partitioning") {
+    import spark.implicits._
+    for (parts <- Seq(1, 16)) {
+      val bytes = corpusDf.repartition(parts, $"p")
+        .agg(KllAgg($"v").as("sk")).collect().head.getAs[Array[Byte]]("sk")
+      val sk = KllAgg.wrap(bytes)
+      sk.getN shouldBe n.toLong
+      val eps = sk.getNormalizedRankError(false)
+      for (p <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+        val err = math.abs(rankOf(sk.getQuantile(p)) - p)
+        withClue(s"parts=$parts p=$p err=$err eps=$eps: ") {
+          err should be <= eps
+        }
+      }
+    }
+  }
+
+  test("serialization round-trip preserves the summary exactly") {
+    import spark.implicits._
+    val bytes = corpusDf.agg(KllAgg($"v").as("sk")).collect().head.getAs[Array[Byte]]("sk")
+    val back = KllAgg.wrap(KllAgg.wrap(bytes).toByteArray)
+    back.getN shouldBe n.toLong
+    for (p <- Seq(0.25, 0.5, 0.75))
+      back.getQuantile(p) shouldBe KllAgg.wrap(bytes).getQuantile(p)
+  }
+}
