@@ -193,6 +193,67 @@ object Similarity {
         .orderBy($"query_id", $"rk")
     },
 
+    // MAXIMUM-INNER-PRODUCT search via the norm-augmentation reduction
+    // (Bachrach et al. RecSys'14; Neyshabur & Srebro ICML'15): MIPS is the
+    // retrieval mode of unnormalized dense-retrieval embeddings (DPR-style
+    // query·doc scores), and it is NOT a metric — cosine/L2 indexes can't
+    // serve it directly. The reduction: append to every database vector the
+    // coordinate sqrt(M² − ‖x‖²) (M = max norm, a 1-row broadcast-back
+    // aggregate) and a 0 to every query; then every augmented database
+    // vector has norm exactly M, q̃·x̃ = q·x, and augmented-space cosine is
+    // a strictly monotone transform of the inner product — so ANY cosine
+    // ANN index (the LSH/IVF/PQ paths above) serves MIPS after this O(1)
+    // per-row prep. Here the augmented scoring runs brute-force (broadcast
+    // query side, one candidate scan, no shuffle) so the WHOLE reduction is
+    // oracle-checked: the SQL replays M, the augmentation identity, the
+    // cosine and the ranking; rows carry the aug_norm_ok gate (‖x̃‖ = M)
+    // pinned TRUE. MipsSpec pins the reduction theorem — augmented-cosine
+    // top-k score sequence == direct inner-product top-k — plus the
+    // q̃·x̃ = q·x identity at float precision.
+    sqlChecked(
+      "sim_mips_topk",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+        |m AS (SELECT max(nrm) AS m FROM n),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])), 6) AS ip,
+        |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+        |      / (q.nrm * (SELECT m FROM m)), 6) AS mips_cos,
+        |    TRUE AS aug_norm_ok
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mips_cos DESC, cand_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, cand_id, ip, mips_cos, aug_norm_ok, rk FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = embWithNorm(s, dir)
+      // M = max database norm: 1-row aggregate broadcast back (model-collect)
+      val mval = e.agg(max($"nrm")).collect().head.getDouble(0)
+      // greatest(0, ·) guards the max-norm vector itself, where float
+      // cancellation can drive M² − ‖x‖² a hair negative (sqrt → NaN)
+      val aug = e.select($"vec_id",
+          concat($"v", array(sqrt(greatest(lit(0.0), lit(mval * mval) - $"nrm" * $"nrm")))).as("av"))
+        .withColumn("anrm", Exprs.l2norm($"av"))
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), concat($"v", array(lit(0.0))).as("aq"),
+          $"nrm".as("qnrm"))
+      val w = Window.partitionBy($"query_id").orderBy($"mips_cos".desc, $"cand_id".asc)
+      broadcast(q)
+        .join(aug.as("c"), $"query_id" =!= $"c.vec_id")
+        .select($"query_id", $"c.vec_id".as("cand_id"),
+          // q̃·x̃ = q·x exactly: the query's augmented coordinate is 0.0
+          round(Exprs.dot($"aq", $"c.av"), 6).as("ip"),
+          round(Exprs.dot($"aq", $"c.av") / ($"qnrm" * lit(mval)), 6).as("mips_cos"),
+          (abs($"c.anrm" - lit(mval)) < lit(1e-6)).as("aug_norm_ok"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 10)
+        .select($"query_id", $"cand_id", $"ip", $"mips_cos", $"aug_norm_ok",
+          $"rk".cast("long").as("rk"))
+        .transform(d => graft.QueryDef.smallSort(d, $"query_id", $"rk"))
+    },
+
     // OR-amplified hyperplane-LSH top-k: bucket-equality candidates in any
     // of the L tables, exact scoring of candidates only. md5-derived planes
     // ⇒ the oracle rebuilds the full index + probe + rank in SQL.
