@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.ByteArrayInputStream
 import javax.imageio.ImageIO
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlChecked
@@ -26,6 +27,9 @@ final case class SampledFrame(
 
 /** 64-bit dHash of one decoded image as 4×16-bit LSH bands. */
 final case class PhashBands(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+/** Mean-centered integer pixel embedding of one decoded image. */
+final case class MmEmbed(doc_id: Long, e: Seq[Long])
 
 /** Typed metadata + total energy of one decoded audio stream. */
 final case class AudioMeta(
@@ -83,12 +87,11 @@ object Multimodal {
       img.getRaster.getNumBands.toLong)
   }
 
-  /** 9×8 box-mean dHash of a decoded raster, as 4×16-bit bands (band k =
-    * rows 2k..2k+1). All-integer: per-box luma sum (299R+587G+114B per
-    * pixel), mean scaled ×1e6 with floor division, bit(r,c) = 1 iff
-    * mean[r][c] < mean[r][c+1] — every step exactly replayable in SQL.
+  /** 8×9 integer box-mean luma grid of a decoded raster — the shared
+    * feature stage of the dHash ([[phashOf]] takes neighbour-difference
+    * signs) and the embedding bridge ([[embedFrames]] mean-centers it).
     */
-  private def phashOf(img: BufferedImage): Array[Long] = {
+  private def boxMeansOf(img: BufferedImage): Array[Array[Long]] = {
     val w = img.getWidth
     val h = img.getHeight
     val m = Array.ofDim[Long](8, 9)
@@ -115,6 +118,16 @@ object Multimodal {
       }
       r += 1
     }
+    m
+  }
+
+  /** 9×8 box-mean dHash of a decoded raster, as 4×16-bit bands (band k =
+    * rows 2k..2k+1). All-integer: per-box luma sum (299R+587G+114B per
+    * pixel), mean scaled ×1e6 with floor division, bit(r,c) = 1 iff
+    * mean[r][c] < mean[r][c+1] — every step exactly replayable in SQL.
+    */
+  private def phashOf(img: BufferedImage): Array[Long] = {
+    val m = boxMeansOf(img)
     val bands = Array.fill(4)(0L)
     for (rr <- 0 until 8; cc <- 0 until 8)
       if (m(rr)(cc) < m(rr)(cc + 1))
@@ -180,6 +193,34 @@ object Multimodal {
        |  SELECT doc_id, r // 2 AS band,
        |    CAST(SUM(bit * (1 << ((r % 2) * 8 + c))) AS BIGINT) AS v
        |  FROM bits GROUP BY doc_id, r // 2)""".stripMargin
+
+  /** binaryFile scan of the ph_* family → real decode → 72-dim mean-centered
+    * integer embedding: the box-mean lumas scaled to mean-luma units
+    * (// 1e6), then centered as e_i = ml_i·72 − Σml (×72 keeps everything
+    * integer while preserving the cosine direction exactly). Centering
+    * removes the dominant DC brightness component that would pin all raw
+    * box-mean cosines near 1. Integer coordinates ⇒ dots and norms are
+    * EXACT in both engines, so the oracle hash-checks full cosine values,
+    * not a tolerance band.
+    */
+  private[graft] def embedFrames(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", "ph_*.png").load(mediaDir)
+      .select(
+        regexp_extract($"path", "ph_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        $"content")
+      .as[MediaFile]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { mf =>
+          val img = ImageIO.read(new ByteArrayInputStream(mf.content))
+          val m = boxMeansOf(img)
+          val ml = for { r <- 0 until 8; c <- 0 until 9 } yield m(r)(c) / 1000000L
+          val t = ml.sum
+          MmEmbed(mf.doc_id, ml.map(_ * 72 - t))
+        }
+      }
+  }
 
   /** Real WAV decode via `javax.sound.sampled`: 8-bit unsigned mono PCM,
     * so the decoded frame bytes ARE the sample values. Returns the sample
@@ -489,6 +530,60 @@ object Multimodal {
         .select($"doc_a", $"doc_b", dist.cast("long").as("dist"))
         .filter($"dist" <= 3)
         .transform(d => graft.QueryDef.largeSort(d, $"doc_a", $"doc_b"))
+    },
+
+    // IMAGE → EMBEDDING → ANN bridge: the third leg connecting the mm_
+    // family to the similarity stack (mm_phash_dedup bridged mm↔dd). Real
+    // decode → deterministic 72-dim mean-centered integer pixel embedding
+    // ([[embedFrames]] — the stand-in for a CLIP-style encoder, which is
+    // not in this container; the Spark-side plumbing is the real thing) →
+    // exact integer-cosine brute-force top-5 per query image (broadcast
+    // query side, one candidate scan — the sim_topk_bruteforce shape).
+    // Integer coordinates make dot and norm EXACT in both engines, so the
+    // oracle replays decode-equivalent features (generator pixel contract),
+    // centering, cosines and ranking, and hash-checks the VALUES. At
+    // 100 TB the embedding stage is the scan-parallel mapPartitions batch
+    // and the search side plugs into the LSH/IVF/MIPS index paths.
+    sqlChecked(
+      "mm_embed_ann",
+      s"""WITH $PhBandsSql,
+         |sm AS (SELECT doc_id, r, c, m // 1000000 AS ml FROM cells),
+         |tot AS (SELECT doc_id, SUM(ml) AS t FROM sm GROUP BY doc_id),
+         |emb AS (SELECT sm.doc_id, r * 9 + c AS i, ml * 72 - t AS e
+         |        FROM sm JOIN tot USING (doc_id)),
+         |nn AS (SELECT doc_id, SUM(e * e) AS n2 FROM emb GROUP BY doc_id),
+         |dots AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, SUM(q.e * c.e) AS dp
+         |  FROM emb q JOIN emb c ON c.i = q.i AND q.doc_id < 3 AND c.doc_id <> q.doc_id
+         |  GROUP BY q.doc_id, c.doc_id),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |    round(CAST(dp AS DOUBLE) / sqrt(CAST(qa.n2 AS DOUBLE) * CAST(ca.n2 AS DOUBLE)), 6) AS cos
+         |  FROM dots JOIN nn qa ON qa.doc_id = query_id
+         |            JOIN nn ca ON ca.doc_id = cand_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, cand_id, cos, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = embedFrames(s).toDF()
+        .withColumn("n2",
+          aggregate(transform($"e", x => x * x), lit(0L), (acc, x) => acc + x))
+      val q = emb.filter($"doc_id" < 3)
+        .select($"doc_id".as("query_id"), $"e".as("qe"), $"n2".as("qn2"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+      broadcast(q)
+        .join(emb.as("c"), $"query_id" =!= $"c.doc_id")
+        .select($"query_id", $"c.doc_id".as("cand_id"),
+          round(
+            aggregate(zip_with($"qe", $"c.e", (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+              .cast("double") / sqrt($"qn2".cast("double") * $"c.n2".cast("double")),
+            6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+        .transform(d => graft.QueryDef.smallSort(d, $"query_id", $"rk"))
     },
 
     // AUDIO modality, real decode: committed WAV fixtures through
