@@ -63,7 +63,16 @@ object ScaleSmoke {
     // every prefix token's df grow ×8, so candidates grow ~64× WITHIN
     // families (inherent to any exact pairs-emitting operator — the
     // dd_components lesson), while the non-family corpus stays pruned.
-    "ta_dsir", "lo_hilbert", "sim_ivfpq_adc", "dd_ppjoin")
+    "ta_dsir", "lo_hilbert", "sim_ivfpq_adc", "dd_ppjoin",
+    // third-session additions: the CDC merge (per-key partial agg — the
+    // map-side combine should absorb most of the ×8 log), the KLL sketch
+    // (CONSTANT ~1 KiB state per group, like the other fixed-state
+    // sketches), MIPS (5 broadcast queries × n candidates — linear scan),
+    // and the bucketed join (times table BUILD + join on first touch of
+    // each dir — the honest once-per-layout cost the amortization claim
+    // is about; the join itself is exchange-free on both sides).
+    // mm_embed_ann stays out with the other mm_* (fixed media fixtures).
+    "ev_cdc_apply", "q43_kll_quantiles", "sim_mips_topk", "io_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
@@ -88,7 +97,9 @@ object ScaleSmoke {
     // events.parquet) must re-synthesize even with matching copies:src
     // v3 = + orders (shared order-key shift, per-copy custkey shift)
     // v4 = + part (unscaled dim copy for jo_skew_salted)
-    val markerVal = s"$copies:$src:v4"
+    // v5 = + customer (custkey shifted with the ORDERS shift so the
+    //      bucketed join and cdc rollup see a ×copies key population)
+    val markerVal = s"$copies:$src:v5"
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == markerVal
     if (!fresh) {
@@ -239,6 +250,14 @@ object ScaleSmoke {
     union(ev, "event_id", (d, i) =>
       d.withColumn("user_id", col("user_id") + lit(userShift * i)))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    // customer: custkey shifted with the SAME shift as orders so every
+    // synthesized order still finds its customer — the ×copies key
+    // population io_bucketed_join buckets on and ev_cdc_apply merges over
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until copies).map(i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(custShift * i)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
     // part is the DIM side (jo_skew_salted): copied unscaled — the
     // realistic growth mode where the fact side explodes and the catalog
     // doesn't. The hot key joins the synthetic (0, 1) dim row anyway.
