@@ -236,6 +236,73 @@ object Events {
         .orderBy($"hour")
     },
 
+    // Streaming per-window QUANTILES — the custom KllAgg sketch running
+    // UNCHANGED inside a watermarked streaming window (the distribution
+    // twin of ev_stream_cardinality's HLL: exact per-window percentiles
+    // are unsupported in streaming for the same reason exact distinct is —
+    // unbounded per-group value buffers). The KLL buffer is ~1 KiB per
+    // open window regardless of event rate, merges across micro-batches
+    // through the state store, and the closed window emits the serialized
+    // sketch itself — the persistable artifact. Estimates are run-specific
+    // (randomized compaction), so rows carry exact companions + two-sided
+    // rank gates the oracle pins TRUE: the estimate's exclusive..inclusive
+    // rank interval must intersect [p − band, p + band], band =
+    // max(2ε, 2/n) — duplicate-mass-immune (the 2-decimal value column
+    // duplicates ~34% of values, so a one-sided inclusive check would
+    // overshoot on small windows) and deterministic in exact mode (n ≤
+    // k=200 retains every value).
+    sqlChecked(
+      "ev_stream_quantiles",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM events GROUP BY hour
+        |HAVING date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+        |ORDER BY hour""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.KllAgg
+      val outDir = streamTmpDir("ev-kll-out")
+      val ckDir = streamTmpDir("ev-kll-ck")
+      withStreamPartitions(s) { Tables.eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(KllAgg($"value").as("sk"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("hour"), $"sk")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      }
+      // per-window estimates: KB sketches to the driver (model-collect)
+      val est = s.read.parquet(outDir).collect().map { r =>
+        val sk = KllAgg.wrap(r.getAs[Array[Byte]]("sk"))
+        (r.getString(0), sk.getQuantile(0.5), sk.getQuantile(0.9))
+      }.toSeq.toDF("hour", "q50", "q90")
+      val eps2 = 2.0 *
+        org.apache.datasketches.kll.KllSketch.getNormalizedRankError(200, false)
+      def band(n: org.apache.spark.sql.Column) = greatest(lit(eps2), lit(2.0) / n)
+      // exact companions from the batch table (the per-window buffers the
+      // sketch replaces); inner join on est hours = exactly the closed
+      // windows the HAVING keeps
+      Tables.events(s, dir)
+        .withColumn("hour", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm"))
+        .join(broadcast(est), Seq("hour"))
+        .groupBy($"hour")
+        .agg(count(lit(1)).as("n"),
+          (count(when($"value" <= $"q50", 1)) / count(lit(1))).as("r50i"),
+          (count(when($"value" < $"q50", 1)) / count(lit(1))).as("r50e"),
+          (count(when($"value" <= $"q90", 1)) / count(lit(1))).as("r90i"),
+          (count(when($"value" < $"q90", 1)) / count(lit(1))).as("r90e"))
+        .select($"hour", $"n",
+          ($"r50i" >= lit(0.5) - band($"n") && $"r50e" <= lit(0.5) + band($"n")).as("p50_ok"),
+          ($"r90i" >= lit(0.9) - band($"n") && $"r90e" <= lit(0.9) + band($"n")).as("p90_ok"))
+        .orderBy($"hour")
+    },
+
     // Streaming DEDUP — `dropDuplicatesWithinWatermark` keyed on event_id
     // over a stream that deliberately duplicates every input event (the same
     // parquet read by two stream sources, unioned). The WithinWatermark
