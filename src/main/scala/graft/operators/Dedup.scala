@@ -373,6 +373,51 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
   }
 
+  /** Prefix-filtered EXACT containment pairs at threshold 3/4 (see the
+    * dd_containment comment) — exposed for ContainmentSpec's brute-force
+    * equality. Emits ORDERED pairs (doc_a, doc_b): doc_a's shingle set is
+    * ≥ 3/4-contained in doc_b's.
+    */
+  def containmentPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = docShinglesOf(s, docs, 3)
+      .select($"doc_id", Exprs.hash60($"shingle").as("h"))
+      .cache()
+    val dfr = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfr, Seq("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"h")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    // containment prefix: if B misses ALL of A's first n − ⌈3n/4⌉ + 1
+    // df-rarest tokens, then |A∩B| ≤ ⌈3n/4⌉ − 1 < (3/4)·n — so every
+    // qualifying B shares a prefix token (completeness is a theorem)
+    val pref = ordered
+      .filter($"pos" <= $"n" - expr("(3 * n + 3) DIV 4") + 1)
+      .select($"doc_id", $"h", $"n")
+    // the probe side is B's FULL token index: containment is asymmetric,
+    // so only the contained side gets a prefix cut; the size filter is
+    // one-sided too (|A∩B| ≤ |B| ⇒ 4|B| ≥ 3|A|, no upper bound on B)
+    val idx = ordered.select($"doc_id", $"h")
+    val cand = pref.as("a")
+      .join(idx.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"a.n".as("na"))
+      .distinct()
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sized = cand.join(counts.as("cb"), $"doc_b" === $"cb.doc_id")
+      .filter($"cb.n" * 4 >= $"na" * 3)
+      .select($"doc_a", $"doc_b", $"na")
+    sized
+      .join(sh.as("x"), $"doc_a" === $"x.doc_id")
+      .join(sh.as("y"), $"doc_b" === $"y.doc_id" && $"y.h" === $"x.h")
+      .groupBy($"doc_a", $"doc_b", $"na").agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        round($"common".cast("double") / $"na".cast("double"), 6))
+      .filter($"containment" >= 0.75)
+      .select($"doc_a", $"doc_b", $"common", $"containment")
+  }
+
   def minhashLshPairs(
       s: SparkSession, docs: DataFrame,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
@@ -685,6 +730,61 @@ object Dedup {
       import s.implicits._
       QueryDef.smallSort(
         ppJoinPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
+    },
+
+    // EXACT set-CONTAINMENT join at C(a→b) = |Sa∩Sb|/|Sa| ≥ 3/4 — the
+    // ASYMMETRIC twin of dd_ppjoin's Jaccard: detects documents whose
+    // shingle set is (mostly) a subset of another's — quotation pages,
+    // boilerplate-wrapped copies, truncated mirrors — which symmetric
+    // Jaccard MISSES outright (a small doc inside a big one has tiny J but
+    // containment ≈ 1; the standard crawl-dedup blind spot). Same
+    // rare-token prefix discipline, adapted to asymmetry: only the
+    // CONTAINED side gets a prefix cut (if B misses all of A's
+    // n − ⌈3n/4⌉ + 1 df-rarest tokens, |A∩B| < 3n/4 — completeness is a
+    // theorem), probed against B's FULL token index, with the one-sided
+    // size filter 4|B| ≥ 3|A|. Verify is candidate-sized exact
+    // intersection counting on 8-byte keys; text never shuffles.
+    // ContainmentSpec pins EQUALITY with the brute-force all-pairs join,
+    // including a planted slice-of-another doc.
+    sqlChecked(
+      "dd_containment",
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+        |                w -> w <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, ${sqlHash60("shingle")} AS h FROM (
+        |    SELECT DISTINCT doc_id, shingle FROM (
+        |      SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w)-2),
+        |                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |      FROM toks WHERE len(w) >= 3))),
+        |df AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+        |ordered AS (
+        |  SELECT doc_id, h,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS pos,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM sh JOIN df USING (h)),
+        |pref AS (SELECT doc_id, h, n FROM ordered WHERE pos <= n - (3 * n + 3) // 4 + 1),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na
+        |  FROM pref a JOIN ordered b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  WHERE 4 * b.n >= 3 * a.n),
+        |com AS (
+        |  SELECT doc_a, doc_b, na, count(*) AS common
+        |  FROM cand JOIN sh x ON x.doc_id = doc_a
+        |            JOIN sh y ON y.doc_id = doc_b AND y.h = x.h
+        |  GROUP BY doc_a, doc_b, na)
+        |SELECT doc_a, doc_b, common,
+        |  round(common / CAST(na AS DOUBLE), 6) AS containment
+        |FROM com
+        |WHERE round(common / CAST(na AS DOUBLE), 6) >= 0.75
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      QueryDef.smallSort(
+        containmentPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
     // MinHash (K=32) + LSH (8 bands × 4 rows) candidate pairs, then exact
