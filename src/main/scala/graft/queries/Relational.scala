@@ -718,6 +718,39 @@ object Relational {
         .orderBy($"nationkey")
     },
 
+    // MULTISET set ops — EXCEPT ALL / INTERSECT ALL, the bag-semantics
+    // twins of q24/q09 (distinct EXCEPT collapses duplicates first; the
+    // ALL forms preserve multiplicity: per key, except_all keeps
+    // max(ca−cb, 0) copies and intersect_all min(ca, cb) — a different
+    // operator, not a modifier: Spark plans them as a count-propagating
+    // aggregate join, no pre-distinct). The two multisets are part keys of
+    // finished vs returned lineitems — overlapping, both with real
+    // duplicates, so the bag arithmetic is exercised. Output rolls the
+    // result multisets back to (key, copies) for a deterministic compare.
+    // Scale: each ALL op is one hash-partitioned count-join on the key —
+    // no global sort, no distinct pre-pass.
+    sqlChecked(
+      "q44_multiset_ops",
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ea AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b),
+        |ia AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+        |SELECT op, l_partkey, CAST(COUNT(*) AS BIGINT) AS copies FROM (
+        |  SELECT 'except_all' AS op, l_partkey FROM ea
+        |  UNION ALL SELECT 'intersect_all', l_partkey FROM ia)
+        |GROUP BY op, l_partkey
+        |ORDER BY op, l_partkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter($"l_linestatus" === "F").select($"l_partkey")
+      val b = li.filter($"l_returnflag" === "R").select($"l_partkey")
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .union(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+        .groupBy($"op", $"l_partkey")
+        .agg(count(lit(1)).as("copies"))
+        .transform(d => QueryDef.largeSort(d, $"op", $"l_partkey"))
+    },
+
     // PIVOT — long→wide reshape with an EXPLICIT value list (an open-ended
     // pivot needs a distinct-values pre-pass = an extra job; fixing the
     // columns keeps it one aggregate). Oracle uses the portable
