@@ -118,6 +118,52 @@ object EventAnalytics {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // INCREMENTAL aggregate maintenance (the delta-compute topology every
+    // nightly rollup pipeline runs): a persisted compact rollup — per
+    // (event_type, day) count + EXACT decimal value sum over history —
+    // absorbs a new day's partial aggregate by an algebraic merge
+    // (full-outer join + coalesce-add), instead of re-aggregating history.
+    // Decimal partials make the merge EXACTLY equal to the from-scratch
+    // aggregate regardless of how many increments composed the state
+    // (float partials would drift by summation order — the reason the
+    // state schema carries DECIMAL(38,8), cast to double only at the
+    // edge). The oracle IS the full recompute over all days — the match
+    // proves the merge algebra. At 100 TB: the nightly job reads ONE day +
+    // a key-count-sized state table; IncrRollupSpec pins that the delta
+    // scan pushes the day filter down and that iterating the merge
+    // day-by-day converges to the same state.
+    sqlChecked(
+      "ev_incr_rollup",
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(20,8))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cutoff = "2024-01-25"
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+      def partial(df: DataFrame) = df.groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(20,8)")).as("sv")) // DECIMAL partial: exact merge
+      // state = the persisted rollup over history (written once per dir —
+      // the simulation of last night's table); delta = the new days only.
+      // The filter is on the PHYSICAL ts column (not the derived day
+      // string) so it pushes into the parquet scan — equivalent because
+      // day >= cutoff ⟺ ts >= cutoff midnight (UTC session)
+      val state = s.read.parquet(incrStateDir(s, dir, cutoff))
+      val delta = partial(ev.filter($"ts" >= lit(cutoff).cast("timestamp")))
+      state.as("s")
+        .join(delta.as("d"), Seq("event_type", "day"), "full_outer")
+        .select($"event_type", $"day",
+          (coalesce($"s.n", lit(0L)) + coalesce($"d.n", lit(0L))).as("n"),
+          (coalesce($"s.sv", lit(BigDecimal(0)).cast("decimal(38,8)"))
+            + coalesce($"d.sv", lit(BigDecimal(0)).cast("decimal(38,8)")))
+            .cast("double").as("total_value"))
+        .transform(d => QueryDef.largeSort(d, $"event_type", $"day"))
+    },
+
     // Ordered conversion funnel with a 12 h stage horizon. Oracle re-derives
     // the three stage tables as independent SQL CTEs; non-converting users
     // keep NULL stage timestamps (left joins), so the row also pins the
@@ -353,6 +399,28 @@ object EventAnalytics {
         .awaitTermination()
     }
   }
+
+  /** Persisted pre-cutoff rollup for ev_incr_rollup (write-once per source
+    * dir per JVM — the Formats.partitionedEventsDir discipline). Schema
+    * carries the DECIMAL partial so the merge stays exact.
+    */
+  private val incrStateDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[streaming] def incrStateDir(
+      s: org.apache.spark.sql.SparkSession, dir: String, cutoff: String): String =
+    incrStateDirs.getOrElseUpdate(s"$dir|$cutoff", {
+      import s.implicits._
+      val p = java.nio.file.Files.createTempDirectory("graft-incr-state").toString
+      Tables.events(s, dir)
+        .filter($"ts" < lit(cutoff).cast("timestamp"))
+        .withColumn("day", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(20,8)")).as("sv"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
 
   /** Materialized view over the upsert sink's batch log: last update per
     * key wins (the compaction a lakehouse MERGE target would run).
