@@ -132,7 +132,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -176,6 +176,107 @@ object Formats {
       .groupBy($"o_custkey", $"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_spend"))
   }
+
+  /** MANIFEST-based snapshot versioning — the TIME-TRAVEL primitive every
+    * table format (Delta/Iceberg/Hudi) builds on, shown bare: a table
+    * version IS a manifest file listing its data files; writers commit by
+    * writing data files then atomically adding ONE new manifest; readers
+    * pin a manifest and read exactly its file list — full snapshot
+    * isolation with zero coordination, because data files are immutable
+    * and the manifest swap is the only mutation. Three versions here:
+    * v1 = slice A; v2 = A + appended slice B (append-only commit);
+    * v3 = A′ + B where A′ rewrites A dropping every 9th order (a
+    * delete = copy-on-write file rewrite, the parquet reality). The query
+    * reads each PINNED version and aggregates, plus an append-only gate
+    * (v2 − v1 == B exactly). The oracle replays the version membership
+    * predicates against the original table. At 100 TB the manifest read
+    * is O(files) planning cost and old versions stay queryable until
+    * their files are vacuumed.
+    */
+  private def timeTravelQuery: QueryDef =
+    sqlChecked(
+      "io_time_travel",
+      """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+        |a2 AS (SELECT * FROM a WHERE o_orderkey % 9 <> 0),
+        |v AS (
+        |  SELECT 1 AS version, * FROM a
+        |  UNION ALL SELECT 2, * FROM a UNION ALL SELECT 2, * FROM b
+        |  UNION ALL SELECT 3, * FROM a2 UNION ALL SELECT 3, * FROM b)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) AS sum_price,
+        |  TRUE AS append_only_v1_v2
+        |FROM v GROUP BY version ORDER BY version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = versionedTableDir(s, dir)
+      def readVersion(v: Int): org.apache.spark.sql.DataFrame = {
+        // the reader pins a manifest: the snapshot is the file list, no
+        // directory listing races, no partial-commit visibility
+        val files = scala.io.Source.fromFile(s"$root/manifest-v$v.txt")
+          .getLines().map(l => s"$root/$l").toSeq
+        s.read.parquet(files: _*)
+      }
+      val per = (1 to 3).map { v =>
+        readVersion(v)
+          // rounded to cents: at this magnitude (~1.2e10) the scaled int128
+          // exceeds 2^53, and Spark's correctly-rounded decimal→double
+          // differs from DuckDB's int128/1e8 float division by one ulp —
+          // the 2dp round absorbs the representation gap on both sides
+          .agg(count(lit(1)).as("n_rows"), round(dsum($"o_totalprice"), 2).as("sum_price"))
+          .select(lit(v.toLong).as("version"), $"n_rows", $"sum_price")
+      }.reduce(_ union _)
+      // append-only gate: the v1→v2 delta (by key) must be EXACTLY slice B
+      val v1k = readVersion(1).select($"o_orderkey")
+      val v2k = readVersion(2).select($"o_orderkey")
+      val deltaOk = v2k.exceptAll(v1k).withColumn("m", lit(1))
+        .join(Tables.orders(s, dir).filter($"o_orderkey" % 3 === 1)
+          .select($"o_orderkey").withColumn("o", lit(1)),
+          Seq("o_orderkey"), "full_outer")
+        .filter($"m".isNull || $"o".isNull)
+        .isEmpty
+      per.withColumn("append_only_v1_v2", lit(deltaOk))
+        .transform(d => QueryDef.smallSort(d, $"version"))
+    }
+
+  /** Versioned-table fixture for io_time_travel (write-once per source dir
+    * per JVM): immutable data files + one manifest per version under the
+    * module scratch root.
+    */
+  private val versionedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def versionedTableDir(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    versionedDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val root = scratchDir("graft-versioned")
+      val orders = Tables.orders(s, dir)
+      def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = s"$root/_stage_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$root/$name"))
+        def rm(f: java.io.File): Unit = {
+          val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(tmp))
+      }
+      writeFile("data-a.parquet", orders.filter($"o_orderkey" % 3 === 0))
+      writeFile("data-b.parquet", orders.filter($"o_orderkey" % 3 === 1))
+      writeFile("data-a2.parquet",
+        orders.filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 9 =!= 0))
+      def commit(v: Int, files: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/manifest-v$v.txt"),
+          (files.mkString("\n") + "\n").getBytes("UTF-8"))
+      commit(1, Seq("data-a.parquet"))
+      commit(2, Seq("data-a.parquet", "data-b.parquet"))
+      commit(3, Seq("data-a2.parquet", "data-b.parquet"))
+      root
+    })
 
   /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
     * customer tables per source dir. Table names carry the dir hash so
