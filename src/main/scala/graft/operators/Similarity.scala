@@ -45,6 +45,51 @@ object Similarity {
   val PqTopK = 10
   val PqQueryMax = 5
 
+  /** sim_kmeans_train geometry: k clusters, full Lloyd iterations. */
+  val KmK = 8
+  val KmIters = 3
+
+  /** The identical integer Lloyd trajectory unrolled as a DuckDB CTE chain
+    * (the pr_pagerank / ta_bpe_train discipline): quantize, then per round
+    * assign (exact BIGINT distance, cid tie-break) and update (all-positive
+    * floor-div means, empty cluster keeps its centroid).
+    */
+  private def kmeansTrainOracle: String = {
+    val dim = RpInDim
+    val iters = (1 to KmIters).map { k =>
+      s"""a$k AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      list_sum(list_transform(generate_series(1, $dim), i -> (q.q[i]-c.c[i])*(q.q[i]-c.c[i]))) AS d2,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, $dim), i -> (q.q[i]-c.c[i])*(q.q[i]-c.c[i]))), c.cid) AS rk
+         |    FROM q CROSS JOIN c${k - 1} c) WHERE rk = 1),
+         |u$k AS (
+         |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.cid, pos, SUM(q.q[pos]) // COUNT(*) AS m
+         |    FROM a$k a JOIN q USING (vec_id)
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS pos)
+         |    GROUP BY a.cid, pos) GROUP BY cid),
+         |c$k AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
+         |        FROM c${k - 1} p LEFT JOIN u$k u USING (cid))"""
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 100000000) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < $KmK),
+       |$iters
+       |SELECT c.cid AS cluster,
+       |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_members,
+       |  CAST(COALESCE(s.inertia_div, 0) AS BIGINT) AS inertia_div,
+       |  CAST(list_sum(c.c) AS BIGINT) AS c_sum,
+       |  CAST(list_sum(list_transform(c.c, x -> x*x)) AS BIGINT) AS c_norm2
+       |FROM c$KmIters c LEFT JOIN (
+       |  SELECT cid, COUNT(*) AS n, SUM(d2 // 1000000) AS inertia_div
+       |  FROM a$KmIters GROUP BY cid) s USING (cid)
+       |ORDER BY cluster""".stripMargin
+  }
+
   /** Embeddings as double vectors + L2 norms (the shared scan prefix). */
   private def embWithNorm(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
@@ -631,6 +676,70 @@ object Similarity {
         .agg(round(sum($"x".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
         .select($"cluster", ($"pos" + 1).cast("long").as("pos"), $"mu")
         .orderBy($"cluster", $"pos")
+    },
+
+    // ITERATED k-means training (3 full Lloyd rounds, k=8) — the iterative-
+    // ML trajectory pinned end-to-end, the way pr_pagerank pins iterative
+    // graph dataflow and ta_bpe_train pins iterative vocab building. The
+    // whole computation runs in EXACT integer arithmetic so iteration
+    // cannot compound float drift into assignment flips: coordinates
+    // quantize to micro-units with a +1e8 offset (all-positive, so
+    // floor-division means agree between Spark's DIV-toward-zero and
+    // DuckDB's flooring `//`), distances are exact BIGINT sums of squares
+    // (tie → lower cid), means are integer floor-divs, and an empty
+    // cluster keeps its previous centroid. Per iteration the plan is one
+    // vector-table scan against 8 BROADCAST centroid literals + one
+    // (cluster, pos) shuffle; the updated 8×64-int model (KBs) is
+    // collected and re-broadcast — the Lloyd topology at 100 TB, where
+    // the model is driver-sized and the data never leaves its partitions
+    // except as per-cluster partial sums. The oracle unrolls all 3
+    // assign/update rounds as a generated CTE chain; output = 3rd-round
+    // membership counts + inertia and the resulting centroids' checksums.
+    sqlChecked("sim_kmeans_train", kmeansTrainOracle) { (s, dir) =>
+      import s.implicits._
+      val dim = RpInDim
+      val qv = Tables.embeddings(s, dir)
+        .select($"vec_id",
+          transform(Exprs.vecAsDouble($"embedding"),
+            x => (round(x * 1e6) + lit(1e8)).cast("long")).as("q"))
+        .cache()
+      var cents: Seq[(Int, Seq[Long])] = qv.filter($"vec_id" < KmK)
+        .collect().map(r => (r.getLong(0).toInt, r.getSeq[Long](1))).sortBy(_._1)
+      var lastAssigned: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to KmIters) {
+        val centLit = array(cents.map { case (cid, c) =>
+          struct(lit(cid.toLong).as("cid"), array(c.map(lit): _*).as("c"))
+        }: _*)
+        val best = array_min(transform(centLit, c =>
+          struct(
+            aggregate(zip_with($"q", c.getField("c"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d2"),
+            c.getField("cid").as("cid"))))
+        lastAssigned = qv
+          .select($"vec_id", $"q", best.getField("d2").as("d2"), best.getField("cid").as("cid"))
+          .cache()
+        val updated = lastAssigned
+          .select($"cid", posexplode($"q").as(Seq("pos", "x")))
+          .groupBy($"cid", $"pos")
+          .agg(sum($"x").as("sx"), count(lit(1)).as("nx"))
+          // integer `div`, never float division: a double quotient near an
+          // integer boundary can round across it before the cast truncates
+          .withColumn("m", expr("sx div nx")) // all-positive: trunc == floor
+          .groupBy($"cid")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"m"))), x => x("m")).as("c"))
+          .collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1)).toMap
+        cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+      }
+      val centDf = cents.map { case (cid, c) =>
+        (cid.toLong, c.sum, c.map(x => x * x).sum)
+      }.toDF("cluster", "c_sum", "c_norm2")
+      val stats = lastAssigned.groupBy($"cid".as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(expr("d2 div 1000000")).as("inertia_div"))
+      centDf.join(stats, Seq("cluster"), "left")
+        .select($"cluster", coalesce($"n_members", lit(0L)).as("n_members"),
+          coalesce($"inertia_div", lit(0L)).as("inertia_div"), $"c_sum", $"c_norm2")
+        .orderBy($"cluster")
     },
 
     // Symmetric int8 quantization of the embedding column — the storage/
