@@ -164,6 +164,62 @@ object EventAnalytics {
         .transform(d => QueryDef.largeSort(d, $"event_type", $"day"))
     },
 
+    // Trailing-window ANOMALY detection (the ops-monitoring shape): each
+    // hour's event count z-scored against the PRECEDING 24 observed hours
+    // (ROWS 24 PRECEDING .. 1 PRECEDING — the current hour never pollutes
+    // its own baseline), flagged when |z| > 3 with a ≥12-point warm-up
+    // guard and a variance floor of 0.25 against constant-count windows.
+    // Mean and variance derive from EXACT integer window sums (Σn, Σn²)
+    // through an identical float expression tree in both engines, so z is
+    // bit-stable and hash-checked after round-6. Scale: the window runs
+    // over the AGGREGATED hourly series (one row per hour — ≤ 8 760
+    // rows/year), not the event stream; the heavy work is the first
+    // hour-keyed count, a plain partial-aggregable shuffle. The global
+    // ORDER BY window on the tiny series is deliberate — at 100 TB the
+    // series is still calendar-sized.
+    sqlChecked(
+      "ev_anomaly_zscore",
+      """WITH hourly AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT hour, n,
+        |    CAST(SUM(n) OVER win AS BIGINT) AS s1,
+        |    CAST(SUM(n*n) OVER win AS BIGINT) AS s2,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS cnt
+        |  FROM hourly
+        |  WINDOW win AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT hour, n,
+        |    CASE WHEN cnt >= 12 THEN
+        |      round((n - CAST(s1 AS DOUBLE) / cnt)
+        |        / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / cnt, 0.25)), 6)
+        |    END AS z
+        |  FROM w)
+        |SELECT hour, n, z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly
+        |FROM z ORDER BY hour""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val win = "OVER (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)"
+      hourly
+        .selectExpr("hour", "n",
+          s"CAST(SUM(n) $win AS BIGINT) AS s1",
+          s"CAST(SUM(n*n) $win AS BIGINT) AS s2",
+          s"CAST(COUNT(*) $win AS BIGINT) AS cnt")
+        .selectExpr("hour", "n",
+          """CASE WHEN cnt >= 12 THEN
+            |  round((n - CAST(s1 AS DOUBLE) / cnt)
+            |    / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / cnt, 0.25)), 6)
+            |END AS z""".stripMargin)
+        .selectExpr("hour", "n", "z",
+          "CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly")
+        .transform(d => QueryDef.largeSort(d, $"hour"))
+    },
+
     // Ordered conversion funnel with a 12 h stage horizon. Oracle re-derives
     // the three stage tables as independent SQL CTEs; non-converting users
     // keep NULL stage timestamps (left joins), so the row also pins the
