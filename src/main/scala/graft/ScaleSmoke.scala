@@ -72,7 +72,15 @@ object ScaleSmoke {
     // each dir — the honest once-per-layout cost the amortization claim
     // is about; the join itself is exchange-free on both sides).
     // mm_embed_ann stays out with the other mm_* (fixed media fixtures).
-    "ev_cdc_apply", "q43_kll_quantiles", "sim_mips_topk", "io_bucketed_join")
+    "ev_cdc_apply", "q43_kll_quantiles", "sim_mips_topk", "io_bucketed_join",
+    // later third-session additions: containment shares dd_ppjoin's
+    // output-bound caveat (exact pairs on a duplicate-saturated ×8 corpus);
+    // kmeans_train is 3 linear rounds against a broadcast model;
+    // anomaly/incr_rollup are hour-keyed partial aggs + constant-size
+    // tails; multiset ops are count-joins; time_travel times fixture
+    // build + 3 pinned-manifest reads on first touch of each dir.
+    "dd_containment", "sim_kmeans_train", "ev_anomaly_zscore",
+    "ev_incr_rollup", "q44_multiset_ops", "io_time_travel")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
