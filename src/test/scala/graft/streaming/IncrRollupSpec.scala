@@ -19,6 +19,10 @@ class IncrRollupSpec extends SparkSuite with Matchers {
   private val dir = sf("sf0.001")
 
   test("delta scan pushes the ts filter down to parquet") {
+    // another suite may have cached the events plan, which would route this
+    // read through InMemoryTableScan (where the filter still prunes cached
+    // batches, but the parquet PushedFilters assertion below can't see it)
+    spark.catalog.clearCache()
     val delta = graft.Tables.events(spark, dir)
       .filter($"ts" >= lit("2024-01-25").cast("timestamp"))
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
