@@ -132,7 +132,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -176,6 +176,66 @@ object Formats {
       .groupBy($"o_custkey", $"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_spend"))
   }
+
+  /** DYNAMIC partition overwrite — the idempotent daily-rewrite primitive:
+    * `partitionOverwriteMode=dynamic` replaces ONLY the partitions present
+    * in the incoming batch, so a re-run (or correction) of one day's job
+    * rewrites that day's directory and leaves every other partition
+    * byte-untouched. Under the default STATIC mode the same
+    * `mode("overwrite")` call TRUNCATES THE WHOLE TABLE first — the classic
+    * production data-loss foot-gun this conf exists to disarm
+    * (DynamicOverwriteSpec pins both behaviors side by side). Here the
+    * day-partitioned events table gets a corrected 2024-01-15 batch
+    * (values doubled); the read-back must show exactly one day changed and
+    * every day's row count intact. At 100 TB this is how every idempotent
+    * nightly job commits: overwrite granularity = partition, write cost =
+    * one day, no read-modify-write of history.
+    */
+  private def dynamicOverwriteQuery: QueryDef =
+    sqlChecked(
+      "io_dynamic_overwrite",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n,
+        | CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'
+        |                    THEN value * 2 ELSE value END AS DECIMAL(20,8))) AS DOUBLE) AS sum_value,
+        | (CAST(ts AS DATE) = DATE '2024-01-15') AS corrected
+        |FROM events
+        |GROUP BY day, corrected ORDER BY day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = dynOverwriteDir(s, dir)
+      s.read.parquet(p)
+        // partition-column type inference reads day=… dirs as DATE; pin the
+        // string form the oracle emits
+        .groupBy($"day".cast("string").as("day"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .withColumn("corrected", $"day" === "2024-01-15")
+        .select($"day", $"n", $"sum_value", $"corrected")
+        .transform(d => QueryDef.largeSort(d, $"day"))
+    }
+
+  /** Day-partitioned events table with one day dynamically overwritten
+    * (write-once per source dir per JVM).
+    */
+  private val dynOverwriteDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def dynOverwriteDir(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    dynOverwriteDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val p = scratchDir("graft-dynover")
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(p)
+      // the correction batch: ONE day, values doubled; dynamic mode
+      // replaces only day=2024-01-15
+      ev.filter($"day" === "2024-01-15")
+        .withColumn("value", $"value" * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(p)
+      p
+    })
 
   /** MANIFEST-based snapshot versioning — the TIME-TRAVEL primitive every
     * table format (Delta/Iceberg/Hudi) builds on, shown bare: a table
