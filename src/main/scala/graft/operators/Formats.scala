@@ -60,6 +60,58 @@ object Formats {
     sqlChecked("io_jsonl_roundtrip", oracle)((s, dir) => roundTrip(s, dir, "json")),
     sqlChecked("io_csv_roundtrip", oracle)((s, dir) => roundTrip(s, dir, "csv")),
 
+    // Parquet COMPRESSION-CODEC control: the same slice written under zstd
+    // and snappy must read back value-identical (codec is a storage knob,
+    // never semantics), and both codecs must actually be in effect
+    // (footer-verified per file). At 100 TB the codec choice is a real
+    // cost lever — zstd trades ~2× better ratio on text-heavy columns for
+    // more CPU; the engine must let pipelines choose per table WITHOUT
+    // touching results. The oracle is the original-parquet aggregate plus
+    // pinned TRUE codec gates.
+    sqlChecked(
+      "io_codec_roundtrip",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,8))) AS DOUBLE) AS sum_price,
+        | TRUE AS zstd_in_effect, TRUE AS snappy_in_effect, TRUE AS values_equal
+        |FROM lineitem WHERE l_orderkey < 5000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val slice = Tables.lineitem(s, dir)
+        .filter($"l_orderkey" < 5000)
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity", $"l_extendedprice")
+      def writeWith(codec: String): String = {
+        val out = scratchDir(s"graft-codec-$codec")
+        slice.write.mode("overwrite").option("compression", codec).parquet(out)
+        out
+      }
+      val (zd, sd) = (writeWith("zstd"), writeWith("snappy"))
+      // footer-verified: every data file's column chunks carry the codec
+      def codecOf(d: String): Set[String] = {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.hadoop.fs.Path
+        import org.apache.hadoop.conf.Configuration
+        import scala.jdk.CollectionConverters._
+        new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).flatMap { f =>
+          val rd = ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(f.getAbsolutePath), new Configuration()))
+          try rd.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala.map(_.getCodec.toString)).toSet
+          finally rd.close()
+        }.toSet
+      }
+      def agg(d: String) = s.read.parquet(d)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+      val zRows = agg(zd).orderBy($"l_returnflag").collect()
+      val sRows = agg(sd).orderBy($"l_returnflag").collect()
+      agg(zd)
+        .withColumn("zstd_in_effect", lit(codecOf(zd) == Set("ZSTD")))
+        .withColumn("snappy_in_effect", lit(codecOf(sd) == Set("SNAPPY")))
+        .withColumn("values_equal", lit(zRows.map(_.toSeq).toSeq == sRows.map(_.toSeq).toSeq))
+        .orderBy($"l_returnflag")
+    },
+
     // S5/S7 — relational DB source and sink over REAL JDBC: the Derby
     // engine Spark ships for its Hive metastore doubles as an embedded
     // JDBC database, so the deferred "no driver resolvable offline" gap
