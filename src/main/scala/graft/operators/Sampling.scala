@@ -64,6 +64,44 @@ object Sampling {
         .orderBy($"split")
     },
 
+    // Deterministic GLOBAL SHUFFLE + range sharding — the last stage before
+    // training: every doc gets a content-hash shuffle key, shard =
+    // hash-range bucket (h div 2^57 → 8 shards), within-shard order = hash
+    // order. At 100 TB this is ONE repartitionByRange(h) +
+    // sortWithinPartitions + write — a single shuffle produces balanced
+    // shards in a reproducible pseudo-random order (an RNG shuffle changes
+    // under repartitioning and can never be re-verified; the hash order is
+    // a pure function of the data). The query pins the whole permutation:
+    // per-shard counts, char totals, AND an order-sensitive checksum
+    // Σ pos·(h mod 1000003) that any reordering breaks. Oracle replays
+    // hash, sharding, order and checksum from md5 alone.
+    sqlChecked(
+      "ta_shard_shuffle",
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (SELECT *, h // 144115188075855872 AS shard FROM h),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(20,8))) AS DOUBLE) AS total_chars,
+        |  CAST(SUM(pos * (h % 1000003)) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars",
+          graft.functions.Exprs.hash60(concat(lit("shuf:"), $"doc_id".cast("string"))).as("h"))
+        .withColumn("shard", expr(s"h div ${1L << 57}"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars".cast("decimal(20,8)")).cast("double").as("total_chars"),
+          sum($"pos" * ($"h" % 1000003)).as("order_checksum"))
+        .orderBy($"shard")
+    },
+
     sqlChecked(
       "ta_stratified_sample", {
         val thresholds = StratFractions
