@@ -742,6 +742,81 @@ object Similarity {
         .orderBy($"cluster")
     },
 
+    // CONTRASTIVE TRIPLET MINING — the training-data face of the similarity
+    // stack: for each anchor, a (positive, negative) pair for metric /
+    // embedding learning. Positive = hardest same-label neighbour ... the
+    // top-1 cosine match excluding self (in-batch "hard positive");
+    // negative = a CONTENT-HASH-selected different-label vector (the
+    // reproducible stand-in for random negative sampling — an RNG pick
+    // changes under repartitioning and can never be re-verified; the hash
+    // pick is a pure function of (anchor, candidate)). Emits the triplet
+    // ids, both cosines, and the margin cos(a,p) − cos(a,n) — the quantity
+    // a triplet loss optimizes. Scale: anchors broadcast; positive mining
+    // is one candidate scan + per-anchor top-1 window; negative selection
+    // never computes distances (hash argmin), then ONE cosine per chosen
+    // pair. Fully oracle-replayed (md5 hash, cosines, ranking).
+    sqlChecked(
+      "sim_triplet_mine",
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+         |a AS (SELECT vec_id AS aid, label AS alabel, v AS av, nrm AS anrm FROM n WHERE vec_id < 30),
+         |pos AS (
+         |  SELECT aid, pid, pos_cos FROM (
+         |    SELECT a.aid, c.vec_id AS pid,
+         |      round(list_sum(list_transform(generate_series(1, len(a.av)), i -> a.av[i] * c.v[i]))
+         |        / (a.anrm * c.nrm), 6) AS pos_cos,
+         |      row_number() OVER (PARTITION BY a.aid ORDER BY
+         |        round(list_sum(list_transform(generate_series(1, len(a.av)), i -> a.av[i] * c.v[i]))
+         |          / (a.anrm * c.nrm), 6) DESC, c.vec_id) AS rk
+         |    FROM a JOIN n c ON c.label = a.alabel AND c.vec_id <> a.aid) WHERE rk = 1),
+         |neg AS (
+         |  SELECT aid, nid FROM (
+         |    SELECT a.aid, c.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.aid ORDER BY
+         |        CAST(('0x' || substr(md5('neg:' || CAST(a.aid AS VARCHAR) || ':' || CAST(c.vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |        c.vec_id) AS rk
+         |    FROM a JOIN n c ON c.label <> a.alabel) WHERE rk = 1),
+         |scored AS (
+         |  SELECT p.aid AS anchor_id, p.pid AS pos_id, g.nid AS neg_id, p.pos_cos,
+         |    round(list_sum(list_transform(generate_series(1, len(a.av)), i -> a.av[i] * c.v[i]))
+         |      / (a.anrm * c.nrm), 6) AS neg_cos
+         |  FROM pos p JOIN neg g USING (aid)
+         |    JOIN a ON a.aid = p.aid
+         |    JOIN n c ON c.vec_id = g.nid)
+         |SELECT anchor_id, pos_id, neg_id, pos_cos, neg_cos,
+         |  round(pos_cos - neg_cos, 6) AS margin
+         |FROM scored ORDER BY anchor_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", Exprs.vecAsDouble($"embedding").as("v"))
+        .withColumn("nrm", Exprs.l2norm($"v"))
+      val anchors = e.filter($"vec_id" < 30)
+        .select($"vec_id".as("aid"), $"label".as("alabel"), $"v".as("av"), $"nrm".as("anrm"))
+      val wPos = Window.partitionBy($"aid").orderBy($"pos_cos".desc, $"pid".asc)
+      val pos = broadcast(anchors)
+        .join(e.as("c"), $"alabel" === $"c.label" && $"aid" =!= $"c.vec_id")
+        .select($"aid", $"c.vec_id".as("pid"),
+          round(Exprs.dot($"av", $"c.v") / ($"anrm" * $"c.nrm"), 6).as("pos_cos"))
+        .withColumn("rk", row_number().over(wPos)).filter($"rk" === 1)
+        .select($"aid", $"pid", $"pos_cos")
+      val wNeg = Window.partitionBy($"aid").orderBy($"hh".asc, $"nid".asc)
+      val neg = broadcast(anchors.select($"aid", $"alabel"))
+        .join(e.as("c"), $"alabel" =!= $"c.label")
+        .select($"aid", $"c.vec_id".as("nid"),
+          Exprs.hash60(concat(lit("neg:"), $"aid".cast("string"),
+            lit(":"), $"c.vec_id".cast("string"))).as("hh"))
+        .withColumn("rk", row_number().over(wNeg)).filter($"rk" === 1)
+        .select($"aid", $"nid")
+      pos.join(neg, Seq("aid"))
+        .join(broadcast(anchors), Seq("aid"))
+        .join(e.as("c"), $"nid" === $"c.vec_id")
+        .select($"aid".as("anchor_id"), $"pid".as("pos_id"), $"nid".as("neg_id"),
+          $"pos_cos",
+          round(Exprs.dot($"av", $"c.v") / ($"anrm" * $"c.nrm"), 6).as("neg_cos"))
+        .withColumn("margin", round($"pos_cos" - $"neg_cos", 6))
+        .transform(d => graft.QueryDef.smallSort(d, $"anchor_id"))
+    },
+
     // Symmetric int8 quantization of the embedding column — the storage/
     // bandwidth half of an ANN system at 100 TB: float32 vectors quantized
     // to int8 read 4× fewer bytes per scan, and the integer dot product is

@@ -28,6 +28,14 @@ class ContainmentSpec extends SparkSuite with Matchers {
       .select($"doc_a", $"doc_b", $"common", $"containment")
   }
 
+  test("candidate generation is a hash equi-join — no cartesian in the plan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = Dedup.containmentPairs(spark, Tables.documents(spark, sf("sf0.001")))
+      .queryExecution.executedPlan
+    plan.collect { case c: CartesianProductExec => c } shouldBe empty
+    plan.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
+
   test("prefix-filtered containment equals brute force on testdata") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val got = Dedup.containmentPairs(spark, docs).collect().map(_.toSeq).toSet
