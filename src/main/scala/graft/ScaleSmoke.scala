@@ -80,7 +80,12 @@ object ScaleSmoke {
     // tails; multiset ops are count-joins; time_travel times fixture
     // build + 3 pinned-manifest reads on first touch of each dir.
     "dd_containment", "sim_kmeans_train", "ev_anomaly_zscore",
-    "ev_incr_rollup", "q44_multiset_ops", "io_time_travel")
+    "ev_incr_rollup", "q44_multiset_ops", "io_time_travel",
+    // and the last two: the global-shuffle shard stage (hash assign is a
+    // scan; the within-shard hash sort is n/8 log n per shard — the one
+    // deliberate sort, sized by shard count) and triplet mining (30
+    // broadcast anchors × candidate scan + hash argmin — linear).
+    "ta_shard_shuffle", "sim_triplet_mine")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
