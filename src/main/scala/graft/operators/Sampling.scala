@@ -129,18 +129,25 @@ object Sampling {
     // count per source k = min(n, ⌊n^α/Σn^α · ⌈N/2⌉⌋) becomes a Bernoulli
     // keep RATE k/n decided by content hash — same statistics as
     // rank-then-cut, but with no per-source ordering window (a hot source
-    // would serialize one) and stable under repartitioning. All doubles
-    // are combined through deterministic scalar arithmetic (sqrt/div/mul
-    // on identical inputs) and quantized to an integer threshold before
-    // the comparison, so the decision is bit-identical across engines.
+    // would serialize one) and stable under repartitioning. The normalizer
+    // z = Σ√n is summed as INTEGER micro-units (√n rounded ×1e6 per
+    // source, then an exact integer sum): a float Σ√n is summation-ORDER-
+    // dependent, and DuckDB's parallel aggregation reorders it run to run
+    // — observed flipping a boundary doc's keep decision once in ~15 runs
+    // at sf0.1 (round-10 session 3) before this quantization. Every
+    // remaining double op is a deterministic scalar chain on identical
+    // inputs, quantized to an integer threshold before the comparison, so
+    // the decision is bit-identical across engines AND thread counts.
     // Scale: the source-count aggregate is source-cardinality-sized and
     // broadcasts back; the corpus itself never shuffles.
     sqlChecked(
       "ta_domain_mix",
-      """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-        |tot AS (SELECT SUM(sqrt(CAST(n AS DOUBLE))) AS z, SUM(n) AS total FROM s),
+      """WITH s AS (SELECT source, COUNT(*) AS n,
+        |             CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS rn
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(rn) AS z, SUM(n) AS total FROM s),
         |r AS (SELECT source, n,
-        |        least(n, CAST(floor(sqrt(CAST(n AS DOUBLE)) / z * ceil(0.5 * total)) AS BIGINT)) AS k
+        |        least(n, CAST(floor(CAST(rn AS DOUBLE) / z * ceil(0.5 * total)) AS BIGINT)) AS k
         |      FROM s CROSS JOIN tot)
         |SELECT d.doc_id, d.source, r.n AS n_source, r.k AS k_target,
         |  ((CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000)
@@ -150,11 +157,11 @@ object Sampling {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
-      val tot = counts.agg(
-        sum(sqrt($"n".cast("double"))).as("z"), sum($"n").as("total"))
+        .withColumn("rn", round(sqrt($"n".cast("double")) * 1e6).cast("long"))
+      val tot = counts.agg(sum($"rn").as("z"), sum($"n").as("total"))
       val rates = counts.crossJoin(broadcast(tot))
         .select($"source", $"n",
-          least($"n", floor(sqrt($"n".cast("double")) / $"z" * ceil(lit(0.5) * $"total")))
+          least($"n", floor($"rn".cast("double") / $"z" * ceil(lit(0.5) * $"total")))
             .as("k"))
       val u = conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8), 16, 10)
         .cast("long") % 1000000
