@@ -22,7 +22,15 @@ class DeterminismSpec extends SparkSuite with Matchers {
     "ta_langid",           // integer NLL sums over an exploded join
     "ta_seq_pack",         // per-shard cumulative windows
     "ta_pipeline_e2e",     // the whole composed pipeline
-    "sim_kmeans_step")     // decimal centroid means
+    "sim_kmeans_step",     // decimal centroid means
+    // round-10 session-3 additions
+    "ev_cdc_apply",        // max_by merge on a unique seq
+    "q43_kll_quantiles",   // randomized sketch behind deterministic gates
+    "dd_containment",      // df-ordered prefix + hash join
+    "sim_kmeans_train",    // 3 iterated integer Lloyd rounds
+    "ta_domain_mix",       // the integer-quantized Σ√n normalizer (the
+                           // float form was caught varying — see Sampling)
+    "ta_shard_shuffle")    // order-sensitive permutation checksum
 
   test("hash-sensitive queries are identical at shuffle widths 3 and 8") {
     val conf = spark.conf
