@@ -54,7 +54,81 @@ object Graph {
       pagerank(cp)
         .orderBy($"rank_micro".desc, $"node")
         .limit(PrTopK)
+    },
+
+    // EXACT TRIANGLE COUNTING on the part co-purchase graph (parts bought
+    // together in one order), via degree-ordered edge ORIENTATION — the
+    // published distributed formulation (Cohen 2009 "Graph twiddling in a
+    // MapReduce world"; Suri–Vassilvitskii WWW'11): orient every
+    // undirected edge from its (degree, id)-smaller endpoint to the
+    // larger, so each triangle becomes exactly ONE wedge a→b, a→c with
+    // edge b→c, and — the scale argument — every node's OUT-degree is
+    // O(√m), bounding the wedge join at O(m^1.5) regardless of hub sizes.
+    // A naive adjacency self-join on an unoriented hub would square the
+    // hub's degree; orientation converts worst-case skew into a uniform
+    // bound. All-integer (counts and ids), so the count is exact and
+    // engine-identical; the oracle replays the orientation and both joins.
+    // Output: graph profile + triangle count + the measured max out-degree
+    // beside its ⌈√(2m)⌉ bound, gated TRUE.
+    sqlChecked(
+      "pr_triangles",
+      """WITH co AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT u AS node FROM co UNION ALL SELECT v FROM co) GROUP BY node),
+        |ori AS (
+        |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS x,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS y
+        |  FROM co JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |tri AS (
+        |  SELECT COUNT(*) AS n FROM ori e1
+        |    JOIN ori e2 ON e2.x = e1.y
+        |    JOIN ori e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |outd AS (SELECT MAX(c) AS mx FROM (SELECT x, COUNT(*) AS c FROM ori GROUP BY x))
+        |SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT COUNT(*) FROM co) AS BIGINT) AS n_edges,
+        |  CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+        |  CAST((SELECT mx FROM outd) AS BIGINT) AS max_outdeg,
+        |  (SELECT mx FROM outd) <= CAST(ceil(sqrt(2.0 * (SELECT COUNT(*) FROM co))) AS BIGINT) + 1
+        |    AS outdeg_bounded""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+      val co = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+      triangleProfile(s, co)
     })
+
+  /** Triangle profile of an undirected edge list (u < v, distinct) —
+    * exposed for TriangleSpec's hand-computable graphs.
+    */
+  def triangleProfile(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val co = edges.cache() // feeds degrees, orientation, and profile counts
+    val deg = co.select($"u".as("node")).union(co.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val withDeg = co
+      .join(deg.as("du"), $"u" === $"du.node")
+      .join(deg.as("dv"), $"v" === $"dv.node")
+    val ori = withDeg.select(
+        when(struct($"du.d", $"u") < struct($"dv.d", $"v"), $"u").otherwise($"v").as("x"),
+        when(struct($"du.d", $"u") < struct($"dv.d", $"v"), $"v").otherwise($"u").as("y"))
+      .cache() // both wedge-join sides + the closing-edge probe
+    val wedges = ori.as("e1").join(ori.as("e2"), $"e1.y" === $"e2.x")
+      .select($"e1.x".as("a"), $"e1.y".as("b"), $"e2.y".as("c"))
+    val nTri = wedges.join(ori.as("e3"), $"a" === $"e3.x" && $"c" === $"e3.y").count()
+    val nEdges = co.count()
+    val nNodes = deg.count()
+    val maxOut = ori.groupBy($"x").agg(count(lit(1)).as("c"))
+      .agg(max($"c")).collect().head.getLong(0)
+    val bound = math.ceil(math.sqrt(2.0 * nEdges)).toLong + 1
+    Seq((nNodes, nEdges, nTri, maxOut, maxOut <= bound))
+      .toDF("n_nodes", "n_edges", "n_triangles", "max_outdeg", "outdeg_bounded")
+  }
 
   /** Five fixed-point PageRank iterations over the undirected closure of
     * `pairs` (a, b): returns (node, rank_micro). Exposed for PageRankSpec.
