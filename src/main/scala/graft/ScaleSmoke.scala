@@ -85,7 +85,11 @@ object ScaleSmoke {
     // scan; the within-shard hash sort is n/8 log n per shard — the one
     // deliberate sort, sized by shard count) and triplet mining (30
     // broadcast anchors × candidate scan + hash argmin — linear).
-    "ta_shard_shuffle", "sim_triplet_mine")
+    "ta_shard_shuffle", "sim_triplet_mine",
+    // triangle counting: ×8 orders over the SAME part catalog densify the
+    // co-purchase graph (edges dedup toward saturation), so this measures
+    // the oriented wedge join under rising density — the m^1.5 shape.
+    "pr_triangles")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
