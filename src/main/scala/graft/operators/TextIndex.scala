@@ -159,6 +159,58 @@ object TextIndex {
       collocations(Tables.documents(s, dir))
     },
 
+    // PHRASE SEARCH over a POSITIONAL index: find every document containing
+    // the query bigram — answered entirely from per-term posting lists
+    // carrying token POSITIONS, joined on (doc, pos+1) adjacency. The
+    // inverted index (ta_inverted_index) answers "which docs contain the
+    // term"; positions are what make multi-word queries indexable — the
+    // corpus text is never re-scanned at query time: the filter to the two
+    // query terms runs FIRST, so the adjacency join is postings-sized
+    // (df(w1)+df(w2) rows), not corpus-sized. The query pair is derived
+    // deterministically as the corpus' most frequent bigram (count, then
+    // lexicographic — a 1-row model-collect), so the whole operator is
+    // oracle-replayed: tokenization, bigram argmax, postings, adjacency.
+    sqlChecked(
+      "ta_phrase_search",
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b0 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM d WHERE len(toks) >= 2),
+         |b1 AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM b0),
+         |top AS (SELECT w1, w2 FROM (
+         |  SELECT w1, w2, row_number() OVER (ORDER BY COUNT(*) DESC, w1, w2) AS rk
+         |  FROM b1 GROUP BY w1, w2) WHERE rk = 1),
+         |p AS (SELECT doc_id, i AS pos, toks[i] AS w
+         |      FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM d)
+         |      WHERE toks[i] IN (SELECT w1 FROM top UNION ALL SELECT w2 FROM top)),
+         |hits AS (
+         |  SELECT a.doc_id, COUNT(*) AS n_occ
+         |  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  CROSS JOIN top t
+         |  WHERE a.w = t.w1 AND b.w = t.w2
+         |  GROUP BY a.doc_id)
+         |SELECT t.w1, t.w2, h.doc_id, CAST(h.n_occ AS BIGINT) AS n_occ
+         |FROM hits h CROSS JOIN top t
+         |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toksD = Tables.documents(s, dir)
+        .select($"doc_id", graft.functions.Exprs.normWords($"text").as("toks"))
+        .cache() // feeds the bigram argmax AND the postings build
+      val bi = toksD.filter(size($"toks") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+        .select($"bg.w1", $"bg.w2")
+      val top = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w1", $"w2").limit(1).collect().head
+      val (w1, w2) = (top.getString(0), top.getString(1))
+      val p = toksD.select($"doc_id", posexplode($"toks").as(Seq("pos", "w")))
+        .filter($"w" === w1 || $"w" === w2) // postings only — never the corpus
+      p.as("a").join(p.as("b"),
+          $"a.doc_id" === $"b.doc_id" && $"b.pos" === $"a.pos" + 1 &&
+            $"a.w" === lit(w1) && $"b.w" === lit(w2))
+        .groupBy($"a.doc_id".as("doc_id")).agg(count(lit(1)).as("n_occ"))
+        .select(lit(w1).as("w1"), lit(w2).as("w2"), $"doc_id", $"n_occ")
+        .transform(d2 => graft.QueryDef.smallSort(d2, $"doc_id"))
+    },
+
     // One BPE-training iteration (Sennrich et al. 2016): count adjacent
     // CHARACTER pairs across the corpus, weighted by word frequency, and
     // emit the top merge candidates — the inner loop of tokenizer
