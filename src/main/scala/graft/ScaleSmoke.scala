@@ -89,7 +89,10 @@ object ScaleSmoke {
     // triangle counting: ×8 orders over the SAME part catalog densify the
     // co-purchase graph (edges dedup toward saturation), so this measures
     // the oriented wedge join under rising density — the m^1.5 shape.
-    "pr_triangles")
+    "pr_triangles",
+    // phrase search: the bigram argmax scans ×8 tokens (linear); the
+    // adjacency join stays postings-sized.
+    "ta_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
