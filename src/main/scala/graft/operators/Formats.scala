@@ -325,8 +325,10 @@ object Formats {
       def readVersion(v: Int): org.apache.spark.sql.DataFrame = {
         // the reader pins a manifest: the snapshot is the file list, no
         // directory listing races, no partial-commit visibility
-        val files = scala.io.Source.fromFile(s"$root/manifest-v$v.txt")
-          .getLines().map(l => s"$root/$l").toSeq
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v$v.txt"))
+          .asScala.filter(_.nonEmpty).map(l => s"$root/$l").toSeq
         s.read.parquet(files: _*)
       }
       val per = (1 to 3).map { v =>
