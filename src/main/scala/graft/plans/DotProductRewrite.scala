@@ -76,8 +76,38 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 
 /** `SparkSessionExtensions` entry point:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Injects the optimizer rule AND registers the library's custom
+  * expressions/aggregates as SQL functions, so a pure-SQL user (the
+  * reference's notebook audience) can call `graft_dot`, `theta_agg` and
+  * `kll_agg` without touching the Scala API. The builder list is exposed
+  * so GraftExtensionsSpec can register it into an existing session's
+  * registry and exercise each function through `spark.sql`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => DotProductRewrite)
+    GraftExtensions.functions.foreach(extensions.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** (identifier, info, builder) triples — the injectFunction payload. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd double-array dot product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("theta_agg"),
+      info("theta_agg", "theta_agg(key) - theta distinct-set sketch (binary)"),
+      (es: Seq[Expression]) => graft.functions.ThetaAgg(es.head)),
+    (FunctionIdentifier("kll_agg"),
+      info("kll_agg", "kll_agg(value) - KLL quantile sketch (binary)"),
+      (es: Seq[Expression]) => graft.functions.KllAgg(es.head)))
 }
