@@ -242,7 +242,15 @@ object ScaleSmoke {
     // the distinct edge set would collapse back to the original)
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val orderShift = ord.agg(max(col("o_orderkey"))).collect().head.getLong(0) + 1
-    val custShift = ord.agg(max(col("o_custkey"))).collect().head.getLong(0) + 1
+    // the shift must clear BOTH key domains: customer holds keys above
+    // max(o_custkey) (customers with no orders at the top of the range),
+    // and a shift taken from orders alone would overlap those across
+    // copies — duplicate c_custkey values silently inflating the
+    // io_bucketed_join / ev_cdc_apply smoke fan-out
+    val custShift = math.max(
+      ord.agg(max(col("o_custkey"))).collect().head.getLong(0),
+      spark.read.parquet(s"$src/customer.parquet")
+        .agg(max(col("c_custkey"))).collect().head.getLong(0)) + 1
     (0 until copies).map(i => ord
       .withColumn("o_orderkey", col("o_orderkey") + lit(orderShift * i))
       .withColumn("o_custkey", col("o_custkey") + lit(custShift * i)))

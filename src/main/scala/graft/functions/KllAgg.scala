@@ -86,7 +86,16 @@ object KllAgg {
   def apply(value: Column, k: Int): Column =
     Bridge.column(new KllAgg(Bridge.expression(value), k).toAggregateExpression())
 
-  /** Driver-side view over a serialized sketch (KB-scale — model-collect). */
+  /** Driver-side view over a serialized sketch (KB-scale — model-collect).
+    *
+    * Empty-sketch caveat: a group whose input column is entirely null
+    * produces a VALID serialized sketch with `getN == 0`, and DataSketches'
+    * `getQuantile`/`getRank` throw `SketchesArgumentException` on it (the
+    * quantile of an empty set is undefined — there is no sentinel to
+    * return). The SQL-exposed `kll_agg` makes this reachable by users:
+    * guard with `sketch.isEmpty` before querying quantiles, exactly as the
+    * in-repo call sites do implicitly by aggregating non-null columns.
+    */
   def wrap(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 }

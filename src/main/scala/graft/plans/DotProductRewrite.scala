@@ -92,22 +92,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.AnalysisException
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.types.IntegerType
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
+
+  /** Arity gate for the SQL builders: without it `graft_dot(x)` dies with
+    * an IndexOutOfBoundsException and `kll_agg(v, 300)` would silently
+    * ignore the 300 — a SQL user deserves the standard analysis error the
+    * built-ins raise.
+    */
+  private def requireArity(name: String, es: Seq[Expression], expected: String): Unit = {
+    val ok = expected.split("\\|").map(_.trim.toInt).toSet
+    if (!ok.contains(es.length))
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`", "expectedNum" -> expected,
+          "actualNum" -> es.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"),
+        cause = None)
+  }
+
+  private def literalK(es: Seq[Expression]): Int = es(1) match {
+    case Literal(k: Int, IntegerType) => k
+    case _ => throw new AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> "`kll_agg`", "paramName" -> "`k`", "paramType" -> "\"INT\""),
+      cause = None)
+  }
 
   /** (identifier, info, builder) triples — the injectFunction payload. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd double-array dot product"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      (es: Seq[Expression]) => { requireArity("graft_dot", es, "2"); DotProduct(es(0), es(1)) }),
     (FunctionIdentifier("theta_agg"),
       info("theta_agg", "theta_agg(key) - theta distinct-set sketch (binary)"),
-      (es: Seq[Expression]) => graft.functions.ThetaAgg(es.head)),
+      (es: Seq[Expression]) => { requireArity("theta_agg", es, "1"); graft.functions.ThetaAgg(es.head) }),
     (FunctionIdentifier("kll_agg"),
-      info("kll_agg", "kll_agg(value) - KLL quantile sketch (binary)"),
-      (es: Seq[Expression]) => graft.functions.KllAgg(es.head)))
+      info("kll_agg", "kll_agg(value[, k]) - KLL quantile sketch (binary); k = sketch size parameter (default 200)"),
+      (es: Seq[Expression]) => {
+        requireArity("kll_agg", es, "1|2")
+        if (es.length == 2) graft.functions.KllAgg(es.head, literalK(es))
+        else graft.functions.KllAgg(es.head)
+      }))
 }

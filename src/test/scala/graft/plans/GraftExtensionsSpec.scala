@@ -40,4 +40,38 @@ class GraftExtensionsSpec extends SparkSuite with Matchers {
     kll.getN shouldBe 1000L
     math.abs(kll.getQuantile(0.5) - 500.0) should be < 25.0
   }
+
+  test("wrong arity raises an analysis error, not an index crash") {
+    registered
+    import org.apache.spark.sql.AnalysisException
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    e1.getMessage should include("graft_dot")
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT theta_agg(1L, 2L) FROM range(3)").collect()
+    }
+    e2.getMessage should include("theta_agg")
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT kll_agg(1.0d, 200, 9) FROM range(3)").collect()
+    }
+    e3.getMessage should include("kll_agg")
+  }
+
+  test("kll_agg accepts a literal k and rejects a non-literal one") {
+    registered
+    import spark.implicits._
+    (1L to 1000L).map(_.toDouble).toDF("v").createOrReplaceTempView("ext_probe_k")
+    // a larger k tightens the published rank-error bound — check it's wired
+    // through, not silently ignored (the pre-fix behavior for extra args)
+    val bytes = spark.sql("SELECT kll_agg(v, 400) AS s FROM ext_probe_k")
+      .collect().head.getAs[Array[Byte]]("s")
+    val sk = graft.functions.KllAgg.wrap(bytes)
+    sk.getK shouldBe 400
+    sk.getN shouldBe 1000L
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kll_agg(v, CAST(v AS INT)) FROM ext_probe_k").collect()
+    }
+    e.getMessage.toLowerCase should include("foldable")
+  }
 }
