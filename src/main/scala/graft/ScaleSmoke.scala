@@ -92,7 +92,12 @@ object ScaleSmoke {
     "pr_triangles",
     // phrase search: the bigram argmax scans ×8 tokens (linear); the
     // adjacency join stays postings-sized.
-    "ta_phrase_search")
+    "ta_phrase_search",
+    // round-11: URL canonicalization is a pure per-row scan; the url-dedup
+    // adds one canon_url shuffle + one host window — host COUNT stays
+    // constant under ×8 copies (hosts derive from source, which the
+    // synthesis keeps), so per-host volume grows ×8: the cap-bind case.
+    "ta_url_canon", "dd_url_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Graph.defs ++
       operators.SkewJoin.defs ++
       operators.Layout.defs ++
+      operators.UrlCuration.defs ++
       streaming.Events.defs ++
       streaming.EventAnalytics.defs
 

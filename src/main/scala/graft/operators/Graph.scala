@@ -42,16 +42,86 @@ object Graph {
   /** Result size for the presentation top-k. */
   val PrTopK = 30
 
+  /** Write-once-per-(dir, JVM) PURCHASE-INCIDENCE INTERMEDIATE shared by
+    * the graph family (r10 verdict #2): distinct (custkey, orderkey,
+    * partkey) triples from orders⋈lineitem, materialized to parquet by the
+    * first graph query to run. Both pr_pagerank (customer↔part bipartite
+    * edges = project custkey/partkey) and pr_triangles (part co-purchase
+    * edges = self-join on orderkey) previously rebuilt this from the raw
+    * fact tables independently — together ~10% of the bench suite spent
+    * scanning + joining + deduping the same lineitem twice. At 100 TB this
+    * is the long-lived-pipeline topology (the curationIntermediate
+    * discipline): the fact scan, the orders join, and the
+    * (orderkey, partkey) dedup run ONCE; every derived graph reads a
+    * compact typed incidence table, column-pruned. The dir is removed on
+    * JVM exit; oracles still derive everything from the raw tables, so the
+    * intermediate itself is verified by the full-replay gate.
+    */
+  private val incidenceDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** How many times the incidence write job actually ran (observable form
+    * of the write-once contract — GraphStagedSpec asserts it stays at one
+    * per dir across both graph queries).
+    */
+  val incidenceBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def purchaseIncidence(s: SparkSession, dir: String): String =
+    incidenceDirs.getOrElseUpdate(dir, {
+      incidenceBuilds.incrementAndGet()
+      import s.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-graph-ti").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(p))
+      }))
+      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("custkey"), $"l_orderkey".as("orderkey"),
+          $"l_partkey".as("partkey"))
+        .distinct() // custkey is determined by orderkey ⇒ = (orderkey, partkey) dedup
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Bipartite customer↔part edge list off the shared incidence. The
+    * (custkey, partkey) projection still needs its own dedup: a customer
+    * buys the same part across several orders. Exposed (with
+    * [[copurchaseEdges]]) so GraphStagedSpec can pin the edge-build plans —
+    * the query results themselves are lineage-truncated (localCheckpoint /
+    * driver-profile rows), so the scans are only visible here.
+    */
+  def pagerankEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(purchaseIncidence(s, dir))
+      .select(concat(lit("c:"), $"custkey").as("a"),
+        concat(lit("p:"), $"partkey").as("b"))
+      .distinct()
+  }
+
+  /** Part co-purchase edges off the shared incidence: the self-join input
+    * is already (orderkey, partkey)-distinct, so the pre-distinct pair
+    * volume can only shrink vs the raw-lineitem self-join; the distinct
+    * (u, v) edge set is identical (the oracle replays the raw form).
+    */
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inc = s.read.parquet(purchaseIncidence(s, dir))
+      .select($"orderkey", $"partkey")
+    inc.as("a").join(inc.as("b"),
+        $"a.orderkey" === $"b.orderkey" && $"a.partkey" < $"b.partkey")
+      .select($"a.partkey".as("u"), $"b.partkey".as("v"))
+      .distinct()
+  }
+
   def defs: Seq[QueryDef] = Seq(
     sqlChecked("pr_pagerank", pagerankOracleSql) { (s, dir) =>
       import s.implicits._
-      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
-      val cp = li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .select(concat(lit("c:"), $"o_custkey").as("a"),
-          concat(lit("p:"), $"l_partkey").as("b"))
-        .distinct()
-      pagerank(cp)
+      pagerank(pagerankEdges(s, dir))
         .orderBy($"rank_micro".desc, $"node")
         .limit(PrTopK)
     },
@@ -94,13 +164,7 @@ object Graph {
         |  CAST((SELECT mx FROM outd) AS BIGINT) AS max_outdeg,
         |  (SELECT mx FROM outd) <= CAST(ceil(sqrt(2.0 * (SELECT COUNT(*) FROM co))) AS BIGINT) + 1
         |    AS outdeg_bounded""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-      val co = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .distinct()
-      triangleProfile(s, co)
+      triangleProfile(s, copurchaseEdges(s, dir))
     })
 
   /** Triangle profile of an undirected edge list (u < v, distinct) —

@@ -1029,12 +1029,38 @@ object Events {
       $"o_orderkey".as("seq"), $"o_custkey".as("key"),
       when($"o_orderkey" % 11 === 0, "D").otherwise("U").as("op"),
       $"o_totalprice".as("val"))
-    log.groupBy($"key")
-      .agg(
-        max($"seq").as("last_seq"),
-        max_by(struct($"op", $"val"), $"seq").as("last"),
-        count(lit(1)).as("n_changes"))
-      .filter($"last.op" =!= "D")
-      .select($"key", $"last_seq", $"last.val".as("last_val"), $"n_changes")
+    cdcSnapshot(cdcPartialState(log))
   }
+
+  /** Unfiltered per-chunk CDC state over a (seq, key, op, val) change log:
+    * (key, last_seq, last{op, val}, n_changes) — the partial-aggregable
+    * form. Tombstones stay IN the state: a chunk-local tombstone filter
+    * would lose that chunk's n_changes and mis-resurrect keys whose latest
+    * change in one chunk is a delete (CdcSplitSpec plants both traps).
+    */
+  def cdcPartialState(log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    log.groupBy(col("key")).agg(
+      max(col("seq")).as("last_seq"),
+      max_by(struct(col("op"), col("val")), col("seq")).as("last"),
+      count(lit(1)).as("n_changes"))
+
+  /** Merge of partial CDC states — associative and commutative (max_by on
+    * the unique totally-ordered last_seq; counts add), so a 100 TB log can
+    * be applied arrival-chunk by arrival-chunk, each chunk's state
+    * key-compacted before it ever meets the running snapshot state, and
+    * ANY chunking yields the identical result (CdcSplitSpec pins
+    * split-invariance against the one-shot apply).
+    */
+  def cdcMergeStates(states: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("key")).agg(
+        max(col("last_seq")).as("last_seq"),
+        max_by(col("last"), col("last_seq")).as("last"),
+        sum(col("n_changes")).as("n_changes"))
+
+  /** Snapshot presentation: tombstone filter AFTER all merging. */
+  def cdcSnapshot(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    state.filter(col("last.op") =!= "D")
+      .select(col("key"), col("last_seq"), col("last").getField("val").as("last_val"),
+        col("n_changes"))
 }
