@@ -247,7 +247,13 @@ object Bench {
     val clean = contaminatedSeq.isEmpty && regressedSeq.isEmpty && results.forall(_._4) &&
       !totalDrifted
     val forceRefresh = sys.env.get("SPARK_GRAFT_REFRESH_BASIS").contains("1")
-    if (only.isEmpty && (clean || forceRefresh)) {
+    // Config sweeps (SPARK_GRAFT_SHUFFLE=32 etc. — the per-round width
+    // sanity line) must never become the regression basis: every
+    // cross-round comparison would silently be cross-CONFIG (this bit a
+    // round-11 sweep, which overwrote the 8-wide basis with 32-wide
+    // medians before being caught).
+    val defaultConfig = shuffle == "8" && maxPart == "134217728" && openCost == "4194304"
+    if (only.isEmpty && ((clean && defaultConfig) || forceRefresh)) {
       val prevJson = "{\"runs\":" + runs + ",\"sf\":\"" + sfDir + "\",\"queries\":" + qs + "}"
       java.nio.file.Files.write(prevPath, (prevJson + "\n").getBytes("UTF-8"))
     } else if (only.isEmpty) {

@@ -97,7 +97,10 @@ object ScaleSmoke {
     // adds one canon_url shuffle + one host window — host COUNT stays
     // constant under ×8 copies (hosts derive from source, which the
     // synthesis keeps), so per-host volume grows ×8: the cap-bind case.
-    "ta_url_canon", "dd_url_dedup")
+    "ta_url_canon", "dd_url_dedup",
+    // integer GD trainer: Steps+1 linear scans of a cached 5-column
+    // integer frame, 32 bytes of driver traffic per step.
+    "ta_logreg_train")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -13,7 +13,7 @@ import graft.functions.Exprs
   */
 object TextAnalysis {
 
-  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private[operators] val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
   /** Bloom sizing for ta_decontam_bloom: 2^20 bits (128 KiB as 16384
     * longs) × 3 probes. At the benchmark-gram counts of the test SFs
@@ -41,7 +41,7 @@ object TextAnalysis {
   /** DuckDB fragment for the normWords tokenization (same text as every
     * inline occurrence above; shared by the newer oracles).
     */
-  private val toksSqlFrag =
+  private[operators] val toksSqlFrag =
     """list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
       |                  w -> w <> '')""".stripMargin
 
