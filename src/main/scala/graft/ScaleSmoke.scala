@@ -100,7 +100,11 @@ object ScaleSmoke {
     "ta_url_canon", "dd_url_dedup",
     // integer GD trainer: Steps+1 linear scans of a cached 5-column
     // integer frame, 32 bytes of driver traffic per step.
-    "ta_logreg_train")
+    "ta_logreg_train",
+    // incremental IVF: build+ingest on first touch of each dir (the
+    // once-per-layout cost, like sim_ivf_persist/io_bucketed_join); the
+    // serve itself is probe-proportional.
+    "sim_ivf_incr")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -99,9 +99,16 @@ object Similarity {
   }
 
   /** Deterministic per-label coarse centroids (the trained IVF quantizer). */
-  private def ivfCentroids(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def ivfCentroids(s: org.apache.spark.sql.SparkSession, dir: String) =
+    centroidsOf(s, Tables.embeddings(s, dir))
+
+  /** Same quantizer over an arbitrary (label, embedding) frame — the
+    * incremental index trains it on the BASE subset only.
+    */
+  private def centroidsOf(s: org.apache.spark.sql.SparkSession,
+      labeled: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    labeled
       .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
       .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
@@ -155,6 +162,51 @@ object Similarity {
       |          / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
       |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3)""".stripMargin
 
+  /** Oracle for the incremental index: same serve semantics, but the
+    * quantizer is trained on the BASE subset only (vec_id % 7 ≠ 3) while
+    * assignment covers the full corpus — exactly what the frozen-quantizer
+    * build + arrival append materialize, replayed from scratch in SQL.
+    */
+  private val IvfIncrTopkSql =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
+      |cent AS (
+      |  SELECT label, list(mu ORDER BY pos) AS c FROM (
+      |    SELECT label, pos, round(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
+      |    FROM (SELECT label, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS v
+      |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |                FROM embeddings WHERE vec_id % 7 <> 3))
+      |    GROUP BY label, pos) GROUP BY label),
+      |cn AS (SELECT label, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm FROM cent),
+      |assigned AS (
+      |  SELECT vec_id, label AS cluster FROM (
+      |    SELECT n.vec_id, cn.label,
+      |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * cn.c[i]))
+      |          / (n.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+      |    FROM n CROSS JOIN cn) WHERE rk = 1),
+      |probes AS (
+      |  SELECT query_id, cluster FROM (
+      |    SELECT q.vec_id AS query_id, cn.label AS cluster,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * cn.c[i]))
+      |          / (q.nrm * cn.cnrm), 6) DESC, cn.label) AS rk
+      |    FROM n q CROSS JOIN cn WHERE q.vec_id < 5) WHERE rk <= 3),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS cand_id,
+      |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+      |      / (q.nrm * c.nrm), 6) AS cos
+      |  FROM probes p
+      |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      |  JOIN n q ON q.vec_id = p.query_id
+      |  JOIN n c ON c.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, cand_id, cos, rk, (cand_id % 7 = 3) AS from_arrival
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY query_id, rk""".stripMargin
+
   /** Shared oracle for sim_ivf_topk and its persisted-index twin — the
     * index build is deterministic, so both must produce THIS result.
     */
@@ -202,6 +254,90 @@ object Similarity {
         .join(e, "vec_id")
         .select($"cluster", $"vec_id", $"v", $"nrm")
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$p/postings")
+      p
+    })
+
+  /** Write-once-per-(dir, JVM) INCREMENTALLY-MAINTAINED IVF index — the
+    * dd_minhash_incr discipline applied to ANN serving: the coarse
+    * quantizer is trained on the BASE corpus (vec_id % 7 ≠ 3, the shared
+    * arrival convention) and then FROZEN — the published production
+    * pattern (Faiss's add-after-train contract; Jégou et al. 2011): new
+    * vectors are assigned against the frozen centroids and APPENDED to
+    * the cluster-partitioned postings, so an ingest batch costs
+    * O(batch × K) assignment + a partitioned append of batch-sized data —
+    * the corpus is never rescanned and the existing lists are never
+    * rewritten. Retraining the quantizer is a separate, rarer event
+    * (sim_kmeans_train is that operator). IvfIncrSpec pins append ≡
+    * rebuild-under-the-same-quantizer and arrival-batch-sized writes.
+    */
+  /** Serve a query batch from a persisted IVF index dir (centroids/ +
+    * cluster-partitioned postings/): broadcast-probe the K-row quantizer,
+    * collect the ≤ queries×nprobe cluster ids (model-collect), read ONLY
+    * those partitions (planning-time pruning — IvfPersistSpec), exact-score
+    * the candidates. Returns unsorted (query_id, cand_id, cos, rk ≤ 10).
+    */
+  private def serveIvf(s: org.apache.spark.sql.SparkSession, dir: String,
+      idx: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val centroids = s.read.parquet(s"$idx/centroids")
+    // queries arrive fresh (from the source table), the index is served
+    val q = embWithNorm(s, dir).filter($"vec_id" < 5)
+    val probes = q.crossJoin(broadcast(centroids))
+      .select($"vec_id".as("query_id"), $"label",
+        round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"label".as("cluster"))
+    // ≤ 15 (query, cluster) rows — the model-collect discipline; the
+    // cluster id list becomes a partition-pruning predicate
+    val probedClusters = probes.select($"cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val posts = s.read.parquet(s"$idx/postings")
+      .filter($"cluster".isin(probedClusters: _*))
+    val qv = q.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+    broadcast(probes)
+      .join(posts, Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(qv), Seq("query_id"))
+      .select($"query_id", $"vec_id".as("cand_id"),
+        round(Exprs.dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+  }
+
+  private val ivfIncrDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ivfIncrIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ivfIncrDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-ivf-incr").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(p))
+      }))
+      val e = embWithNorm(s, dir)
+      val base = e.filter($"vec_id" % 7 =!= 3)
+      val centroids = centroidsOf(s,
+        Tables.embeddings(s, dir).filter($"vec_id" % 7 =!= 3))
+      centroids.write.mode("overwrite").parquet(s"$p/centroids")
+      ivfAssigned(base, centroids)
+        .join(base, "vec_id")
+        .select($"cluster", $"vec_id", $"v", $"nrm")
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$p/postings")
+      // the INGEST: arrivals against the frozen quantizer, appended —
+      // cluster partitions gain files, nothing existing is rewritten
+      val arrivals = e.filter($"vec_id" % 7 === 3)
+      ivfAssigned(arrivals, centroids)
+        .join(arrivals, "vec_id")
+        .select($"cluster", $"vec_id", $"v", $"nrm")
+        .write.mode("append").partitionBy("cluster").parquet(s"$p/postings")
       p
     })
 
@@ -407,34 +543,21 @@ object Similarity {
     // Same deterministic build ⇒ same oracle as sim_ivf_topk.
     sqlChecked("sim_ivf_persist", IvfTopkSql) { (s, dir) =>
       import s.implicits._
-      val idx = ivfIndexDir(s, dir)
-      val centroids = s.read.parquet(s"$idx/centroids")
-      // queries arrive fresh (from the source table), the index is served
-      val q = embWithNorm(s, dir).filter($"vec_id" < 5)
-      val probes = q.crossJoin(broadcast(centroids))
-        .select($"vec_id".as("query_id"), $"label",
-          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
-        .filter($"rk" <= 3)
-        .select($"query_id", $"label".as("cluster"))
-      // ≤ 15 (query, cluster) rows — the model-collect discipline; the
-      // cluster id list becomes a partition-pruning predicate
-      val probedClusters = probes.select($"cluster").distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val posts = s.read.parquet(s"$idx/postings")
-        .filter($"cluster".isin(probedClusters: _*))
-      val qv = q.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-      val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-      broadcast(probes)
-        .join(posts, Seq("cluster"))
-        .filter($"vec_id" =!= $"query_id")
-        .join(broadcast(qv), Seq("query_id"))
-        .select($"query_id", $"vec_id".as("cand_id"),
-          round(Exprs.dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
-        .withColumn("rk", row_number().over(wTop))
-        .filter($"rk" <= 10)
-        .select($"query_id", $"cand_id", $"cos", $"rk".cast("long").as("rk"))
+      serveIvf(s, dir, ivfIndexDir(s, dir)).orderBy($"query_id", $"rk")
+    },
+
+    // Serving from the INCREMENTALLY-MAINTAINED index ([[ivfIncrIndexDir]]):
+    // quantizer frozen on the base corpus, the arrival batch assigned and
+    // APPENDED to the cluster-partitioned postings — index maintenance
+    // costs O(batch), never a corpus rescan (the Faiss add-after-train
+    // contract). The oracle rebuilds base-trained centroids + the full
+    // assignment in SQL, so the served result proves the appended lists
+    // are exactly what a from-scratch build under the same quantizer
+    // yields; from_arrival marks ingested candidates surfacing in top-10.
+    sqlChecked("sim_ivf_incr", IvfIncrTopkSql) { (s, dir) =>
+      import s.implicits._
+      serveIvf(s, dir, ivfIncrIndexDir(s, dir))
+        .withColumn("from_arrival", $"cand_id" % 7 === 3)
         .orderBy($"query_id", $"rk")
     },
 

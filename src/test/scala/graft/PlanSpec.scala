@@ -148,4 +148,19 @@ class PlanSpec extends SparkSuite with Matchers {
     // except its own DIV-10 descendants): subtree must include itself
     rows.foreach(r => r.getLong(1) should be >= 1L)
   }
+
+  test("ta_url_canon: per-row scan — text never read, no exchange below the sort") {
+    val p = plan("ta_url_canon")
+    // the URL derives from (doc_id, source); the text column must be pruned
+    (p should not).include("text")
+    // pure per-row exprs: the only exchange is the presentation range sort
+    "Exchange hashpartitioning".r.findAllMatchIn(p).size shouldBe 0
+    "Exchange rangepartitioning".r.findAllMatchIn(p).size shouldBe 1
+  }
+
+  test("dd_url_dedup: exactly the two designed shuffles (canon_url, then host)") {
+    val p = plan("dd_url_dedup")
+    (p should not).include("\"text\"")
+    "Exchange hashpartitioning".r.findAllMatchIn(p).size shouldBe 2
+  }
 }
