@@ -30,7 +30,11 @@ class DeterminismSpec extends SparkSuite with Matchers {
     "sim_kmeans_train",    // 3 iterated integer Lloyd rounds
     "ta_domain_mix",       // the integer-quantized Σ√n normalizer (the
                            // float form was caught varying — see Sampling)
-    "ta_shard_shuffle")    // order-sensitive permutation checksum
+    "ta_shard_shuffle",    // order-sensitive permutation checksum
+    // round-11 additions
+    "dd_url_dedup",        // two windows whose tie-breaks must be total
+    "ta_logreg_train",     // integer gradient sums across partitions
+    "sim_ivf_incr")        // frozen-quantizer assignment + appended lists
 
   test("hash-sensitive queries are identical at shuffle widths 3 and 8") {
     val conf = spark.conf
