@@ -1288,6 +1288,18 @@ object Relational {
         |GROUP BY w.anc
         |ORDER BY ancestor""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // SIZE THE RECURSION VALVE TO THE DATA (found at sf1: the default
+      // spark.sql.cteRecursionRowLimit=1e6 fails a 200k-part walk —
+      // parts × ~7 levels = 1.4M rows). The walk's row count is exactly
+      // bounded by n_parts × (digits(maxKey) + 2), so set the valve there
+      // — the same discipline as sizing shuffle width: a config an
+      // operator derives from its input, not a constant. (-1 would
+      // disable the runaway-recursion safety net entirely.)
+      val pdim = Tables.part(s, dir).select($"p_partkey")
+      val nParts = pdim.count()
+      val maxKey = pdim.agg(max($"p_partkey")).collect().head.getLong(0)
+      s.conf.set("spark.sql.cteRecursionRowLimit",
+        (nParts * (maxKey.toString.length + 2)).toString)
       Tables.part(s, dir).createOrReplaceTempView("graft_part_bom")
       val walk = s.sql(
         """WITH RECURSIVE walk(part, anc, depth) AS (
