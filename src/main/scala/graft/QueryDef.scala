@@ -28,10 +28,13 @@ object QueryDef {
     * outputs), but without `orderBy`'s RangePartitioning, whose bounds
     * SAMPLING re-executes the child plan (measured: the O(n²) cosine
     * baseline paid its full join twice, 4.8 s sorted vs 2.4 s sort-free,
-    * to order 990 rows). Scale note: only used where the output is small
-    * BY CONSTRUCTION (thresholded pair sets, per-cluster reports, top-k) —
-    * a single-partition sort of a large result would serialize; those
-    * queries keep the range sort.
+    * to order 990 rows). Scale note: only used where the output is
+    * K-BOUNDED BY CONSTRUCTION (top-k, fixed-size reports, model-sized
+    * tables) — a single-partition sort of a large result would serialize.
+    * Thresholded PAIR SETS do NOT qualify: the round-11 full sf1 sweep
+    * measured dd_simhash emitting 27.4M pairs on a duplicate-saturated
+    * corpus (100× the sf0.1 output) — pairs-emitters are output-bound in
+    * the data, so every dd_* pair/per-doc output uses [[largeSort]].
     */
   def smallSort(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)

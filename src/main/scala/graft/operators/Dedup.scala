@@ -667,7 +667,7 @@ object Dedup {
           round($"common".cast("double") / ($"ca.n" + $"cb.n" - $"common").cast("double"), 6))
         .filter($"jaccard" >= 0.2)
         .select($"doc_a", $"doc_b", $"common", $"jaccard")
-        .transform(d => QueryDef.smallSort(d, $"doc_a", $"doc_b"))
+        .transform(d => QueryDef.largeSort(d, $"doc_a", $"doc_b"))
     },
 
     // EXACT set-similarity join via PREFIX FILTERING (All-Pairs, Bayardo
@@ -728,7 +728,7 @@ object Dedup {
         |WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      QueryDef.smallSort(
+      QueryDef.largeSort(
         ppJoinPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
@@ -783,7 +783,7 @@ object Dedup {
         |WHERE round(common / CAST(na AS DOUBLE), 6) >= 0.75
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      QueryDef.smallSort(
+      QueryDef.largeSort(
         containmentPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
@@ -794,7 +794,7 @@ object Dedup {
     // signatures, bands, and verification independently.
     sqlChecked("dd_minhash_lsh", minhashOracle(k = 32, bands = 8, threshold = 0.5)) { (s, dir) =>
       import s.implicits._
-      QueryDef.smallSort(
+      QueryDef.largeSort(
         minhashLshPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
@@ -814,7 +814,7 @@ object Dedup {
       import s.implicits._
       incrementalMinhashPairs(s,
           Tables.documents(s, dir).filter($"doc_id" % IncrMod === IncrRem), dir)
-        .transform(d => QueryDef.smallSort(d, $"new_doc", $"old_doc"))
+        .transform(d => QueryDef.largeSort(d, $"new_doc", $"old_doc"))
     },
 
     // The STREAMING face of incremental ingest dedup (the ev_ ↔ dd_
@@ -856,7 +856,7 @@ object Dedup {
         .awaitTermination()
       s.read.option("basePath", outDir).parquet(s"$outDir/batch=*")
         .select($"new_doc", $"old_doc", $"jaccard")
-        .transform(d => QueryDef.smallSort(d, $"new_doc", $"old_doc"))
+        .transform(d => QueryDef.largeSort(d, $"new_doc", $"old_doc"))
     },
 
     // SimHash near-dup: one 60-bit vote-based signature per doc from word
@@ -866,7 +866,7 @@ object Dedup {
     // 60 per-bit vote sums in SQL.
     sqlChecked("dd_simhash", simhashOracle(maxHamming = 3)) { (s, dir) =>
       import s.implicits._
-      QueryDef.smallSort(
+      QueryDef.largeSort(
         simhashPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
     },
 
@@ -896,7 +896,7 @@ object Dedup {
         .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
           round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
         .filter($"cos" >= 0.3)
-        .transform(d => QueryDef.smallSort(d, $"id_a", $"id_b"))
+        .transform(d => QueryDef.largeSort(d, $"id_a", $"id_b"))
     },
 
     // Winnowing fingerprints (Schleimer et al., SIGMOD'03): the rolling-hash
@@ -957,7 +957,7 @@ object Dedup {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
-      QueryDef.smallSort(embeddingLshPairs(s, e, threshold = 0.3), $"id_a", $"id_b")
+      QueryDef.largeSort(embeddingLshPairs(s, e, threshold = 0.3), $"id_a", $"id_b")
     },
 
     // Connected components over the MinHash near-dup graph — pair detection
@@ -1038,7 +1038,7 @@ object Dedup {
         .filter($"rn" === 1)
         .select($"component", $"doc_id".as("keep_id"), $"n_members",
           $"quality".as("best_quality"))
-        .transform(d => QueryDef.smallSort(d, $"component"))
+        .transform(d => QueryDef.largeSort(d, $"component"))
     },
 
     // Fuzzy record linkage (edit-distance entity dedup) over the part
@@ -1122,7 +1122,7 @@ object Dedup {
           when($"n_grams" === 0, 0.0)
             .otherwise(round($"n_dup".cast("double") / $"n_grams".cast("double"), 6)))
         .withColumn("keep", $"n_grams" === 0 || $"n_dup" * 2 < $"n_grams")
-        .transform(d => QueryDef.smallSort(d, $"doc_id"))
+        .transform(d => QueryDef.largeSort(d, $"doc_id"))
     },
 
     // Corpus-level exact LINE dedup (the C4 §2.1 / RefinedWeb line-level
