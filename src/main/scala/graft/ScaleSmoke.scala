@@ -99,8 +99,9 @@ object ScaleSmoke {
     // synthesis keeps), so per-host volume grows ×8: the cap-bind case.
     "ta_url_canon", "dd_url_dedup",
     // integer GD trainer: Steps+1 linear scans of a cached 5-column
-    // integer frame, 32 bytes of driver traffic per step.
-    "ta_logreg_train",
+    // integer frame, 32 bytes of driver traffic per step. The scoring
+    // face adds one more feature scan with literal weights — pure map.
+    "ta_logreg_train", "ta_logreg_score",
     // incremental IVF: build+ingest on first touch of each dir (the
     // once-per-layout cost, like sim_ivf_persist/io_bucketed_join); the
     // serve itself is probe-proportional.

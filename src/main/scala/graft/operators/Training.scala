@@ -96,7 +96,12 @@ object Training {
         s"CASE WHEN label THEN CAST($Scale AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y")
   }
 
-  private def oracleSql: String = {
+  /** Shared oracle CTE chain: feature frame + the full materialized
+    * 3-step weight trajectory (w0..w3). Both the train and score oracles
+    * read from it — the score oracle is the train chain plus one scoring
+    * select over `feat CROSS JOIN w3`.
+    */
+  private def oracleCtes: String = {
     val labelSql =
       s"""(len(toks) >= 20 AND len(toks) <= 100000
          | AND (CASE WHEN len(toks) = 0 THEN 0.0
@@ -120,9 +125,6 @@ object Training {
       s"""g$k AS MATERIALIZED (SELECT $gs FROM feat CROSS JOIN w${k - 1} w),
          |w$k AS MATERIALIZED (SELECT $ws FROM g$k g CROSS JOIN w${k - 1} w CROSS JOIN nn)"""
     }.mkString(",\n")
-    val out = (0 to Steps).flatMap(k => (0 until 4).map(j =>
-      s"SELECT CAST($k AS BIGINT) AS step, CAST($j AS BIGINT) AS feature, CAST(w$j AS BIGINT) AS w_micro FROM w$k"))
-      .mkString("\nUNION ALL ")
     s"""WITH t AS MATERIALIZED (SELECT doc_id, ${TextAnalysis.toksSqlFrag} AS toks FROM documents),
        |feat AS MATERIALIZED (
        |  SELECT doc_id,
@@ -136,13 +138,30 @@ object Training {
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM feat),
        |w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
        |              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def trainOracleSql: String = {
+    val out = (0 to Steps).flatMap(k => (0 until 4).map(j =>
+      s"SELECT CAST($k AS BIGINT) AS step, CAST($j AS BIGINT) AS feature, CAST(w$j AS BIGINT) AS w_micro FROM w$k"))
+      .mkString("\nUNION ALL ")
+    s"""$oracleCtes
        |$out
        |ORDER BY step, feature""".stripMargin
   }
 
+  private def scoreOracleSql: String = {
+    val z = (0 until 4).map(j => s"w.w$j * x$j").mkString(" + ")
+    s"""$oracleCtes
+       |SELECT doc_id, score_micro, score_micro >= 500000 AS keep FROM (
+       |  SELECT doc_id,
+       |    CAST(${hardSigmoid(z, "//")} AS BIGINT) AS score_micro
+       |  FROM feat CROSS JOIN w$Steps w)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    sqlChecked("ta_logreg_train", oracleSql) { (s, dir) =>
+    sqlChecked("ta_logreg_train", trainOracleSql) { (s, dir) =>
       import s.implicits._
       val feat = features(s, dir).cache() // Steps scans of a 5-long-column frame
       val traj = trainTrajectory(feat)
@@ -151,5 +170,27 @@ object Training {
         ws.zipWithIndex.map { case (w, j) => (step, j.toLong, w) }
       }.toDF("step", "feature", "w_micro")
         .transform(d => QueryDef.smallSort(d, $"step", $"feature"))
+    },
+
+    // INFERENCE face of the trained classifier — the stage a real pipeline
+    // runs at full corpus width (CCNet §4 / fastText quality filtering:
+    // train once, then score EVERY document). Train the 3-step trajectory
+    // (cached feature frame, 32 B/step driver traffic), embed the final
+    // micro-unit weights as literals, and score in ONE codegen scan —
+    // w·x and the hard sigmoid are integer column arithmetic, so the
+    // per-doc scores are bit-identical to the oracle's CTE-chain replay
+    // under any partitioning. No shuffle anywhere but the presentation
+    // sort: at 100 TB the scoring pass is scan-bound, the broadcastable
+    // model is 32 bytes.
+    sqlChecked("ta_logreg_score", scoreOracleSql) { (s, dir) =>
+      import s.implicits._
+      val feat = features(s, dir).cache()
+      val w = trainTrajectory(feat).last._2
+      feat.unpersist() // scoring below re-derives features in its own scan
+      val z = s"(${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2 + ${w(3)}L * x3)"
+      val scored = features(s, dir)
+        .selectExpr("doc_id", s"CAST(${hardSigmoid(z, "DIV")} AS BIGINT) AS score_micro")
+        .withColumn("keep", $"score_micro" >= 500000L)
+      QueryDef.largeSort(scored, $"doc_id")
     })
 }

@@ -57,4 +57,26 @@ class LogregSpec extends SparkSuite with Matchers {
     for (parts <- Seq(4, 16))
       Training.trainTrajectory(planted(parts)).map(_._2.toSeq) shouldBe ref
   }
+
+  test("scoring face: score = σ_h(w_final·x) per doc, keep ⇔ score ≥ 0.5") {
+    val dir = sf("sf0.001")
+    val feat = Training.features(spark, dir)
+    val wFinal = Training.trainTrajectory(feat).last._2
+    val expected = feat.collect().map { r =>
+      val x = Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      (r.getLong(0), sigmoid(wFinal, x))
+    }.sortBy(_._1)
+    val scored = graft.SparkEntry.queries("ta_logreg_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    scored.map(t => (t._1, t._2)).toSeq shouldBe expected.toSeq
+    scored.foreach { case (_, s, keep) => keep shouldBe (s >= 500000L) }
+    // learning pin (the same separation discipline as the train spec —
+    // 3 steps separate the scores long before the 0.5 cut calibrates):
+    // mean score of label-true docs exceeds mean score of label-false docs
+    val labels = feat.collect().map(r => (r.getLong(0), r.getLong(5) > 0L)).toMap
+    val (pos, neg) = scored.partition(t => labels(t._1))
+    pos should not be empty
+    neg should not be empty
+    (pos.map(_._2).sum / pos.length) should be > (neg.map(_._2).sum / neg.length)
+  }
 }

@@ -34,6 +34,7 @@ class DeterminismSpec extends SparkSuite with Matchers {
     // round-11 additions
     "dd_url_dedup",        // two windows whose tie-breaks must be total
     "ta_logreg_train",     // integer gradient sums across partitions
+    "ta_logreg_score",     // trained weights + per-doc integer scoring
     "sim_ivf_incr")        // frozen-quantizer assignment + appended lists
 
   test("hash-sensitive queries are identical at shuffle widths 3 and 8") {
