@@ -60,14 +60,21 @@ object QueryDef {
     *
     * Scale notes: the sort itself stays a range sort (parallel at any
     * width — unlike [[smallSort]]'s single partition, which would
-    * serialize an input-sized result). Local checkpoint blocks are
-    * non-replicated: losing an executor mid-sort fails the job instead of
-    * recomputing — acceptable for a presentation tail whose alternative
-    * is a guaranteed 2× (on a long pipeline, prefer writing the result to
-    * storage and sorting from there, which is this same shape durably).
+    * serialize an input-sized result). The checkpoint is DISK_ONLY:
+    * a MEMORY_AND_DISK checkpoint of an input-sized result competes with
+    * the sort's own execution memory in the unified pool (measured: the
+    * 8× scale smoke OOMed inside dd_ppjoin's 10⁷-pair checkpoint+sort
+    * when the default level held the pairs on-heap), while disk blocks
+    * cost exactly the contract's "one write/read of the OUTPUT" without
+    * pressuring anything. Blocks are non-replicated: losing an executor
+    * mid-sort fails the job instead of recomputing — acceptable for a
+    * presentation tail whose alternative is a guaranteed 2× (on a long
+    * pipeline, prefer writing the result to storage and sorting from
+    * there, which is this same shape durably).
     */
   def largeSort(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     if (df.sparkSession.conf.getOption(PlainSortConf).contains("true"))
       df.orderBy(cols: _*)
-    else df.localCheckpoint(eager = false).orderBy(cols: _*)
+    else df.localCheckpoint(eager = false,
+      storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY).orderBy(cols: _*)
 }

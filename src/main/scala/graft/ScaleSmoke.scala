@@ -102,6 +102,10 @@ object ScaleSmoke {
     // integer frame, 32 bytes of driver traffic per step. The scoring
     // face adds one more feature scan with literal weights — pure map.
     "ta_logreg_train", "ta_logreg_score",
+    // late audit: one event scan + per-chunk max + a chunk-series window;
+    // ×8 copies multiply rows per chunk, not chunks — the window stays
+    // calendar-sized.
+    "ev_late_audit",
     // incremental IVF: build+ingest on first touch of each dir (the
     // once-per-layout cost, like sim_ivf_persist/io_bucketed_join); the
     // serve itself is probe-proportional.

@@ -28,6 +28,15 @@ object EventAnalytics {
   /** Funnel horizon: each stage must happen within 12 h of the previous. */
   val FunnelHorizonUs: Long = 12L * 3600 * 1000 * 1000
 
+  /** Arrival-jitter bound (s), micro-batch chunk width (s), and allowed
+    * lateness (s) for ev_late_audit. Declared BEFORE `defs`: the oracle
+    * string interpolates them at object init, and a forward val reference
+    * would silently read 0.
+    */
+  val LateJitterSec = 1800L
+  val LateChunkSec = 1800L
+  val LateDelaySec = 600L
+
   /** Conversion funnel signup → click → purchase, each stage within 12 h of
     * the one before. Stage k is "first qualifying event after (and within
     * the horizon of) the user's stage-(k-1) time" — the standard ordered
@@ -407,8 +416,104 @@ object EventAnalytics {
       upsertStreamPass(s, srcDir, outDir, ckDir)
       upsertState(s, outDir)
         .transform(d => QueryDef.largeSort(d, $"user_id"))
+    },
+
+    // LATE-DATA AUDIT (the watermark what-if): exactly which rows would a
+    // Structured Streaming job with allowed lateness D have dropped, had
+    // this history arrived as micro-batches — the number an ops team needs
+    // BEFORE picking a watermark, and the one Spark only reports after the
+    // fact (numRowsDroppedByWatermark). The events table carries no ingest
+    // time, so arrival is modeled as ts + an engine-portable deterministic
+    // jitter of 0..29:59 (md5 of the event id — the Exprs.hash60
+    // discipline), the documented stand-in for an at-least-once
+    // transport's reordering. 30-min arrival chunks are the micro-batch
+    // replay; Spark advances the watermark at BATCH boundaries and — the
+    // subtlety LateAuditSpec's probe measured — filters late events
+    // against the PREVIOUS batch's watermark while evicting state with
+    // the current one (the late/eviction split, so a batch never drops
+    // rows that arrived alongside the data that advanced the watermark).
+    // The late-events watermark in force during chunk c is therefore
+    // max(event time over chunks ≤ c−2) − D. A row is LATE when ts < wm
+    // (raw lateness) and DROPPED by a 1 h windowed aggregation when its
+    // window END ≤ wm (boundary inclusive — measured) — LateAuditSpec
+    // replays planted chunks through a real watermarked stream and pins
+    // the streamed per-window outputs to the audit's survivors exactly,
+    // so the audit's semantics ARE the engine's, not an approximation.
+    // Scale: the per-chunk max is one partial-aggregable
+    // shuffle of the events; the running max runs over the CHUNK series
+    // (time-bound — ~17.5k rows per DECADE at 30 min width, regardless of
+    // event volume), broadcast back onto the events for one map-side join.
+    sqlChecked(
+      "ev_late_audit",
+      s"""WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    ts + to_seconds(CAST(('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $LateJitterSec) AS arrival_ts
+        |  FROM events),
+        |c AS (SELECT event_type, ts,
+        |        CAST(floor(epoch(arrival_ts)) AS BIGINT) // $LateChunkSec AS chunk FROM e),
+        |cm AS (SELECT chunk, max(ts) AS chunk_max FROM c GROUP BY chunk),
+        |wm AS (SELECT chunk,
+        |   max(chunk_max) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |     - INTERVAL $LateDelaySec SECOND AS wm_enter
+        |  FROM cm),
+        |j AS (SELECT c.event_type, c.ts, wm.wm_enter FROM c JOIN wm USING (chunk))
+        |SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN ts < wm_enter THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm_enter THEN 1 ELSE 0 END) AS BIGINT) AS n_late_win,
+        |  max(CASE WHEN ts < wm_enter THEN (epoch_us(wm_enter) - epoch_us(ts)) // 1000000 END) AS max_late_s
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      lateAudit(withArrival(Tables.events(s, dir)), LateChunkSec, LateDelaySec)
     }
   )
+
+  /** Deterministic modeled arrival time: ts + md5-derived jitter of
+    * 0..[[LateJitterSec]]−1 seconds (engine-portable — both engines hash
+    * the same string to the same 32-bit prefix).
+    */
+  def withArrival(events: DataFrame): DataFrame =
+    events
+      .withColumn("jit",
+        conv(substring(md5(concat(lit("late:"), col("event_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % LateJitterSec)
+      .withColumn("arrival_ts", expr("timestampadd(SECOND, jit, ts)"))
+      .drop("jit")
+
+  /** The audit itself, parametric so LateAuditSpec can replay planted
+    * frames at spec-sized chunk widths: per event_type, how many rows a
+    * D-second watermark would see late (raw) and drop from a 1 h windowed
+    * aggregation (window end ≤ watermark), plus the worst raw lateness.
+    * `arrived` must carry an `arrival_ts` column ([[withArrival]]).
+    */
+  def lateAudit(arrived: DataFrame, chunkSec: Long, delaySec: Long): DataFrame =
+    lateFrame(arrived, chunkSec, delaySec)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("ts") < col("wm_enter"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR") <= col("wm_enter"), 1L)
+          .otherwise(0L)).as("n_late_win"),
+        max(when(col("ts") < col("wm_enter"),
+          expr("(unix_micros(wm_enter) - unix_micros(ts)) DIV 1000000"))).as("max_late_s"))
+      .transform(d => QueryDef.smallSort(d, col("event_type")))
+
+  /** Per-row face of the audit (exposed for LateAuditSpec's streamed
+    * replay): each event with its micro-batch `chunk` and the LATE-EVENTS
+    * watermark `wm_enter` in force when that chunk is processed — the
+    * previous chunk's start-of-batch watermark, i.e. two chunk-maxes back
+    * (Spark's late/eviction watermark split, measured by the spec's probe).
+    */
+  def lateFrame(arrived: DataFrame, chunkSec: Long, delaySec: Long): DataFrame = {
+    val e = arrived.withColumn("chunk", expr(s"unix_seconds(arrival_ts) DIV $chunkSec"))
+    val cm = e.groupBy(col("chunk")).agg(max(col("ts")).as("chunk_max"))
+    // running max over the chunk SERIES — small by construction (calendar-
+    // sized, like ev_anomaly_zscore's hourly window), so the unpartitioned
+    // window is deliberate
+    val w = Window.orderBy(col("chunk")).rowsBetween(Window.unboundedPreceding, -2)
+    val wm = cm.select(col("chunk"),
+      (max(col("chunk_max")).over(w) - expr(s"INTERVAL $delaySec SECOND")).as("wm_enter"))
+    e.join(broadcast(wm), "chunk")
+  }
 
   /** 4-file re-layout of events for the multi-batch upsert source —
     * write-once per source dir per JVM (the partitionedEventsDir

@@ -35,6 +35,7 @@ class DeterminismSpec extends SparkSuite with Matchers {
     "dd_url_dedup",        // two windows whose tie-breaks must be total
     "ta_logreg_train",     // integer gradient sums across partitions
     "ta_logreg_score",     // trained weights + per-doc integer scoring
+    "ev_late_audit",       // chunk-series running-max watermark + joins
     "sim_ivf_incr")        // frozen-quantizer assignment + appended lists
 
   test("hash-sensitive queries are identical at shuffle widths 3 and 8") {
