@@ -102,6 +102,9 @@ object ScaleSmoke {
     // integer frame, 32 bytes of driver traffic per step. The scoring
     // face adds one more feature scan with literal weights — pure map.
     "ta_logreg_train", "ta_logreg_score",
+    // vacuum: per-call fixture build (3 linear writes of orders slices) +
+    // a path-set anti-join sized by file COUNT, not data volume.
+    "io_vacuum",
     // late audit: one event scan + per-chunk max + a chunk-series window;
     // ×8 copies multiply rows per chunk, not chunks — the window stays
     // calendar-sized.

@@ -184,7 +184,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -353,6 +353,61 @@ object Formats {
         .transform(d => QueryDef.smallSort(d, $"version"))
     }
 
+  // VACUUM (retention-based snapshot expiry + unreferenced-file removal)
+  // on a FRESH per-call copy of the versioned table — vacuum mutates its
+  // table, so sharing io_time_travel's memoized fixture would make the
+  // query's result depend on how often it ran. Retain latest 1 of the 3
+  // versions: manifests v1/v2 expire, data-a (referenced only by them)
+  // is deleted, data-b (shared between expired v2 and retained v3)
+  // SURVIVES — liveness is membership in the retained union, not age.
+  // Gates computed for real on the mutated directory: exactly the orphan
+  // removed, the current version reads identically after vacuum (count +
+  // exact decimal sum), and the expired version is gone (manifest
+  // deleted). The oracle replays the retained version's aggregates from
+  // the orders table and pins every gate TRUE.
+  private def vacuumQuery: QueryDef =
+    sqlChecked(
+      "io_vacuum",
+      """WITH b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+        |a2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+        |v3 AS (SELECT * FROM a2 UNION ALL SELECT * FROM b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_current,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) AS sum_price_current,
+        |  CAST(3 AS BIGINT) AS n_files_before,
+        |  CAST(1 AS BIGINT) AS n_files_removed,
+        |  CAST(2 AS BIGINT) AS n_manifests_removed,
+        |  TRUE AS removed_orphan_only,
+        |  TRUE AS current_unchanged,
+        |  TRUE AS expired_unreadable
+        |FROM v3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = scratchDir("graft-vacuum")
+      buildVersionedTable(s, dir, root)
+      def readManifest(v: Int): org.apache.spark.sql.DataFrame = {
+        import scala.jdk.CollectionConverters._
+        val files = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v$v.txt"))
+          .asScala.filter(_.nonEmpty).map(l => s"$root/$l").toSeq
+        s.read.parquet(files: _*)
+      }
+      def currentStats(): (Long, Double) = {
+        val r = readManifest(3)
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val before = currentStats()
+      val (removed, expired, nBefore) = vacuum(s, root, retainLatest = 1)
+      val after = currentStats()
+      val expiredGone = !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/manifest-v1.txt"))
+      Seq((before._1, before._2, nBefore, removed.length.toLong,
+        expired.length.toLong, removed == Seq("data-a.parquet"),
+        after == before, expiredGone))
+        .toDF("n_rows_current", "sum_price_current", "n_files_before",
+          "n_files_removed", "n_manifests_removed", "removed_orphan_only",
+          "current_unchanged", "expired_unreadable")
+    }
+
   /** Versioned-table fixture for io_time_travel (write-once per source dir
     * per JVM): immutable data files + one manifest per version under the
     * module scratch root.
@@ -363,34 +418,83 @@ object Formats {
   def versionedTableDir(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     versionedDirs.getOrElseUpdate(dir, {
-      import s.implicits._
       val root = scratchDir("graft-versioned")
-      val orders = Tables.orders(s, dir)
-      def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        val tmp = s"$root/_stage_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$root/$name"))
-        def rm(f: java.io.File): Unit = {
-          val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete()
-        }
-        rm(new java.io.File(tmp))
-      }
-      writeFile("data-a.parquet", orders.filter($"o_orderkey" % 3 === 0))
-      writeFile("data-b.parquet", orders.filter($"o_orderkey" % 3 === 1))
-      writeFile("data-a2.parquet",
-        orders.filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 9 =!= 0))
-      def commit(v: Int, files: Seq[String]): Unit =
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$root/manifest-v$v.txt"),
-          (files.mkString("\n") + "\n").getBytes("UTF-8"))
-      commit(1, Seq("data-a.parquet"))
-      commit(2, Seq("data-a.parquet", "data-b.parquet"))
-      commit(3, Seq("data-a2.parquet", "data-b.parquet"))
+      buildVersionedTable(s, dir, root)
       root
     })
+
+  /** Build the 3-version fixture under `root`: immutable data files
+    * data-a/data-b/data-a2 plus manifest-v{1,2,3}. Shared by
+    * io_time_travel's memoized dir and io_vacuum's per-call fresh copies
+    * (vacuum MUTATES its table, so it can never share the memoized one).
+    */
+  def buildVersionedTable(
+      s: org.apache.spark.sql.SparkSession, dir: String, root: String): Unit = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    def writeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = s"$root/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/$name"))
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+    writeFile("data-a.parquet", orders.filter($"o_orderkey" % 3 === 0))
+    writeFile("data-b.parquet", orders.filter($"o_orderkey" % 3 === 1))
+    writeFile("data-a2.parquet",
+      orders.filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 9 =!= 0))
+    def commit(v: Int, files: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/manifest-v$v.txt"),
+        (files.mkString("\n") + "\n").getBytes("UTF-8"))
+    commit(1, Seq("data-a.parquet"))
+    commit(2, Seq("data-a.parquet", "data-b.parquet"))
+    commit(3, Seq("data-a2.parquet", "data-b.parquet"))
+  }
+
+  /** VACUUM on the manifest-versioned table: expire manifests older than
+    * the retained window, then delete data files no retained manifest
+    * references — Delta VACUUM / Iceberg expire_snapshots, the fourth
+    * member of the lakehouse-maintenance family (time travel, dynamic
+    * overwrite, compaction are the other three). Returns
+    * (removedFiles, removedManifests, filesBefore).
+    *
+    * The orphan computation is a real anti-join of the directory listing
+    * against the union of retained manifests — at 100 TB both sides are
+    * distributed datasets (billions of files vs millions of manifest
+    * entries) and this IS the scalable formulation; only the final
+    * delete list is collected, bounded by what vacuum is about to do
+    * anyway. A file referenced by BOTH an expired and a retained version
+    * survives (data-b here — VacuumSpec pins it), because liveness is
+    * membership in the retained union, not age.
+    */
+  def vacuum(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      retainLatest: Int): (Seq[String], Seq[String], Long) = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val manifests = new java.io.File(root).listFiles()
+      .filter(_.getName.matches("manifest-v\\d+\\.txt"))
+      .sortBy(f => f.getName.stripPrefix("manifest-v").stripSuffix(".txt").toInt)
+    val (expired, retained) = manifests.splitAt(manifests.length - retainLatest)
+    val live = retained.flatMap { f =>
+      java.nio.file.Files.readAllLines(f.toPath).asScala.filter(_.nonEmpty)
+    }.toSeq
+    val listing = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+    val orphans = listing.toDS().toDF("file")
+      .join(live.toDS().toDF("file"), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq.sorted
+    orphans.foreach(f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/$f")))
+    expired.foreach(f => java.nio.file.Files.delete(f.toPath))
+    (orphans, expired.map(_.getName).toSeq, listing.length.toLong)
+  }
 
   /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
     * customer tables per source dir. Table names carry the dir hash so
