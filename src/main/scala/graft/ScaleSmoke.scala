@@ -109,6 +109,9 @@ object ScaleSmoke {
     // ×8 copies multiply rows per chunk, not chunks — the window stays
     // calendar-sized.
     "ev_late_audit",
+    // backfill: three (hour,type)-keyed partial-aggregable rollups +
+    // calendar-sized merge joins on the tiny aggregates.
+    "ev_late_backfill",
     // incremental IVF: build+ingest on first touch of each dir (the
     // once-per-layout cost, like sim_ivf_persist/io_bucketed_join); the
     // serve itself is probe-proportional.

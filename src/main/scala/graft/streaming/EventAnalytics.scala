@@ -37,6 +37,26 @@ object EventAnalytics {
   val LateChunkSec = 1800L
   val LateDelaySec = 600L
 
+  /** Shared oracle CTE chain for the late-data family: modeled arrival,
+    * 30-min chunks, and the per-chunk LATE-EVENTS watermark (two
+    * chunk-maxes back — the measured late/eviction split). Declared
+    * before `defs` like the constants above (oracle strings interpolate
+    * at object init).
+    */
+  private val LateCtesSql: String =
+    s"""e AS (
+      |  SELECT event_id, event_type, ts, value,
+      |    ts + to_seconds(CAST(('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $LateJitterSec) AS arrival_ts
+      |  FROM events),
+      |c AS (SELECT event_type, ts, value,
+      |        CAST(floor(epoch(arrival_ts)) AS BIGINT) // $LateChunkSec AS chunk FROM e),
+      |cm AS (SELECT chunk, max(ts) AS chunk_max FROM c GROUP BY chunk),
+      |wm AS (SELECT chunk,
+      |   max(chunk_max) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+      |     - INTERVAL $LateDelaySec SECOND AS wm_enter
+      |  FROM cm),
+      |j AS (SELECT c.event_type, c.ts, c.value, wm.wm_enter FROM c JOIN wm USING (chunk))""".stripMargin
+
   /** Conversion funnel signup → click → purchase, each stage within 12 h of
     * the one before. Stage k is "first qualifying event after (and within
     * the horizon of) the user's stage-(k-1) time" — the standard ordered
@@ -445,18 +465,7 @@ object EventAnalytics {
     // event volume), broadcast back onto the events for one map-side join.
     sqlChecked(
       "ev_late_audit",
-      s"""WITH e AS (
-        |  SELECT event_id, event_type, ts,
-        |    ts + to_seconds(CAST(('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $LateJitterSec) AS arrival_ts
-        |  FROM events),
-        |c AS (SELECT event_type, ts,
-        |        CAST(floor(epoch(arrival_ts)) AS BIGINT) // $LateChunkSec AS chunk FROM e),
-        |cm AS (SELECT chunk, max(ts) AS chunk_max FROM c GROUP BY chunk),
-        |wm AS (SELECT chunk,
-        |   max(chunk_max) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-        |     - INTERVAL $LateDelaySec SECOND AS wm_enter
-        |  FROM cm),
-        |j AS (SELECT c.event_type, c.ts, wm.wm_enter FROM c JOIN wm USING (chunk))
+      s"""WITH $LateCtesSql
         |SELECT event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CASE WHEN ts < wm_enter THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
@@ -464,8 +473,100 @@ object EventAnalytics {
         |  max(CASE WHEN ts < wm_enter THEN (epoch_us(wm_enter) - epoch_us(ts)) // 1000000 END) AS max_late_s
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       lateAudit(withArrival(Tables.events(s, dir)), LateChunkSec, LateDelaySec)
+    },
+
+    // LATE-DATA BACKFILL (the lambda-architecture correction loop,
+    // reconciled EXACTLY): the streaming path aggregates only the rows a
+    // D-lateness watermark keeps; the rows it drops are the dead-letter
+    // set; a second algebraic pass (the ev_incr_rollup merge discipline)
+    // folds the dead-letter aggregates into the streaming rollup — and
+    // the merged result must equal the batch full recompute, row by row,
+    // count AND exact decimal value sum. The full-outer merge matters:
+    // an (hour, type) cell fed ONLY by late rows has no streaming-side
+    // row at all and must still reconcile. recon_n/recon_value are
+    // computed for real against an independent full groupBy and pinned
+    // TRUE by the oracle. Scale: three partial-aggregable rollups keyed
+    // on (hour, type) + calendar-sized merge joins; the late/on-time
+    // split reuses the audit's chunk watermark (broadcast).
+    sqlChecked(
+      "ev_late_backfill",
+      s"""WITH $LateCtesSql,
+        |lab AS (SELECT event_type, ts, value,
+        |    (wm_enter IS NOT NULL AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm_enter) AS is_late
+        |  FROM j),
+        |ontime AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        |    count(*) AS n, SUM(CAST(value AS DECIMAL(20,8))) AS v
+        |  FROM lab WHERE NOT is_late GROUP BY 1, 2),
+        |late AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        |    count(*) AS n, SUM(CAST(value AS DECIMAL(20,8))) AS v
+        |  FROM lab WHERE is_late GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT coalesce(o.hour, l.hour) AS hour,
+        |    coalesce(o.event_type, l.event_type) AS event_type,
+        |    coalesce(o.n, 0) AS n_ontime, coalesce(l.n, 0) AS n_late,
+        |    coalesce(o.n, 0) + coalesce(l.n, 0) AS n_total,
+        |    coalesce(o.v, CAST(0 AS DECIMAL(20,8))) + coalesce(l.v, CAST(0 AS DECIMAL(20,8))) AS v_total
+        |  FROM ontime o FULL OUTER JOIN late l
+        |    ON o.hour = l.hour AND o.event_type = l.event_type),
+        |full_rc AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        |    count(*) AS n, SUM(CAST(value AS DECIMAL(20,8))) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT m.hour, m.event_type,
+        |  CAST(m.n_ontime AS BIGINT) AS n_ontime,
+        |  CAST(m.n_late AS BIGINT) AS n_late,
+        |  CAST(m.n_total AS BIGINT) AS n_total,
+        |  CAST(m.v_total AS DOUBLE) AS total_value,
+        |  m.n_total = f.n AS recon_n,
+        |  m.v_total = f.v AS recon_value
+        |FROM merged m JOIN full_rc f
+        |  ON f.hour = m.hour AND f.event_type = m.event_type
+        |ORDER BY m.hour, m.event_type""".stripMargin) { (s, dir) =>
+      lateBackfill(s, withArrival(Tables.events(s, dir)), LateChunkSec, LateDelaySec)
     }
   )
+
+  /** The backfill-and-reconcile core (exposed for LateAuditSpec's
+    * planted-frame pin, which includes a cell fed ONLY by late rows):
+    * `arrived` must carry an `arrival_ts` column.
+    */
+  def lateBackfill(
+      s: org.apache.spark.sql.SparkSession, arrived: DataFrame,
+      chunkSec: Long, delaySec: Long): DataFrame = {
+    import s.implicits._
+    val hourFmt = "yyyy-MM-dd HH:mm"
+    val lab = lateFrame(arrived, chunkSec, delaySec)
+      .withColumn("is_late", $"wm_enter".isNotNull &&
+        date_trunc("hour", $"ts") + expr("INTERVAL 1 HOUR") <= $"wm_enter")
+      .withColumn("hour", date_format(date_trunc("hour", $"ts"), hourFmt))
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
+    val zero = lit(BigDecimal(0)).cast("decimal(20,8)")
+    val merged = rollup(lab.filter(!$"is_late")).as("o")
+      .join(rollup(lab.filter($"is_late")).as("l"),
+        $"o.hour" === $"l.hour" && $"o.event_type" === $"l.event_type", "full_outer")
+      .select(
+        coalesce($"o.hour", $"l.hour").as("hour"),
+        coalesce($"o.event_type", $"l.event_type").as("event_type"),
+        coalesce($"o.n", lit(0L)).as("n_ontime"),
+        coalesce($"l.n", lit(0L)).as("n_late"),
+        (coalesce($"o.n", lit(0L)) + coalesce($"l.n", lit(0L))).as("n_total"),
+        (coalesce($"o.v", zero) + coalesce($"l.v", zero)).as("v_total"))
+    val full = rollup(arrived
+      .withColumn("hour", date_format(date_trunc("hour", $"ts"), hourFmt))).as("f")
+    merged.as("m")
+      .join(full, $"f.hour" === $"m.hour" && $"f.event_type" === $"m.event_type")
+      .select($"m.hour", $"m.event_type",
+        $"n_ontime", $"n_late", $"n_total",
+        $"v_total".cast("double").as("total_value"),
+        ($"n_total" === $"f.n").as("recon_n"),
+        ($"v_total" === $"f.v").as("recon_value"))
+      .transform(d => QueryDef.largeSort(d, $"hour", $"event_type"))
+  }
+
 
   /** Deterministic modeled arrival time: ts + md5-derived jitter of
     * 0..[[LateJitterSec]]−1 seconds (engine-portable — both engines hash

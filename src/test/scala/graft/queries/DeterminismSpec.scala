@@ -36,6 +36,7 @@ class DeterminismSpec extends SparkSuite with Matchers {
     "ta_logreg_train",     // integer gradient sums across partitions
     "ta_logreg_score",     // trained weights + per-doc integer scoring
     "ev_late_audit",       // chunk-series running-max watermark + joins
+    "ev_late_backfill",    // decimal merge + equality gates across joins
     "sim_ivf_incr")        // frozen-quantizer assignment + appended lists
 
   test("hash-sensitive queries are identical at shuffle widths 3 and 8") {

@@ -50,7 +50,8 @@ class LateAuditSpec extends SparkSuite with Matchers {
     rows.toDF("event_id", "event_type", "t", "a")
       .select($"event_id", $"event_type",
         to_timestamp(concat(lit(D), $"t")).as("ts"),
-        to_timestamp(concat(lit(D), $"a")).as("arrival_ts"))
+        to_timestamp(concat(lit(D), $"a")).as("arrival_ts"),
+        ($"event_id" * 1.5).as("value"))
   }
 
   private val ChunkSec = 3600L
@@ -123,5 +124,23 @@ class LateAuditSpec extends SparkSuite with Matchers {
     streamed shouldBe survivors
     frame.unpersist()
     ()
+  }
+
+  test("backfill reconciles exactly, including the late-only cell") {
+    val out = EventAnalytics.lateBackfill(spark, planted, ChunkSec, DelaySec)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7)))
+    // every (hour, type) cell reconciles against the full recompute —
+    // count AND exact decimal sum
+    out.foreach { c => withClue(c) { c._7 shouldBe true; c._8 shouldBe true } }
+    // row 8 (ts 03:30, type a) is DROPPED by the stream and is the only
+    // row of its hour — the cell exists purely from the backfill side
+    val lateOnly = out.find(c => c._1 == "2025-03-01 03:00" && c._2 == "a").get
+    lateOnly._3 shouldBe 0L // n_ontime
+    lateOnly._4 shouldBe 1L // n_late
+    lateOnly._5 shouldBe 1L // n_total
+    lateOnly._6 shouldBe 12.0 // 8 * 1.5
+    // and the total row count over all cells is every planted event
+    out.map(_._5).sum shouldBe rows.length.toLong
   }
 }
