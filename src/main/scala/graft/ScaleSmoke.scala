@@ -102,6 +102,9 @@ object ScaleSmoke {
     // integer frame, 32 bytes of driver traffic per step. The scoring
     // face adds one more feature scan with literal weights — pure map.
     "ta_logreg_train", "ta_logreg_score",
+    // tar shards: fixed-size committed fixture (48 imgs, not synthesized)
+    // — a pure floor like sim_rp_project; the signal is absence of blowup.
+    "mm_tar_shards",
     // vacuum: per-call fixture build (3 linear writes of orders slices) +
     // a path-set anti-join sized by file COUNT, not data volume.
     "io_vacuum",

@@ -35,6 +35,13 @@ final case class MmEmbed(doc_id: Long, e: Seq[Long])
 final case class AudioMeta(
     doc_id: Long, n_samples: Long, sample_rate: Long, energy_total: Long)
 
+/** One assembled webdataset sample: basename-grouped tar entries, the .png
+  * member decoded for real and the .cls label parsed.
+  */
+final case class TarSample(
+    doc_id: Long, shard: Long, byte_len: Long,
+    width: Long, height: Long, channels: Long, label: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded via a per-partition batch function.
   *
@@ -307,6 +314,11 @@ object Multimodal {
        |  CAST(CASE CAST(concat('0x', substr(hex(content), 51, 2)) AS BIGINT)
        |    WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 4 THEN 2 WHEN 6 THEN 4 END AS BIGINT) AS channels
        |FROM read_blob('$mediaDir/img_*.png')""".stripMargin
+
+  /** Shards in the generated webdataset fixture (doc_id % count).
+    * Declared before `defs` — the oracle interpolates it at object init.
+    */
+  val TarShardCount = 4
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -684,6 +696,103 @@ object Multimodal {
         .select($"doc_a", $"doc_b", dist.cast("long").as("dist"))
         .filter($"dist" <= 3)
         .transform(d => graft.QueryDef.largeSort(d, $"doc_a", $"doc_b"))
+    },
+
+    // WEBDATASET-STYLE TAR SHARD ingestion — the de facto container for
+    // image corpora at scale (Weightman et al., webdataset: samples as
+    // adjacent basename-grouped entries inside sequential .tar shards;
+    // LAION releases ship this way). The shard is the parallelism unit:
+    // binaryFile supplies only PATHS (one row per shard), each task opens
+    // its shard as a STREAM through the Hadoop FS (never materializing
+    // the shard in memory — at 100 TB shards are ~1 GB), walks entries
+    // sequentially with commons-compress, assembles adjacent entries of
+    // one basename into a sample (the webdataset adjacency contract makes
+    // assembly shuffle-free), decodes the .png member for real and parses
+    // the .cls label. No exchange anywhere before the presentation sort.
+    // Oracle: geometry re-derived from the PNG IHDR bytes of the ORIGINAL
+    // committed files (so tar extraction must be byte-preserving to
+    // match), shard/label from the shard-construction contract.
+    sqlChecked(
+      "mm_tar_shards",
+      s"""SELECT doc_id, doc_id % ${TarShardCount} AS shard, byte_len,
+         |  width, height, channels, doc_id % 10 AS label
+         |FROM ($IhdrSql) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "shard-*.tar")
+        .load(tarShardDir)
+        .select($"path").as[String]
+        .mapPartitions(_.flatMap(readTarShard))
+        .toDF()
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     }
   )
+
+  /** Write-once-per-JVM webdataset fixture: the committed img_*.png files
+    * packed into [[TarShardCount]] tar shards by doc_id mod, each sample as
+    * adjacent entries `img_NNNN.png` + `img_NNNN.cls` (label = id % 10).
+    */
+  lazy val tarShardDir: String = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val root = java.nio.file.Files.createTempDirectory("graft-tar-shards")
+    val imgs = new java.io.File(mediaDir).listFiles()
+      .filter(_.getName.matches("img_\\d+\\.png")).sortBy(_.getName)
+    for (shard <- 0 until TarShardCount) {
+      val out = new TarArchiveOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$root/shard-$shard.tar")))
+      def put(name: String, bytes: Array[Byte]): Unit = {
+        val e = new TarArchiveEntry(name)
+        e.setSize(bytes.length.toLong)
+        out.putArchiveEntry(e)
+        out.write(bytes)
+        out.closeArchiveEntry()
+      }
+      for (f <- imgs) {
+        val id = f.getName.stripPrefix("img_").stripSuffix(".png").toLong
+        if (id % TarShardCount == shard) {
+          val base = f.getName.stripSuffix(".png")
+          put(s"$base.png", java.nio.file.Files.readAllBytes(f.toPath))
+          put(s"$base.cls", (id % 10).toString.getBytes("UTF-8"))
+        }
+      }
+      out.close()
+    }
+    root.toString
+  }
+
+  /** Stream one tar shard from its (possibly remote) path and assemble
+    * adjacent same-basename entries into decoded samples. Exposed for
+    * TarShardsSpec.
+    */
+  def readTarShard(path: String): Iterator[TarSample] = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path).get.group(1).toLong
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val tar = new TarArchiveInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    ImageIO.setUseCache(false)
+    val samples = scala.collection.mutable.Buffer.empty[TarSample]
+    var curBase: String = null
+    var png: Array[Byte] = null
+    var cls: Array[Byte] = null
+    def flush(): Unit = if (curBase != null) {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      samples += TarSample(
+        curBase.stripPrefix("img_").toLong, shard, png.length.toLong,
+        img.getWidth.toLong, img.getHeight.toLong,
+        img.getRaster.getNumBands.toLong,
+        new String(cls, "UTF-8").toLong)
+      png = null; cls = null
+    }
+    var e = tar.getNextEntry
+    while (e != null) {
+      val base = e.getName.substring(0, e.getName.lastIndexOf('.'))
+      if (base != curBase) { flush(); curBase = base }
+      val bytes = tar.readAllBytes()
+      if (e.getName.endsWith(".png")) png = bytes else cls = bytes
+      e = tar.getNextEntry
+    }
+    flush()
+    tar.close()
+    samples.iterator
+  }
 }

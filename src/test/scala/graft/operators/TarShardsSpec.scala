@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+/** Pins for webdataset tar-shard ingestion (mm_tar_shards): extraction is
+  * byte-preserving (md5 of every extracted .png equals the committed
+  * file), adjacency assembly pairs each sample's entries exactly, and the
+  * ingestion plan is shuffle-free up to the presentation sort.
+  */
+class TarShardsSpec extends SparkSuite with Matchers {
+
+  private def fixtureMd5(name: String): String = {
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(graft.Fixtures.dir("media", "GRAFT_MEDIA_DIR"), name))
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+  }
+
+  test("tar extraction is byte-preserving against the committed fixtures") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val root = Multimodal.tarShardDir
+    var checked = 0
+    for (shard <- 0 until Multimodal.TarShardCount) {
+      val in = new TarArchiveInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(s"$root/shard-$shard.tar")))
+      var e = in.getNextEntry
+      while (e != null) {
+        val bytes = in.readAllBytes()
+        if (e.getName.endsWith(".png")) {
+          val got = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          withClue(e.getName) { got shouldBe fixtureMd5(e.getName) }
+          checked += 1
+        }
+        e = in.getNextEntry
+      }
+      in.close()
+    }
+    checked shouldBe 48
+  }
+
+  test("adjacency assembly: every sample pairs its png with its cls") {
+    val root = Multimodal.tarShardDir
+    for (shard <- 0 until Multimodal.TarShardCount) {
+      val samples = Multimodal.readTarShard(s"file:$root/shard-$shard.tar").toSeq
+      samples should have size (48 / Multimodal.TarShardCount)
+      samples.foreach { s =>
+        s.doc_id % Multimodal.TarShardCount shouldBe shard
+        s.shard shouldBe shard.toLong
+        s.label shouldBe s.doc_id % 10
+        s.width should be > 0L
+      }
+    }
+  }
+
+  test("ingestion plans shuffle-free up to the presentation sort") {
+    val plan = withPlainSort {
+      graft.SparkEntry.queries("mm_tar_shards")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+    }
+    // exactly ONE exchange: the final sort's range partitioning — the
+    // scan → stream → assemble → decode pipeline itself never shuffles
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+}
