@@ -104,7 +104,7 @@ object ScaleSmoke {
     "ta_logreg_train", "ta_logreg_score",
     // tar shards: fixed-size committed fixture (48 imgs, not synthesized)
     // — a pure floor like sim_rp_project; the signal is absence of blowup.
-    "mm_tar_shards",
+    "mm_tar_shards", "mm_tar_pack",
     // vacuum: per-call fixture build (3 linear writes of orders slices) +
     // a path-set anti-join sized by file COUNT, not data volume.
     "io_vacuum",

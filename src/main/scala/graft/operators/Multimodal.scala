@@ -320,6 +320,9 @@ object Multimodal {
     */
   val TarShardCount = 4
 
+  /** Shards the PACKER produces (deliberately ≠ [[TarShardCount]]). */
+  val PackShardCount = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary-column feature extraction (pure expressions, no decode).
@@ -724,6 +727,32 @@ object Multimodal {
         .mapPartitions(_.flatMap(readTarShard))
         .toDF()
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // The WRITE side of the shard story — packing a corpus INTO webdataset
+    // tars (what a pipeline that PRODUCES training data runs last): one
+    // shuffle keyed on the shard assignment, entries sorted within
+    // partitions, then a STREAMING per-partition tar writer through the
+    // Hadoop FS that switches output files on shard change — no group is
+    // ever materialized, a partition can carry several shards, and the
+    // bytes written are the bytes read (no re-encode). Gated by the full
+    // roundtrip: the packed shards are re-read with the same streaming
+    // reader and must reproduce every sample's true geometry (IHDR
+    // oracle) under the pack-side shard assignment (doc_id % 3, distinct
+    // from the read fixture's % 4 so a leak between the two is visible).
+    sqlChecked(
+      "mm_tar_pack",
+      s"""SELECT doc_id, doc_id % ${PackShardCount} AS shard, byte_len,
+         |  width, height, channels, doc_id % 10 AS label
+         |FROM ($IhdrSql) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = packedShardDir(s)
+      s.read.format("binaryFile").option("pathGlobFilter", "shard-*.tar")
+        .load(root)
+        .select($"path").as[String]
+        .mapPartitions(_.flatMap(readTarShard))
+        .toDF()
+        .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     }
   )
 
@@ -758,6 +787,54 @@ object Multimodal {
     }
     root.toString
   }
+
+  /** Distributed webdataset PACKER (write-once per JVM): shard = doc_id %
+    * [[PackShardCount]], one repartition on the shard key + an in-partition
+    * sort, then a streaming per-partition tar writer via the Hadoop FS that
+    * switches files on shard change. Entries per sample: `img_NNNN.png`
+    * (the original bytes, no re-encode) + `img_NNNN.cls` (id % 10).
+    */
+  def packedShardDir(s: org.apache.spark.sql.SparkSession): String =
+    packedDirs.getOrElseUpdate("packed", {
+      import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-tar-pack").toString
+      mediaFiles(s).toDF()
+        .withColumn("shard", col("doc_id") % PackShardCount)
+        .repartition(PackShardCount, col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          var cur = -1L
+          var out: TarArchiveOutputStream = null
+          def put(name: String, bytes: Array[Byte]): Unit = {
+            val e = new TarArchiveEntry(name)
+            e.setSize(bytes.length.toLong)
+            out.putArchiveEntry(e)
+            out.write(bytes)
+            out.closeArchiveEntry()
+          }
+          rows.foreach { r =>
+            val (id, content, shard) =
+              (r.getLong(0), r.getAs[Array[Byte]](1), r.getLong(2))
+            if (shard != cur) {
+              if (out != null) out.close()
+              val p = new org.apache.hadoop.fs.Path(s"file:$root/shard-$shard.tar")
+              val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+              out = new TarArchiveOutputStream(
+                new java.io.BufferedOutputStream(fs.create(p, true)))
+              cur = shard
+            }
+            val base = f"img_$id%04d"
+            put(s"$base.png", content)
+            put(s"$base.cls", (id % 10).toString.getBytes("UTF-8"))
+          }
+          if (out != null) out.close()
+        }
+      root
+    })
+
+  private val packedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Stream one tar shard from its (possibly remote) path and assemble
     * adjacent same-basename entries into decoded samples. Exposed for

@@ -54,6 +54,35 @@ class TarShardsSpec extends SparkSuite with Matchers {
     }
   }
 
+  test("the packer's shards roundtrip byte-identically too") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val root = Multimodal.packedShardDir(spark)
+    var checked = 0
+    for (shard <- 0 until Multimodal.PackShardCount) {
+      val in = new TarArchiveInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(s"$root/shard-$shard.tar")))
+      var e = in.getNextEntry
+      var lastId = -1L
+      while (e != null) {
+        val bytes = in.readAllBytes()
+        if (e.getName.endsWith(".png")) {
+          val got = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          withClue(e.getName) { got shouldBe fixtureMd5(e.getName) }
+          // entries are sorted by doc_id within the shard (the writer's
+          // in-partition sort) — adjacency AND determinism
+          val id = e.getName.stripPrefix("img_").stripSuffix(".png").toLong
+          id should be > lastId
+          lastId = id
+          checked += 1
+        }
+        e = in.getNextEntry
+      }
+      in.close()
+    }
+    checked shouldBe 48
+  }
+
   test("ingestion plans shuffle-free up to the presentation sort") {
     val plan = withPlainSort {
       graft.SparkEntry.queries("mm_tar_shards")(spark, sf("sf0.001"))
