@@ -845,7 +845,15 @@ object Multimodal {
     val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path).get.group(1).toLong
     val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val tar = new TarArchiveInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    // transparent .tar.zst support (zstd-jni ships with Spark): compressed
+    // shards stream through the same sequential path — still never
+    // materialized, still splittable only at shard granularity (which is
+    // the webdataset contract anyway)
+    val raw: java.io.InputStream =
+      if (path.endsWith(".zst"))
+        new com.github.luben.zstd.ZstdInputStream(fs.open(p))
+      else fs.open(p)
+    val tar = new TarArchiveInputStream(new java.io.BufferedInputStream(raw))
     ImageIO.setUseCache(false)
     val samples = scala.collection.mutable.Buffer.empty[TarSample]
     var curBase: String = null

@@ -83,6 +83,19 @@ class TarShardsSpec extends SparkSuite with Matchers {
     checked shouldBe 48
   }
 
+  test("a zstd-compressed shard reads identically to its plain twin") {
+    val root = Multimodal.tarShardDir
+    val tmp = java.nio.file.Files.createTempDirectory("tar-zst").toString
+    val in = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/shard-0.tar"))
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$tmp/shard-0.tar.zst"))
+    out.write(in); out.close()
+    val plain = Multimodal.readTarShard(s"file:$root/shard-0.tar").toSeq
+    val zst = Multimodal.readTarShard(s"file:$tmp/shard-0.tar.zst").toSeq
+    zst shouldBe plain
+  }
+
   test("ingestion plans shuffle-free up to the presentation sort") {
     val plan = withPlainSort {
       graft.SparkEntry.queries("mm_tar_shards")(spark, sf("sf0.001"))
