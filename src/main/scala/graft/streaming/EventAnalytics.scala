@@ -544,9 +544,23 @@ object EventAnalytics {
     def rollup(df: org.apache.spark.sql.DataFrame) = df
       .groupBy($"hour", $"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
+    // ONE events scan feeds both merge sides: aggregate with is_late as a
+    // third group key, checkpoint the calendar-sized result (DISK_ONLY,
+    // the largeSort discipline), and derive each side as a filter of it.
+    // Without the materialization Catalyst clones the whole lateFrame
+    // subtree into each side (measured: the events scan + chunk-watermark
+    // build ran TWICE); with it the merge topology — the honest
+    // lambda-architecture shape, a streaming-sink table full-outer-joined
+    // with a backfill table — operates on a staged intermediate, the
+    // ev_incr_rollup persisted-rollup story.
+    val split = lab
+      .groupBy($"hour", $"event_type", $"is_late")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("v"))
+      .localCheckpoint(eager = false,
+        storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val zero = lit(BigDecimal(0)).cast("decimal(20,8)")
-    val merged = rollup(lab.filter(!$"is_late")).as("o")
-      .join(rollup(lab.filter($"is_late")).as("l"),
+    val merged = split.filter(!$"is_late").as("o")
+      .join(split.filter($"is_late").as("l"),
         $"o.hour" === $"l.hour" && $"o.event_type" === $"l.event_type", "full_outer")
       .select(
         coalesce($"o.hour", $"l.hour").as("hour"),
