@@ -1,4 +1,12 @@
 package graft
+
+/** Plan-audit tool: prints the exchange/join profile of named queries at
+  * sf0.001 with the presentation sort degraded to a plain orderBy (so the
+  * INNER plan is visible — the largeSort checkpoint otherwise hides it
+  * behind an RDD scan). Usage:
+  * `sbt "runMain graft.PlanAudit ev_late_backfill ta_logreg_score"`.
+  * This is how the r11 backfill double-scan was caught (8 exchanges → 4).
+  */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val s = org.apache.spark.sql.SparkSession.builder()
