@@ -796,10 +796,18 @@ object Multimodal {
     */
   def packedShardDir(s: org.apache.spark.sql.SparkSession): String =
     packedDirs.getOrElseUpdate("packed", {
-      import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
-      import s.implicits._
       val root = java.nio.file.Files.createTempDirectory("graft-tar-pack").toString
-      mediaFiles(s).toDF()
+      packInto(s, root)
+      root
+    })
+
+  /** The packer's write topology against an explicit target dir (exposed
+    * so TarShardsSpec can pin run-to-run byte determinism — the property
+    * that makes a mid-write task RETRY safe).
+    */
+  def packInto(s: org.apache.spark.sql.SparkSession, root: String): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    mediaFiles(s).toDF()
         .withColumn("shard", col("doc_id") % PackShardCount)
         .repartition(PackShardCount, col("shard"))
         .sortWithinPartitions(col("shard"), col("doc_id"))
@@ -830,8 +838,7 @@ object Multimodal {
           }
           if (out != null) out.close()
         }
-      root
-    })
+  }
 
   private val packedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]

@@ -83,6 +83,24 @@ class TarShardsSpec extends SparkSuite with Matchers {
     checked shouldBe 48
   }
 
+  test("packing is deterministic — a retried/re-run write is byte-identical") {
+    // the packer's task body is retry-idempotent BY CONSTRUCTION: sorted
+    // input + overwrite-create + no timestamps in entries. Two independent
+    // pack runs must produce byte-identical shards, which is what makes a
+    // mid-write task retry safe (the retry rewrites the same bytes).
+    val first = Multimodal.packedShardDir(spark)
+    val second = java.nio.file.Files.createTempDirectory("tar-pack-2").toString
+    Multimodal.packInto(spark, second)
+    for (shard <- 0 until Multimodal.PackShardCount) {
+      def md5(p: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+        .map("%02x".format(_)).mkString
+      withClue(s"shard $shard: ") {
+        md5(s"$second/shard-$shard.tar") shouldBe md5(s"$first/shard-$shard.tar")
+      }
+    }
+  }
+
   test("a zstd-compressed shard reads identically to its plain twin") {
     val root = Multimodal.tarShardDir
     val tmp = java.nio.file.Files.createTempDirectory("tar-zst").toString
