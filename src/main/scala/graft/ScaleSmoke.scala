@@ -115,6 +115,9 @@ object ScaleSmoke {
     // backfill: three (hour,type)-keyed partial-aggregable rollups +
     // calendar-sized merge joins on the tiny aggregates.
     "ev_late_backfill",
+    // sweep: one scan fanned over the literal delay list — 3 delays cost
+    // one what-if.
+    "ev_late_sweep",
     // incremental IVF: build+ingest on first touch of each dir (the
     // once-per-layout cost, like sim_ivf_persist/io_bucketed_join); the
     // serve itself is probe-proportional.

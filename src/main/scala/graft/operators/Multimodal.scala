@@ -771,6 +771,7 @@ object Multimodal {
       def put(name: String, bytes: Array[Byte]): Unit = {
         val e = new TarArchiveEntry(name)
         e.setSize(bytes.length.toLong)
+        e.setModTime(0L) // timestamp-free: shard bytes must not depend on wall clock
         out.putArchiveEntry(e)
         out.write(bytes)
         out.closeArchiveEntry()
@@ -817,6 +818,7 @@ object Multimodal {
           def put(name: String, bytes: Array[Byte]): Unit = {
             val e = new TarArchiveEntry(name)
             e.setSize(bytes.length.toLong)
+            e.setModTime(0L) // timestamp-free: shard bytes must not depend on wall clock
             out.putArchiveEntry(e)
             out.write(bytes)
             out.closeArchiveEntry()

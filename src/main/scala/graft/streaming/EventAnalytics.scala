@@ -37,6 +37,9 @@ object EventAnalytics {
   val LateChunkSec = 1800L
   val LateDelaySec = 600L
 
+  /** Candidate watermark delays for ev_late_sweep (seconds). */
+  val SweepDelays: Seq[Long] = Seq(60L, 600L, 3600L)
+
   /** Shared oracle CTE chain for the late-data family: modeled arrival,
     * 30-min chunks, and the per-chunk LATE-EVENTS watermark (two
     * chunk-maxes back — the measured late/eviction split). Declared
@@ -525,6 +528,58 @@ object EventAnalytics {
         |  ON f.hour = m.hour AND f.event_type = m.event_type
         |ORDER BY m.hour, m.event_type""".stripMargin) { (s, dir) =>
       lateBackfill(s, withArrival(Tables.events(s, dir)), LateChunkSec, LateDelaySec)
+    },
+
+    // WATERMARK DELAY SWEEP — the question the audit exists to answer,
+    // asked across candidate delays in ONE pass: what fraction of rows
+    // would a 1-minute / 10-minute / 1-hour allowed lateness drop from
+    // the hourly aggregation? The high-water mark per chunk is computed
+    // ONCE without any delay baked in; each row then fans out over the
+    // broadcast-literal delay list and classifies against hwm − D in
+    // exact integer microseconds. One event scan, one chunk aggregate,
+    // one (type, delay)-keyed rollup — the sweep costs the same as a
+    // single what-if. This is how you CHOOSE a watermark from data
+    // instead of folklore.
+    sqlChecked(
+      "ev_late_sweep",
+      s"""WITH e AS (
+        |  SELECT event_id, event_type, ts,
+        |    ts + to_seconds(CAST(('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)),1,8)) AS BIGINT) % $LateJitterSec) AS arrival_ts
+        |  FROM events),
+        |c AS (SELECT event_type, ts,
+        |        CAST(floor(epoch(arrival_ts)) AS BIGINT) // $LateChunkSec AS chunk FROM e),
+        |cm AS (SELECT chunk, max(ts) AS chunk_max FROM c GROUP BY chunk),
+        |rm AS (SELECT chunk,
+        |   max(chunk_max) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS hwm
+        |  FROM cm),
+        |j AS (SELECT c.event_type, c.ts, rm.hwm FROM c JOIN rm USING (chunk)),
+        |d AS (SELECT * FROM (VALUES ${SweepDelays.map(d => s"($d)").mkString(",")}) AS t(delay_s))
+        |SELECT event_type, CAST(delay_s AS BIGINT) AS delay_s,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |                     <= epoch_us(hwm) - CAST(delay_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  round(CAST(sum(CASE WHEN epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |                     <= epoch_us(hwm) - CAST(delay_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS drop_rate
+        |FROM j CROSS JOIN d
+        |GROUP BY event_type, delay_s
+        |ORDER BY event_type, delay_s""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = withArrival(Tables.events(s, dir))
+        .withColumn("chunk", expr(s"unix_seconds(arrival_ts) DIV $LateChunkSec"))
+      val cm = e.groupBy($"chunk").agg(max($"ts").as("chunk_max"))
+      val w = Window.orderBy($"chunk").rowsBetween(Window.unboundedPreceding, -2)
+      val rm = cm.select($"chunk", max($"chunk_max").over(w).as("hwm"))
+      val dropped = expr("unix_micros(date_trunc('hour', ts) + INTERVAL 1 HOUR)") <=
+        expr("unix_micros(hwm) - delay_s * 1000000")
+      e.join(broadcast(rm), "chunk")
+        .withColumn("delay_s", explode(typedLit(SweepDelays)))
+        .groupBy($"event_type", $"delay_s")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("drop_rate",
+          round($"n_dropped".cast("double") / $"n_events".cast("double"), 6))
+        .transform(d => QueryDef.smallSort(d, $"event_type", $"delay_s"))
     }
   )
 

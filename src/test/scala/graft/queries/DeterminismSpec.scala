@@ -37,6 +37,7 @@ class DeterminismSpec extends SparkSuite with Matchers {
     "ta_logreg_score",     // trained weights + per-doc integer scoring
     "ev_late_audit",       // chunk-series running-max watermark + joins
     "ev_late_backfill",    // decimal merge + equality gates across joins
+    "ev_late_sweep",       // delay fan-out over the chunk watermark
     "sim_ivf_incr")        // frozen-quantizer assignment + appended lists
 
   test("hash-sensitive queries are identical at shuffle widths 3 and 8") {

@@ -126,6 +126,21 @@ class LateAuditSpec extends SparkSuite with Matchers {
     ()
   }
 
+  test("sweep: D=600 column equals the audit's window-late counts; drops are monotone in D") {
+    val dir = sf("sf0.001")
+    val audit = graft.SparkEntry.queries("ev_late_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val sweep = graft.SparkEntry.queries("ev_late_sweep")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // the 10-min sweep point IS the audit's drop predicate
+    sweep.filter(_._2 == 600L).map(t => t._1 -> t._3).toMap shouldBe audit
+    // a longer allowed lateness never drops more
+    sweep.groupBy(_._1).values.foreach { rows =>
+      val byDelay = rows.sortBy(_._2).map(_._3)
+      byDelay shouldBe byDelay.sorted.reverse
+    }
+  }
+
   test("backfill reconciles exactly, including the late-only cell") {
     val out = EventAnalytics.lateBackfill(spark, planted, ChunkSec, DelaySec)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
