@@ -101,7 +101,7 @@ object ScaleSmoke {
     // integer GD trainer: Steps+1 linear scans of a cached 5-column
     // integer frame, 32 bytes of driver traffic per step. The scoring
     // face adds one more feature scan with literal weights — pure map.
-    "ta_logreg_train", "ta_logreg_score",
+    "ta_logreg_train", "ta_logreg_score", "ta_logreg_eval",
     // tar shards: fixed-size committed fixture (48 imgs, not synthesized)
     // — a pure floor like sim_rp_project; the signal is absence of blowup.
     "mm_tar_shards", "mm_tar_pack",

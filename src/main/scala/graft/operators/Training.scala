@@ -160,6 +160,31 @@ object Training {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private def evalOracleSql: String = {
+    val z = (0 until 4).map(j => s"w.w$j * x$j").mkString(" + ")
+    s"""$oracleCtes,
+       |pred AS (
+       |  SELECT (${hardSigmoid(z, "//")}) >= 500000 AS p, y > 0 AS t
+       |  FROM feat CROSS JOIN w$Steps w),
+       |cm AS (
+       |  SELECT
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM pred)
+       |SELECT n_docs, tp, fp, tn, fn,
+       |  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS precision_micro,
+       |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_micro,
+       |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+       |        AND tp * 1000000 // (tp + fp) + tp * 1000000 // (tp + fn) > 0
+       |    THEN 2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn))
+       |         // (tp * 1000000 // (tp + fp) + tp * 1000000 // (tp + fn))
+       |  END AS f1_micro
+       |FROM cm""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     sqlChecked("ta_logreg_train", trainOracleSql) { (s, dir) =>
       import s.implicits._
@@ -192,5 +217,36 @@ object Training {
         .selectExpr("doc_id", s"CAST(${hardSigmoid(z, "DIV")} AS BIGINT) AS score_micro")
         .withColumn("keep", $"score_micro" >= 500000L)
       QueryDef.largeSort(scored, $"doc_id")
+    },
+
+    // EVAL face — the confusion matrix of the trained scorer against its
+    // training labels, with precision/recall/F1 as EXACT integer
+    // micro-units (tp·1e6 DIV (tp+fp) etc. — no float anywhere, so the
+    // metric row is bit-identical in any engine and partitioning).
+    // Closes the classifier loop: train (trajectory-pinned) → score
+    // (per-doc) → eval (did the 3-step model learn the Gopher label?).
+    // One scan + one global conditional-count aggregate.
+    sqlChecked("ta_logreg_eval", evalOracleSql) { (s, dir) =>
+      import s.implicits._
+      val feat = features(s, dir).cache()
+      val w = trainTrajectory(feat).last._2
+      feat.unpersist()
+      val z = s"(${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2 + ${w(3)}L * x3)"
+      features(s, dir)
+        .selectExpr(s"(${hardSigmoid(z, "DIV")}) >= 500000 AS p", "y > 0 AS t")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"p" && $"t", 1L).otherwise(0L)).as("tp"),
+          sum(when($"p" && !$"t", 1L).otherwise(0L)).as("fp"),
+          sum(when(!$"p" && !$"t", 1L).otherwise(0L)).as("tn"),
+          sum(when(!$"p" && $"t", 1L).otherwise(0L)).as("fn"))
+        .selectExpr("n_docs", "tp", "fp", "tn", "fn",
+          "CASE WHEN tp + fp > 0 THEN tp * 1000000L DIV (tp + fp) END AS precision_micro",
+          "CASE WHEN tp + fn > 0 THEN tp * 1000000L DIV (tp + fn) END AS recall_micro",
+          """CASE WHEN tp + fp > 0 AND tp + fn > 0
+            |      AND tp * 1000000L DIV (tp + fp) + tp * 1000000L DIV (tp + fn) > 0
+            |  THEN 2 * (tp * 1000000L DIV (tp + fp)) * (tp * 1000000L DIV (tp + fn))
+            |       DIV (tp * 1000000L DIV (tp + fp) + tp * 1000000L DIV (tp + fn))
+            |END AS f1_micro""".stripMargin)
     })
 }

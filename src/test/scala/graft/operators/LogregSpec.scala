@@ -79,4 +79,22 @@ class LogregSpec extends SparkSuite with Matchers {
     neg should not be empty
     (pos.map(_._2).sum / pos.length) should be > (neg.map(_._2).sum / neg.length)
   }
+
+  test("eval face: confusion matrix equals the driver-side recount") {
+    val dir = sf("sf0.001")
+    val feat = Training.features(spark, dir)
+    val wFinal = Training.trainTrajectory(feat).last._2
+    val cells = feat.collect().map { r =>
+      val x = Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      (sigmoid(wFinal, x) >= 500000L, r.getLong(5) > 0L)
+    }
+    val (tp, fp, tn, fn) = (
+      cells.count(c => c._1 && c._2).toLong, cells.count(c => c._1 && !c._2).toLong,
+      cells.count(c => !c._1 && !c._2).toLong, cells.count(c => !c._1 && c._2).toLong)
+    val row = graft.SparkEntry.queries("ta_logreg_eval")(spark, dir).collect().head
+    (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) shouldBe ((tp, fp, tn, fn))
+    row.getLong(0) shouldBe cells.length.toLong
+    if (tp + fp > 0) row.getLong(5) shouldBe tp * 1000000L / (tp + fp)
+    if (tp + fn > 0) row.getLong(6) shouldBe tp * 1000000L / (tp + fn)
+  }
 }
