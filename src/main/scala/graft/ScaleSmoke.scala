@@ -102,6 +102,9 @@ object ScaleSmoke {
     // integer frame, 32 bytes of driver traffic per step. The scoring
     // face adds one more feature scan with literal weights — pure map.
     "ta_logreg_train", "ta_logreg_score", "ta_logreg_eval",
+    // recall eval: the two composed retrievals (each already smoked) + a
+    // k-sized join.
+    "sim_recall_eval",
     // tar shards: fixed-size committed fixture (48 imgs, not synthesized)
     // — a pure floor like sim_rp_project; the signal is absence of blowup.
     "mm_tar_shards", "mm_tar_pack",

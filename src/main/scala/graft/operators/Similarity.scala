@@ -1282,6 +1282,61 @@ object Similarity {
       import s.implicits._
       rpTopk(s, Tables.embeddings(s, dir))
         .transform(d => QueryDef.smallSort(d, $"query_id", $"rk"))
+    },
+
+    // RECALL EVALUATION AS DATA — the index-quality gate run IN the
+    // engine, reproducibly, instead of in a notebook: per query, how many
+    // of the exact brute-force top-10 does the IVF index (nprobe=3)
+    // return? RecallSpecs gate fixed thresholds in tests; this makes the
+    // measurement itself an oracle-checked artifact a pipeline can emit
+    // next to the index it ships (Jégou et al.'s recall@R curves, one
+    // point, as a table). Composes the two existing oracle-checked
+    // queries — their oracles compose identically in SQL, so a hash match
+    // here certifies BOTH rankings and the overlap arithmetic. Cost: the
+    // two retrievals (each already sub-second) + a k-sized join.
+    sqlChecked(
+      "sim_recall_eval",
+      s"""WITH $IvfPrefixSql,
+        |ivf_scored AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+        |      / (q.nrm * c.nrm), 6) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+        |  JOIN n q ON q.vec_id = p.query_id
+        |  JOIN n c ON c.vec_id = a.vec_id),
+        |ivf AS (SELECT query_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+        |  FROM ivf_scored) WHERE rk <= 10),
+        |bf_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+        |      / (q.nrm * c.nrm), 6) AS cos
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+        |bf AS (SELECT query_id, cand_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
+        |  FROM bf_scored) WHERE rk <= 10)
+        |SELECT b.query_id,
+        |  CAST(count(*) AS BIGINT) AS k,
+        |  CAST(count(i.cand_id) AS BIGINT) AS n_hit,
+        |  round(CAST(count(i.cand_id) AS DOUBLE) / count(*), 6) AS recall_at_k
+        |FROM bf b LEFT JOIN ivf i
+        |  ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+        |GROUP BY b.query_id
+        |ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bf = graft.SparkEntry.queries("sim_topk_bruteforce")(s, dir)
+        .select($"query_id", $"cand_id")
+      val ivf = graft.SparkEntry.queries("sim_ivf_topk")(s, dir)
+        .select($"query_id", $"cand_id").withColumn("hit", lit(1L))
+      bf.join(ivf, Seq("query_id", "cand_id"), "left")
+        .groupBy($"query_id")
+        .agg(
+          count(lit(1)).as("k"),
+          sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .select($"query_id", $"k", $"n_hit",
+          round($"n_hit".cast("double") / $"k".cast("double"), 6).as("recall_at_k"))
+        .transform(d => QueryDef.smallSort(d, $"query_id"))
     }
   )
 
