@@ -236,6 +236,39 @@ object Dedup {
     * partitioning of arrivals into batches is the union of the per-batch
     * outputs (batch-split-invariant; IncrDedupSpec pins it).
     */
+  /** One AvailableNow pass of the arrival-dedup stream: parquet files
+    * under `srcDir` (schema from the canonical documents table of
+    * `tableDir`), each micro-batch deduped against the persisted signature
+    * index and written to `outDir/batch=N`; `ckDir` carries the file-source
+    * offsets, so a SECOND call with the same checkpoint processes only
+    * files added since the first (IncrDedupSpec's restart pin). Exposed
+    * for that spec; dd_minhash_incr_stream is this over the single
+    * committed documents file.
+    */
+  def incrStreamPass(
+      s: SparkSession, srcDir: String, glob: Option[String],
+      outDir: String, ckDir: String, tableDir: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$tableDir/documents.parquet").schema
+    val reader = s.readStream.schema(schema)
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .filter($"doc_id" % IncrMod === IncrRem)
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          incrementalMinhashPairs(s, batch, tableDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+  }
+
   def incrementalMinhashPairs(
       s: SparkSession, arrivals: DataFrame, dir: String): DataFrame = {
     import s.implicits._
@@ -834,26 +867,11 @@ object Dedup {
       incrMinhashOracle) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val outDir = java.nio.file.Files
         .createTempDirectory("dd-incr-stream-out").toString
       val ckDir = java.nio.file.Files
         .createTempDirectory("dd-incr-stream-ck").toString
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .filter($"doc_id" % IncrMod === IncrRem)
-        .writeStream
-        .option("checkpointLocation", ckDir)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           batchId: Long) =>
-            incrementalMinhashPairs(s, batch, dir)
-              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-            ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      incrStreamPass(s, dir, Some("documents.parquet"), outDir, ckDir, dir)
       s.read.option("basePath", outDir).parquet(s"$outDir/batch=*")
         .select($"new_doc", $"old_doc", $"jaccard")
         .transform(d => QueryDef.largeSort(d, $"new_doc", $"old_doc"))

@@ -49,6 +49,35 @@ class IncrDedupSpec extends SparkSuite with Matchers {
     split shouldBe whole // each arrival couples only with the fixed index
   }
 
+  test("checkpoint restart: a resumed pass ingests only new arrivals; union ≡ one-shot") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.01")
+    val root = java.nio.file.Files.createTempDirectory("incr-restart").toString
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    val arrivals = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRem)
+    def batches() = {
+      val fs = new java.io.File(out).listFiles()
+      if (fs == null) 0 else fs.count(_.getName.startsWith("batch="))
+    }
+    arrivals.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    Dedup.incrStreamPass(spark, src, None, out, ck, dir)
+    val after1 = batches()
+    after1 should be >= 1
+    Thread.sleep(1100) // distinct mtimes for the file source
+    arrivals.filter(col("doc_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    Dedup.incrStreamPass(spark, src, None, out, ck, dir)
+    batches() should be > after1 // the resume saw ONLY the added file(s)
+    val streamed = spark.read.option("basePath", out).parquet(s"$out/batch=*")
+      .select(col("new_doc"), col("old_doc"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Dedup.incrementalMinhashPairs(spark, arrivals, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    streamed shouldBe oneShot
+  }
+
   test("the streaming face equals the batch face") {
     val dir = sf("sf0.01")
     def res(name: String) = graft.SparkEntry.queries(name)(spark, dir)
