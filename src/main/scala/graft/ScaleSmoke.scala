@@ -105,6 +105,9 @@ object ScaleSmoke {
     // recall eval: the two composed retrievals (each already smoked) + a
     // k-sized join.
     "sim_recall_eval",
+    // PIT join: SCD2 build + sorted-union carry, all on ONE user_id hash
+    // partitioning (the ev_sessionize class).
+    "ev_pit_join",
     // tar shards: fixed-size committed fixture (48 imgs, not synthesized)
     // — a pure floor like sim_rp_project; the signal is absence of blowup.
     "mm_tar_shards", "mm_tar_pack",

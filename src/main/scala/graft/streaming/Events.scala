@@ -598,18 +598,7 @@ object Events {
         |  (lead(eff_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL) AS is_current
         |FROM runs ORDER BY user_id, run_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wRun = Window.partitionBy($"user_id").orderBy($"run_id")
-      Tables.events(s, dir)
-        .select($"user_id", $"ts", $"event_id", $"event_type")
-        .withColumn("chg",
-          when(lag($"event_type", 1).over(w).isNull
-            || lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
-        .withColumn("run_id", sum($"chg").over(run))
-        .groupBy($"user_id", $"run_id", $"event_type".as("state"))
-        .agg(min($"ts").as("eff_from"), count(lit(1)).as("n_events"))
-        .withColumn("eff_to", lead($"eff_from", 1).over(wRun))
+      scd2Runs(s, Tables.events(s, dir))
         .select($"user_id", $"run_id", $"state",
           date_format($"eff_from", TsFmt).as("effective_from"),
           date_format($"eff_to", TsFmt).as("effective_to"),
@@ -807,8 +796,110 @@ object Events {
       s.read.parquet(outDir)
         .select($"user_id", date_format($"last_purchase", TsFmt).as("last_purchase"))
         .orderBy($"user_id")
+    },
+
+    // POINT-IN-TIME-CORRECT dimension lookup against the SCD2 history —
+    // the feature-store join (Feast/"time-travel join"; Kleppmann's
+    // training-serving-skew discipline): for each purchase fact, the
+    // dimension state whose [effective_from, effective_to) interval
+    // contains the fact's event time — NEVER a later state, which is
+    // exactly the label-leakage a naive latest-state join commits.
+    // Semantics pinned closed-open: a fact AT a state-change instant gets
+    // the NEW state (PitJoinSpec plants the boundary). The oracle is the
+    // naive INTERVAL JOIN over the same SCD2 CTE chain — an independent
+    // plan of the same semantics. The Spark side uses the ev_asof_join
+    // discipline instead: union facts with run starts, ONE window carry
+    // of the latest run state per user over ONE user_id hash partitioning
+    // — no range join, no per-fact probe, fact volume shuffles once.
+    sqlChecked(
+      "ev_pit_join",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM e),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type AS state, MIN(ts) AS eff_from
+        |  FROM r GROUP BY user_id, run_id, event_type),
+        |hist AS (
+        |  SELECT user_id, state, eff_from,
+        |    lead(eff_from) OVER (PARTITION BY user_id ORDER BY run_id) AS eff_to
+        |  FROM runs)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  h.state, strftime(h.eff_from, '%Y-%m-%d %H:%M:%S.%f') AS state_from
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN hist h ON h.user_id = p.user_id
+        |  AND p.ts >= h.eff_from AND (h.eff_to IS NULL OR p.ts < h.eff_to)
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      pitJoin(s,
+          scd2Runs(s, ev).select($"user_id", $"state", $"eff_from"),
+          ev.filter($"event_type" === "purchase")
+            .select($"event_id", $"user_id", $"ts"))
+        .select($"event_id", $"user_id",
+          date_format($"ts", TsFmt).as("purchase_ts"),
+          $"state", date_format($"state_from", TsFmt).as("state_from"))
+        .transform(d => QueryDef.largeSort(d, $"event_id"))
     }
   )
+
+  /** SCD2 run table with open-ended effective_to (raw timestamps — the
+    * ev_scd2 query formats them; exposed for ev_pit_join and specs).
+    */
+  def scd2Runs(
+      s: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRun = Window.partitionBy($"user_id").orderBy($"run_id")
+    events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull
+          || lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id", sum($"chg").over(run))
+      .groupBy($"user_id", $"run_id", $"event_type".as("state"))
+      .agg(min($"ts").as("eff_from"), count(lit(1)).as("n_events"))
+      .withColumn("eff_to", lead($"eff_from", 1).over(wRun))
+  }
+
+  /** Point-in-time lookup of `facts` (event_id, user_id, ts) against
+    * `runs` (user_id, state, eff_from) via the sorted-union carry: runs
+    * sort BEFORE facts at identical timestamps (closed-open intervals —
+    * a fact at a change instant sees the NEW state), one window pass on
+    * one user_id partitioning. A fact before its user's first run
+    * carries NULL state — the no-covering-interval edge.
+    */
+  def pitJoin(
+      s: org.apache.spark.sql.SparkSession,
+      runs: org.apache.spark.sql.DataFrame,
+      facts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val mixed = runs
+      .select($"user_id", $"eff_from".as("ts"), lit(0).as("kind"),
+        $"state", lit(null).cast("long").as("event_id"),
+        $"eff_from".as("sf"))
+      .unionByName(facts
+        .select($"user_id", $"ts", lit(1).as("kind"),
+          lit(null).cast("string").as("state"), $"event_id",
+          lit(null).cast("timestamp").as("sf")))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("state_at", last($"state", ignoreNulls = true).over(w))
+      .withColumn("state_from", last($"sf", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id", $"user_id", $"ts",
+        $"state_at".as("state"), $"state_from")
+  }
 
   /** One AvailableNow transformWithState TIMER pass over a purchase stream,
     * parquet-sinked. Exposed (with any source frame) for InactiveSpec's
