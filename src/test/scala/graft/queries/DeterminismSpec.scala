@@ -38,6 +38,8 @@ class DeterminismSpec extends SparkSuite with Matchers {
     "ev_late_audit",       // chunk-series running-max watermark + joins
     "ev_late_backfill",    // decimal merge + equality gates across joins
     "ev_late_sweep",       // delay fan-out over the chunk watermark
+    "sim_recall_eval",     // composes two ranked retrievals + a join
+    "ev_pit_join",         // sorted-union carry with a total tie-break
     "sim_ivf_incr")        // frozen-quantizer assignment + appended lists
 
   test("hash-sensitive queries are identical at shuffle widths 3 and 8") {
