@@ -51,6 +51,15 @@ package graft
   * the driver runs unfiltered).
   */
 object Bench {
+  // The bench session's default config, defined ONCE: read here when the
+  // env vars are absent AND compared against in the basis-refresh gate, so
+  // a future default change cannot desync the two (a sweep refreshing the
+  // basis under a non-default config is exactly the contamination the gate
+  // exists to stop).
+  private val DefaultShuffle = "8"
+  private val DefaultMaxPartitionBytes = "134217728"
+  private val DefaultOpenCost = "4194304"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,18 +77,18 @@ object Bench {
     // SparkEntry/Verify sessions and every plan-shape spec — keeps the wide
     // default. Override with SPARK_GRAFT_SHUFFLE=32 to reproduce the old
     // basis.
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", DefaultShuffle)
     // Scan-split size (default 128 MB, Spark's own default). At sf1 the
     // amplified single-file tables are 30-150 MB — the default would scan
     // each as 1-2 tasks and serialize CPU-heavy text scans; an operator
     // sizes maxPartitionBytes to the cluster exactly like shuffle width
     // (SCALING.md). Recorded in the output when overridden.
-    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728")
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", DefaultMaxPartitionBytes)
     // openCostInBytes FLOORS the split size at 4 MB by default — for
     // high-compression CPU-heavy columns (text at ~7:1) a 5 MB parquet file
     // is 40 MB of decompressed scan work, and the byte heuristic would run
     // it as one task. Sized together with maxPartitionBytes (SCALING.md).
-    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304")
+    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", DefaultOpenCost)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -252,7 +261,8 @@ object Bench {
     // cross-round comparison would silently be cross-CONFIG (this bit a
     // round-11 sweep, which overwrote the 8-wide basis with 32-wide
     // medians before being caught).
-    val defaultConfig = shuffle == "8" && maxPart == "134217728" && openCost == "4194304"
+    val defaultConfig = shuffle == DefaultShuffle &&
+      maxPart == DefaultMaxPartitionBytes && openCost == DefaultOpenCost
     if (only.isEmpty && ((clean && defaultConfig) || forceRefresh)) {
       val prevJson = "{\"runs\":" + runs + ",\"sf\":\"" + sfDir + "\",\"queries\":" + qs + "}"
       java.nio.file.Files.write(prevPath, (prevJson + "\n").getBytes("UTF-8"))

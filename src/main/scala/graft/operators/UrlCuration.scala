@@ -99,7 +99,11 @@ object UrlCuration {
     val rest = regexp_extract(url, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
     val path = regexp_replace(rest, "[?#].*$", "")
     val pathC = when(path === "", lit("/")).otherwise(path)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // The query must come from the PRE-fragment substring: a bare
+    // "\\?([^#]*)" matches the first '?' anywhere, so 'http://h/p#f?x=1'
+    // would resurrect fragment content as a query string. The non-greedy
+    // [^#]*? prefix forces the matched '?' to precede any '#'.
+    val query = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val kept = filter(split(query, "&"),
       p => !startswith(p, lit("utm_")) && p =!= "")
     val queryC = array_join(kept, "&")
@@ -119,7 +123,7 @@ object UrlCuration {
 
   val canonUrlSql: String = {
     val queryC =
-      """array_to_string(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      """array_to_string(list_filter(string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
         | p -> NOT starts_with(p, 'utm_') AND p <> ''), '&')""".stripMargin.replace("\n", " ")
     s"""(lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' || $canonHostSql
        | || (CASE WHEN regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(.*)$$', 1), '[?#].*$$', '') = ''

@@ -1298,15 +1298,30 @@ object Relational {
       val pdim = Tables.part(s, dir).select($"p_partkey")
       val nParts = pdim.count()
       val maxKey = pdim.agg(max($"p_partkey")).collect().head.getLong(0)
-      s.conf.set("spark.sql.cteRecursionRowLimit",
-        (nParts * (maxKey.toString.length + 2)).toString)
-      Tables.part(s, dir).createOrReplaceTempView("graft_part_bom")
-      val walk = s.sql(
-        """WITH RECURSIVE walk(part, anc, depth) AS (
-          |  SELECT p_partkey, p_partkey, 0 FROM graft_part_bom
-          |  UNION ALL
-          |  SELECT part, anc DIV 10, depth + 1 FROM walk WHERE anc >= 1)
-          |SELECT part, anc, depth FROM walk""".stripMargin)
+      // The sized valve must not LEAK into the shared session (a
+      // data-sized limit — possibly far below the default — would gate
+      // every later recursive CTE, and alternating-sf runs in one session
+      // would inherit the smaller sf's valve). The conf is read at
+      // EXECUTION time, so the walk is forced eagerly (localCheckpoint)
+      // while the valve is set, and the prior value restored in a finally;
+      // downstream reads the checkpoint, nothing recomputes under the
+      // restored conf.
+      val valveKey = "spark.sql.cteRecursionRowLimit"
+      val prevValve = s.conf.getOption(valveKey)
+      s.conf.set(valveKey, (nParts * (maxKey.toString.length + 2)).toString)
+      val walk = try {
+        Tables.part(s, dir).createOrReplaceTempView("graft_part_bom")
+        s.sql(
+          """WITH RECURSIVE walk(part, anc, depth) AS (
+            |  SELECT p_partkey, p_partkey, 0 FROM graft_part_bom
+            |  UNION ALL
+            |  SELECT part, anc DIV 10, depth + 1 FROM walk WHERE anc >= 1)
+            |SELECT part, anc, depth FROM walk""".stripMargin)
+          .localCheckpoint(eager = true)
+      } finally prevValve match {
+        case Some(v) => s.conf.set(valveKey, v)
+        case None => s.conf.unset(valveKey)
+      }
       walk
         .join(Tables.part(s, dir).select($"p_partkey", $"p_retailprice"),
           $"part" === $"p_partkey")

@@ -839,7 +839,7 @@ object Events {
       import s.implicits._
       val ev = Tables.events(s, dir)
       pitJoin(s,
-          scd2Runs(s, ev).select($"user_id", $"state", $"eff_from"),
+          scd2Runs(s, ev).select($"user_id", $"run_id", $"state", $"eff_from"),
           ev.filter($"event_type" === "purchase")
             .select($"event_id", $"user_id", $"ts"))
         .select($"event_id", $"user_id",
@@ -871,11 +871,17 @@ object Events {
   }
 
   /** Point-in-time lookup of `facts` (event_id, user_id, ts) against
-    * `runs` (user_id, state, eff_from) via the sorted-union carry: runs
-    * sort BEFORE facts at identical timestamps (closed-open intervals —
-    * a fact at a change instant sees the NEW state), one window pass on
-    * one user_id partitioning. A fact before its user's first run
-    * carries NULL state — the no-covering-interval edge.
+    * `runs` (user_id, run_id, state, eff_from) via the sorted-union
+    * carry: runs sort BEFORE facts at identical timestamps (closed-open
+    * intervals — a fact at a change instant sees the NEW state), one
+    * window pass on one user_id partitioning. A fact before its user's
+    * first run carries NULL state — the no-covering-interval edge.
+    * run_id is part of the window ordering so that when two runs of one
+    * user share an eff_from (a state change between two same-timestamp
+    * events) the LATER run deterministically wins — matching the
+    * interval-join oracle, whose [t,t) interval for the older run is
+    * empty. (ts, kind, run_id, event_id) is a total order: runs are
+    * uniquely keyed by run_id per user, facts by event_id.
     */
   def pitJoin(
       s: org.apache.spark.sql.SparkSession,
@@ -884,14 +890,16 @@ object Events {
     import s.implicits._
     val mixed = runs
       .select($"user_id", $"eff_from".as("ts"), lit(0).as("kind"),
+        $"run_id".cast("long").as("run_id"),
         $"state", lit(null).cast("long").as("event_id"),
         $"eff_from".as("sf"))
       .unionByName(facts
         .select($"user_id", $"ts", lit(1).as("kind"),
+          lit(null).cast("long").as("run_id"),
           lit(null).cast("string").as("state"), $"event_id",
           lit(null).cast("timestamp").as("sf")))
     val w = Window.partitionBy($"user_id")
-      .orderBy($"ts", $"kind", $"event_id")
+      .orderBy($"ts", $"kind", $"run_id", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mixed
       .withColumn("state_at", last($"state", ignoreNulls = true).over(w))

@@ -133,9 +133,17 @@ class PlanSpec extends SparkSuite with Matchers {
     (p should not).include("sum(cast(l_quantity")
   }
 
-  test("q39: recursion plans UnionLoop; depth is data-dependent, root covers all parts") {
+  test("q39: recursion is pre-materialized; valve restored; root covers all parts") {
+    // The data-sized cteRecursionRowLimit valve must NOT leak into the
+    // shared session: the walk executes eagerly under the sized valve
+    // (so the returned plan reads the checkpointed RDD, not a live
+    // UnionLoop) and the prior conf value is restored before the query
+    // builder returns.
+    val valveKey = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.getOption(valveKey)
     val df = withPlainSort { SparkEntry.queries("q39_bom_rollup")(spark, dir) }
-    df.queryExecution.executedPlan.toString should include("UnionLoop")
+    spark.conf.getOption(valveKey) shouldBe before
+    df.queryExecution.executedPlan.toString should include("ExistingRDD")
     val rows = df.collect()
     val nParts = Tables.part(spark, dir).count()
     val maxKey = rows.map(_.getLong(0)).max

@@ -47,6 +47,15 @@ class UrlCanonSpec extends SparkSuite with Matchers {
     canon("http://ex.com/p?") shouldBe Seq(("http://ex.com/p", "ex.com"))
   }
 
+  test("a '?' inside the fragment is NOT a query") {
+    // The fragment is client-side only — '#f?x=1' must vanish wholesale,
+    // not resurrect 'x=1' as a query string.
+    canon("http://h.com/p#f?x=1") shouldBe Seq(("http://h.com/p", "h.com"))
+    // ...while a real query before the fragment still survives
+    canon("http://h.com/p?a=1#f?x=2") shouldBe
+      Seq(("http://h.com/p?a=1", "h.com"))
+  }
+
   test("url-level dup classes collapse and distinct urls do not") {
     import spark.implicits._
     val variants = Seq(

@@ -15,9 +15,9 @@ class PitJoinSpec extends SparkSuite with Matchers {
 
   test("boundary, pre-history and current-state facts resolve correctly") {
     import spark.implicits._
-    val runs = Seq((1L, "A", "10:00"), (1L, "B", "11:00"))
-      .toDF("user_id", "state", "t")
-      .select($"user_id", $"state",
+    val runs = Seq((1L, 1L, "A", "10:00"), (1L, 2L, "B", "11:00"))
+      .toDF("user_id", "run_id", "state", "t")
+      .select($"user_id", $"run_id", $"state",
         to_timestamp(concat(lit(D), $"t")).as("eff_from"))
     val facts = Seq(
       (101L, 1L, "10:30"), // inside [10:00, 11:00) → A
@@ -31,6 +31,29 @@ class PitJoinSpec extends SparkSuite with Matchers {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(3)) null else r.getString(3))).toMap
     out shouldBe Map(101L -> "A", 102L -> "B", 103L -> null, 104L -> "B")
+  }
+
+  test("two runs sharing one eff_from: the later run deterministically wins") {
+    import spark.implicits._
+    // A state change between two same-timestamp events produces two runs
+    // with identical eff_from. The interval-join oracle gives run 1 the
+    // empty interval [10:00, 10:00), so every fact at or after 10:00 must
+    // see B — and a fact AT 10:00 must too, on every run (the window
+    // ordering (ts, kind, run_id, event_id) is total, so this cannot
+    // flap with partitioning).
+    val runs = Seq((1L, 1L, "A", "10:00"), (1L, 2L, "B", "10:00"))
+      .toDF("user_id", "run_id", "state", "t")
+      .select($"user_id", $"run_id", $"state",
+        to_timestamp(concat(lit(D), $"t")).as("eff_from"))
+    val facts = Seq((201L, 1L, "10:00"), (202L, 1L, "10:30"))
+      .toDF("event_id", "user_id", "t")
+      .select($"event_id", $"user_id",
+        to_timestamp(concat(lit(D), $"t")).as("ts"))
+    (1 to 3).foreach { _ =>
+      val out = Events.pitJoin(spark, runs, facts)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      out shouldBe Map(201L -> "B", 202L -> "B")
+    }
   }
 
   test("against real data, every purchase resolves to its own or an earlier state") {

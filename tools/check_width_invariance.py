@@ -37,8 +37,22 @@ def main(a: str, b: str) -> int:
         if list(da.columns) != list(db.columns) or len(da) != len(db):
             bad.append((n, "shape"))
             continue
+        def cell_eq(x, y):
+            # LIST columns come back as numpy arrays, where `x == y` is
+            # element-wise and its truth value raises — compare those with
+            # np.array_equal first, then fall through to scalar equality.
+            import numpy as np
+            if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
+                return np.array_equal(np.asarray(x), np.asarray(y))
+            try:
+                if x == y:
+                    return True
+            except (ValueError, TypeError):
+                pass
+            return (x is None and y is None) or str(x) == str(y)
+
         eq = all(
-            all((x == y) or (x is None and y is None) or str(x) == str(y)
+            all(cell_eq(x, y)
                 for x, y in zip(da[c].tolist(), db[c].tolist()))
             for c in da.columns)
         if not eq:
