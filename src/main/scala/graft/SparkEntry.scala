@@ -24,6 +24,7 @@ object SparkEntry {
       operators.SkewJoin.defs ++
       operators.Layout.defs ++
       operators.UrlCuration.defs ++
+      operators.HtmlExtract.defs ++
       operators.Training.defs ++
       streaming.Events.defs ++
       streaming.EventAnalytics.defs

@@ -157,6 +157,14 @@ class PlanSpec extends SparkSuite with Matchers {
     rows.foreach(r => r.getLong(1) should be >= 1L)
   }
 
+  test("ta_html_extract: per-row scan — block features in array lambdas, no explode, no exchange below the sort") {
+    val p = plan("ta_html_extract")
+    // the whole extraction is per-row: no explode-and-reaggregate
+    (p should not).include("Generate")
+    "Exchange hashpartitioning".r.findAllMatchIn(p).size shouldBe 0
+    "Exchange rangepartitioning".r.findAllMatchIn(p).size shouldBe 1
+  }
+
   test("ta_url_canon: per-row scan — text never read, no exchange below the sort") {
     val p = plan("ta_url_canon")
     // the URL derives from (doc_id, source); the text column must be pruned
