@@ -168,8 +168,56 @@ object Bench {
       (d.name, sortedMed, nosortMed, ok)
     }
 
-    val defs = SparkEntry.allDefs.filter(d => only.forall(_.contains(d.name)))
-    val results0 = defs.map(measure)
+    // SCRATCH MANAGEMENT for full-suite scale sweeps (r11 verdict #1): the
+    // r11 sf1 sweep died on spill ENOSPC mid-suite — shuffle files and
+    // DISK_ONLY checkpoint blocks of FINISHED queries linger in the local
+    // scratch until the ContextCleaner happens to run, and the two
+    // output-bound exact joins then spill tens of GB on top of that
+    // residue. With SPARK_GRAFT_SCRATCH_GC_GB=N set, the suite (a) forces
+    // a JVM GC after any query that leaves more than N GiB of scratch so
+    // the cleaner reclaims the dead shuffles/blocks before the next query
+    // runs, and (b) sequences the two known heavy spillers LAST with a
+    // free-disk log line before each — the verdict's "per-query spill-dir
+    // cleanup + disk check" shape. Unset (the driver's sf0.1 run), both
+    // behaviors are off and the suite is byte-identical to before.
+    val scratchGcGb = sys.env.get("SPARK_GRAFT_SCRATCH_GC_GB").map(_.toDouble)
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else { val ks = f.listFiles(); if (ks == null) 0L else ks.map(dirBytes).sum }
+    def scratchBytes(): Long = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+      val kids = tmp.listFiles()
+      if (kids == null) 0L
+      else kids.filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+        .map(dirBytes).sum
+    }
+    def reclaimScratch(label: String): Unit = scratchGcGb.foreach { gb =>
+      val limit = (gb * (1L << 30)).toLong
+      var b = scratchBytes()
+      if (b > limit) {
+        System.err.println(f"[bench] scratch ${b / 1e9}%.1f GB > $gb%.0f GB after $label — forcing cleaner GC")
+        var tries = 0
+        while (b > limit && tries < 15) {
+          System.gc(); Thread.sleep(2000); b = scratchBytes(); tries += 1
+        }
+        System.err.println(f"[bench] scratch after reclaim ${b / 1e9}%.1f GB," +
+          f" free disk ${new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9}%.1f GB")
+      }
+    }
+    val heavySpillers = Set("dd_ppjoin", "dd_containment")
+    val defs0 = SparkEntry.allDefs.filter(d => only.forall(_.contains(d.name)))
+    val defs =
+      if (scratchGcGb.isEmpty) defs0
+      else defs0.filterNot(d => heavySpillers(d.name)) ++
+        defs0.filter(d => heavySpillers(d.name))
+    val results0 = defs.map { d =>
+      if (scratchGcGb.isDefined && heavySpillers(d.name))
+        System.err.println(f"[bench] pre-${d.name} free disk: " +
+          f"${new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9}%.1f GB")
+      val r = measure(d)
+      reclaimScratch(d.name)
+      r
+    }
     // Cross-round guard: previous full-suite medians live in bench_prev.json
     // ("queries":{"name":sec,...}); flag >3× round-over-round moves above 1 s.
     val prevPath = java.nio.file.Paths.get("bench_prev.json")

@@ -56,18 +56,28 @@ object Graph {
     * compact typed incidence table, column-pruned. The dir is removed on
     * JVM exit; oracles still derive everything from the raw tables, so the
     * intermediate itself is verified by the full-replay gate.
+    *
+    * Concurrency (r11 verdict #5): `computeIfAbsent` holds the key's bin
+    * lock while the builder runs, so racing first callers execute the
+    * write job AT MOST ONCE per dir — the loser blocks and reads the
+    * winner's path. (TrieMap.getOrElseUpdate inserts atomically but may
+    * EVALUATE the builder in both racers; its side effects — a second
+    * parquet write and counter bump — would still happen.) A crashed JVM
+    * skips the shutdown hook and strands its graft-graph-ti temp dir; the
+    * next JVM never reuses it (fresh createTempDirectory per build), so
+    * staleness costs disk, not correctness.
     */
   private val incidenceDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** How many times the incidence write job actually ran (observable form
     * of the write-once contract — GraphStagedSpec asserts it stays at one
-    * per dir across both graph queries).
+    * per dir across both graph queries, sequential AND racing).
     */
   val incidenceBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def purchaseIncidence(s: SparkSession, dir: String): String =
-    incidenceDirs.getOrElseUpdate(dir, {
+    incidenceDirs.computeIfAbsent(dir, _ => {
       incidenceBuilds.incrementAndGet()
       import s.implicits._
       val p = java.nio.file.Files

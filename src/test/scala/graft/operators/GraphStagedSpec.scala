@@ -39,6 +39,26 @@ class GraphStagedSpec extends SparkSuite with Matchers {
     } finally spark.conf.unset(graft.QueryDef.PlainSortConf)
   }
 
+  test("racing first calls build the incidence exactly once (r11 verdict #5)") {
+    // A distinct cache key over the SAME data: the map is keyed by the raw
+    // dir string, so the trailing separator forces a fresh first-call even
+    // though other suites already built sf("sf0.001") in this JVM.
+    val dir = sf("sf0.001") + java.io.File.separator
+    val before = Graph.incidenceBuilds.get()
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = { gate.await(); Graph.purchaseIncidence(spark, dir) }
+        })
+      }
+      val paths = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).toSet
+      paths.size shouldBe 1 // the loser blocked and read the winner's dir
+      Graph.incidenceBuilds.get() shouldBe before + 1 // builder ran once, not twice
+    } finally pool.shutdownNow()
+  }
+
   test("the incidence is the distinct (custkey, orderkey, partkey) set of the raw join") {
     import spark.implicits._
     val dir = sf("sf0.001")
