@@ -131,6 +131,17 @@ object Bench {
     }
 
     def measure(d: QueryDef): (String, Double, Double, Boolean) = {
+      // ONE untimed per-query warmup run (r11 verdict #3): the sorted runs
+      // always execute FIRST, so without it the query's JIT/codegen ramp
+      // lands entirely in the sorted medians and reads as a phantom "sort
+      // tail" — dd_ppjoin's big generated pipeline decays 8.6 → 4.6 → 4.2 s
+      // over its first runs, and a job-level breakdown (clean window) shows
+      // warm sorted ≈ warm nosort. The session-level flagship warmup above
+      // covers classloading, not per-query generated code. The warmup uses
+      // the SORTED plan (superset of the nosort one) and its failure is
+      // ignored — the timed runs will report it.
+      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       val sortedRuns = (1 to runs).map(_ => timed(
         d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
       // Queries with NO top-level ORDER BY (the 1-row aggregate family —
