@@ -69,6 +69,7 @@ object Bench {
     // wall-clock near the pre-median protocol (3+3 passes ran ~12 min).
     val nosortRuns = sys.env.getOrElse("SPARK_GRAFT_NOSORT_RUNS", "1").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val warmupRuns = !sys.env.get("SPARK_GRAFT_WARMUP").contains("0")
     // Bench-scale shuffle width (VERDICT r06 #2). sf0.1 is ~600 k rows —
     // nobody sizes 32 reducers for that; the 8 floor-bound headline queries
     // were paying 32-way task launch per Exchange on sub-second data. The
@@ -139,9 +140,12 @@ object Bench {
       // warm sorted ≈ warm nosort. The session-level flagship warmup above
       // covers classloading, not per-query generated code. The warmup uses
       // the SORTED plan (superset of the nosort one) and its failure is
-      // ignored — the timed runs will report it.
-      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      // ignored — the timed runs will report it. SPARK_GRAFT_WARMUP=0
+      // skips it for runs=1 completeness SCREENS (the sf1 sweep), where
+      // doubling every query's cost buys no median.
+      if (warmupRuns)
+        try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
       val sortedRuns = (1 to runs).map(_ => timed(
         d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
       // Queries with NO top-level ORDER BY (the 1-row aggregate family —

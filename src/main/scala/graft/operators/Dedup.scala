@@ -1242,6 +1242,90 @@ object Dedup {
       import s.implicits._
       substrDedup(Tables.documents(s, dir))
         .transform(d => QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // The DEDUP CASCADE — the staged production topology (FineWeb/CCNet/
+    // RefinedWeb all run dedup as a cost-ordered pipeline, not one
+    // operator): stage 1 exact content-hash (cheapest, catches byte
+    // copies), stage 2 canonical-URL (catches re-crawls of one page with
+    // different bytes), stage 3 MinHash-LSH + exact-Jaccard verify over
+    // the SURVIVORS only (the expensive near-dup pass runs on the
+    // already-thinned corpus — the whole point of the ordering). Every
+    // doc gets an ATTRIBUTION: which stage removed it and which kept doc
+    // it duplicates (dup_of = the smallest qualifying partner, each
+    // stage's keep-min convention), or 'keep'. Stage independence makes
+    // the restriction sound: a minhash band signature is per-doc, so the
+    // pair set over survivors equals the full-corpus pair set restricted
+    // to survivor×survivor — which is exactly how the oracle replays it.
+    //
+    // Scale: stage 1 is one hash-keyed window, stage 2 one url-keyed
+    // window (16-byte keys — text never shuffles past stage 1's hash),
+    // stage 3 is dd_minhash_lsh's banded plan on the reduced corpus;
+    // attribution adds one doc_id-keyed anti-join. Linear end to end.
+    sqlChecked(
+      "dd_cascade",
+      s"""WITH ${minhashPairsCtes(k = 32, bands = 8, threshold = 0.5)},
+         |s1 AS (
+         |  SELECT doc_id, source,
+         |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS s1_keep
+         |  FROM documents),
+         |exact_dups AS (
+         |  SELECT doc_id, 'exact' AS stage, s1_keep AS dup_of
+         |  FROM s1 WHERE doc_id <> s1_keep),
+         |surv1 AS (SELECT doc_id, source FROM s1 WHERE doc_id = s1_keep),
+         |u AS (SELECT doc_id, ${UrlCuration.dirtyUrlSql} AS url FROM surv1),
+         |cu AS (SELECT doc_id, ${UrlCuration.canonUrlSql} AS canon_url FROM u),
+         |s2 AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY canon_url) AS s2_keep
+         |  FROM cu),
+         |url_dups AS (
+         |  SELECT doc_id, 'url' AS stage, s2_keep AS dup_of
+         |  FROM s2 WHERE doc_id <> s2_keep),
+         |surv2 AS (SELECT doc_id FROM s2 WHERE doc_id = s2_keep),
+         |near AS (
+         |  SELECT p.doc_b AS doc_id, 'near' AS stage, min(p.doc_a) AS dup_of
+         |  FROM mh_pairs p
+         |  JOIN surv2 sa ON p.doc_a = sa.doc_id
+         |  JOIN surv2 sb ON p.doc_b = sb.doc_id
+         |  GROUP BY p.doc_b),
+         |keeps AS (
+         |  SELECT doc_id, 'keep' AS stage, CAST(NULL AS BIGINT) AS dup_of
+         |  FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM near))
+         |SELECT doc_id, stage, dup_of FROM exact_dups
+         |UNION ALL SELECT doc_id, stage, dup_of FROM url_dups
+         |UNION ALL SELECT doc_id, stage, dup_of FROM near
+         |UNION ALL SELECT doc_id, stage, dup_of FROM keeps
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val s1 = docs
+        .select($"doc_id", $"source", $"text",
+          Exprs.fingerprint($"text").as("content_hash"))
+        .withColumn("s1_keep",
+          min($"doc_id").over(Window.partitionBy($"content_hash")))
+      val exactDups = s1.filter($"doc_id" =!= $"s1_keep")
+        .select($"doc_id", lit("exact").as("stage"), $"s1_keep".as("dup_of"))
+      val surv1 = s1.filter($"doc_id" === $"s1_keep")
+      val s2 = surv1
+        .select($"doc_id", $"text",
+          UrlCuration.canonUrl(
+            UrlCuration.dirtyUrl($"source", $"doc_id")).as("canon_url"))
+        .withColumn("s2_keep",
+          min($"doc_id").over(Window.partitionBy($"canon_url")))
+      val urlDups = s2.filter($"doc_id" =!= $"s2_keep")
+        .select($"doc_id", lit("url").as("stage"), $"s2_keep".as("dup_of"))
+      val surv2 = s2.filter($"doc_id" === $"s2_keep").select($"doc_id", $"text")
+      val nearDups = minhashLshPairs(s, surv2)
+        .groupBy($"doc_b".as("doc_id"))
+        .agg(min($"doc_a").as("dup_of"))
+        .select($"doc_id", lit("near").as("stage"), $"dup_of")
+      val keeps = surv2.select($"doc_id")
+        .join(nearDups.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit("keep").as("stage"),
+          lit(null).cast("long").as("dup_of"))
+      QueryDef.largeSort(
+        exactDups.union(urlDups).union(nearDups).union(keeps), $"doc_id")
     }
   )
 

@@ -184,7 +184,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -495,6 +495,208 @@ object Formats {
     expired.foreach(f => java.nio.file.Files.delete(f.toPath))
     (orphans, expired.map(_.getName).toSeq, listing.length.toLong)
   }
+
+  /** Read a pinned manifest version of the table under `root`. */
+  private def readManifestVersion(
+      s: org.apache.spark.sql.SparkSession, root: String, v: Int) = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v$v.txt"))
+      .asScala.filter(_.nonEmpty).map(l => s"$root/$l").toSeq
+    s.read.parquet(files: _*)
+  }
+
+  /** Write `df` as ONE immutable data file `root/name` (staging dir +
+    * rename — the commit protocol's data-file half).
+    */
+  private def writeDataFile(s: org.apache.spark.sql.SparkSession,
+      root: String, name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = s"$root/_stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$root/$name"))
+    def rm(f: java.io.File): Unit = {
+      val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(tmp))
+  }
+
+  /** MERGE INTO v3 of the versioned table (copy-on-write), committing v4.
+    *
+    * The change source (derived from orders so the oracle can replay it):
+    * matched-UPDATE rows a2-keys with %5=0 ∧ %8≠1 (price +1000),
+    * matched-DELETE keys a2-keys with %8=1 (deletes win the overlap —
+    * a key may appear under ONE op only, the MERGE cardinality rule),
+    * not-matched-INSERT rows %3=2 ∧ %7=0 (keys new to the table).
+    *
+    * Copy-on-write FILE PRUNING is computed for real: the target is read
+    * with input_file_name(), matched keys mark their containing files, and
+    * ONLY those files are rewritten — data-b.parquet (no %3=0 keys) is
+    * re-referenced byte-identical in the v4 manifest, never copied. At
+    * 100 TB this pruning step is the min/max-stats file skip every table
+    * format does before a merge; the rewrite set is O(matched files), the
+    * join is key-hashed, and the collect is file-list-sized (planning
+    * metadata, same class as the manifest itself).
+    *
+    * Returns (nUpdated, nDeleted, nInserted, rewrittenFiles, reusedFiles).
+    */
+  def applyMergeV4(s: org.apache.spark.sql.SparkSession, dir: String,
+      root: String): (Long, Long, Long, Seq[String], Seq[String]) = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val updates = orders
+      .filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 9 =!= 0 &&
+        $"o_orderkey" % 5 === 0 && $"o_orderkey" % 8 =!= 1)
+      .select($"o_orderkey", ($"o_totalprice" + 1000.0).as("new_price"))
+    val deletes = orders
+      .filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 9 =!= 0 &&
+        $"o_orderkey" % 8 === 1)
+      .select($"o_orderkey")
+    val inserts = orders.filter($"o_orderkey" % 3 === 2 && $"o_orderkey" % 7 === 0)
+
+    val tgt = readManifestVersion(s, root, 3)
+      .withColumn("_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+    val matchedKeys = updates.select($"o_orderkey")
+      .union(deletes.select($"o_orderkey"))
+    val rewritten = tgt.join(matchedKeys, Seq("o_orderkey"))
+      .select($"_file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // file-list-sized metadata
+    import scala.jdk.CollectionConverters._
+    val v3Files = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v3.txt"))
+      .asScala.filter(_.nonEmpty).toSeq
+    val reused = v3Files.filterNot(rewritten.contains)
+
+    val cols = orders.columns.map(col)
+    val nUpd = tgt.join(updates, Seq("o_orderkey")).count()
+    val nDel = tgt.join(deletes, Seq("o_orderkey")).count()
+    val nIns = inserts.count()
+    val newNames = rewritten.map { f =>
+      val base = f.stripSuffix(".parquet")
+      val merged = tgt.filter($"_file" === f)
+        .join(deletes.withColumn("_d", lit(1)), Seq("o_orderkey"), "left")
+        .filter($"_d".isNull)
+        .join(updates, Seq("o_orderkey"), "left")
+        .withColumn("o_totalprice", coalesce($"new_price", $"o_totalprice"))
+        .select(cols: _*)
+      writeDataFile(s, root, s"$base-m.parquet", merged)
+      s"$base-m.parquet"
+    }
+    writeDataFile(s, root, "data-ins.parquet", inserts)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/manifest-v4.txt"),
+      ((newNames ++ reused ++ Seq("data-ins.parquet")).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    (nUpd, nDel, nIns, rewritten, reused)
+  }
+
+  // MERGE INTO (the upsert+delete commit every table format exposes —
+  // Delta MERGE / Iceberg MERGE / Hudi upsert) on the manifest-versioned
+  // table, copy-on-write: matched updates, matched deletes, not-matched
+  // inserts applied in one pass, ONLY the files containing matched keys
+  // rewritten, the untouched file re-referenced, and the result committed
+  // as manifest v4 — so time travel to v3 still works afterwards. Gates
+  // computed for real on the mutated directory (untouched-file reuse,
+  // pre-merge snapshot unchanged, insert keys genuinely new); the oracle
+  // replays the post-merge state from the orders table and pins them TRUE.
+  private def mergeQuery: QueryDef =
+    sqlChecked(
+      "io_merge",
+      """WITH a2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+        |b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+        |v3 AS (SELECT * FROM a2 UNION ALL SELECT * FROM b),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 = 0 AND o_orderkey % 8 <> 1
+        |         THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+        |  FROM v3 WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 8 = 1)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_v4,
+        |  round(CAST(SUM(CAST(p AS DECIMAL(20,8))) AS DOUBLE), 2) AS sum_price_v4,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a2 WHERE o_orderkey % 5 = 0 AND o_orderkey % 8 <> 1) AS n_updated,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a2 WHERE o_orderkey % 8 = 1) AS n_deleted,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0) AS n_inserted,
+        |  CAST(1 AS BIGINT) AS files_rewritten, CAST(1 AS BIGINT) AS files_reused,
+        |  TRUE AS reused_untouched, TRUE AS old_version_unchanged,
+        |  TRUE AS insert_keys_new
+        |FROM merged""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = scratchDir("graft-merge")
+      buildVersionedTable(s, dir, root)
+      def v3Stats(): (Long, Double) = {
+        val r = readManifestVersion(s, root, 3)
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val before = v3Stats()
+      val (nUpd, nDel, nIns, rewritten, reused) = applyMergeV4(s, dir, root)
+      val after = v3Stats() // time travel to the pre-merge snapshot
+      val v4 = readManifestVersion(s, root, 4)
+      val insertKeysNew = v4.filter($"o_orderkey" % 3 === 2)
+        .join(readManifestVersion(s, root, 3), Seq("o_orderkey"))
+        .isEmpty
+      val stats = v4
+        .agg(count(lit(1)).as("n_rows_v4"),
+          round(dsum($"o_totalprice"), 2).as("sum_price_v4"))
+      stats.select($"n_rows_v4", $"sum_price_v4",
+        lit(nUpd).as("n_updated"), lit(nDel).as("n_deleted"),
+        lit(nIns).as("n_inserted"),
+        lit(rewritten.length.toLong).as("files_rewritten"),
+        lit(reused.length.toLong).as("files_reused"),
+        lit(reused == Seq("data-b.parquet")).as("reused_untouched"),
+        lit(after == before).as("old_version_unchanged"),
+        lit(insertKeysNew).as("insert_keys_new"))
+    }
+
+  // CHANGE DATA FEED between two pinned snapshots (Delta CDF / Iceberg
+  // changelog): the row-level changes v3 → v4 derived from the SNAPSHOTS
+  // ALONE — one full-outer join on the key, op classified by presence and
+  // by the mutable column differing — so a consumer can subscribe to a
+  // table's changes without seeing the writer's change source. Runs the
+  // same merge as io_merge on its own fresh copy; the oracle derives the
+  // expected changeset independently from the orders table. Scale: the
+  // join is key-hashed over two snapshots (at 100 TB the formats narrow
+  // this to files touched by the commits first — exactly the rewritten-
+  // file list the merge recorded); the output is change-sized.
+  private def cdfQuery: QueryDef =
+    sqlChecked(
+      "io_cdf",
+      """WITH a2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+        |SELECT 'delete' AS op, o_orderkey, o_totalprice AS price_before,
+        |  CAST(NULL AS DOUBLE) AS price_after
+        |FROM a2 WHERE o_orderkey % 8 = 1
+        |UNION ALL
+        |SELECT 'update', o_orderkey, o_totalprice, o_totalprice + 1000
+        |FROM a2 WHERE o_orderkey % 5 = 0 AND o_orderkey % 8 <> 1
+        |UNION ALL
+        |SELECT 'insert', o_orderkey, CAST(NULL AS DOUBLE), o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = scratchDir("graft-cdf")
+      buildVersionedTable(s, dir, root)
+      applyMergeV4(s, dir, root)
+      val old = readManifestVersion(s, root, 3)
+        .select($"o_orderkey", $"o_totalprice".as("price_before"))
+      val nw = readManifestVersion(s, root, 4)
+        .select($"o_orderkey", $"o_totalprice".as("price_after"))
+      val diff = old.join(nw, Seq("o_orderkey"), "full_outer")
+        .withColumn("op",
+          when($"price_after".isNull, "delete")
+            .when($"price_before".isNull, "insert")
+            .when($"price_before" =!= $"price_after", "update"))
+        .filter($"op".isNotNull) // unchanged rows are not changes
+        .select($"op", $"o_orderkey",
+          when($"op" === "insert", lit(null).cast("double"))
+            .otherwise($"price_before").as("price_before"),
+          when($"op" === "delete", lit(null).cast("double"))
+            .otherwise($"price_after").as("price_after"))
+      QueryDef.largeSort(diff, $"o_orderkey")
+    }
 
   /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
     * customer tables per source dir. Table names carry the dir hash so

@@ -133,7 +133,81 @@ object UrlCuration {
       .stripMargin.replace("\n", " ")
   }
 
+  /** The planted category blocklist (the UT1/RefinedWeb §3.1 side input,
+    * scaled down): entries at BOTH depths — registrable-domain rows that
+    * block a whole source and host rows that block one subdomain — plus a
+    * more-specific row shadowing a domain row (longest match must win) and
+    * a row matching nothing (no false hits). Exposed for BlocklistSpec.
+    */
+  val Blocklist: Seq[(String, String)] = Seq(
+    "src3.example.com" -> "ads",
+    "src7.example.com" -> "adult",
+    "h2.src11.example.com" -> "gambling",
+    "h5.src3.example.com" -> "tracking", // more specific than the src3 row
+    "src99.example.com" -> "malware") // matches no host
+
+  private val blocklistValuesSql =
+    Blocklist.map { case (e, c) => s"('$e', '$c')" }.mkString(", ")
+
   val defs: Seq[QueryDef] = Seq(
+
+    // URL-category BLOCKLIST filter (RefinedWeb §3.1 / the UT1 blocklist;
+    // CCNet filters by domain the same way): a host is blocked when ANY
+    // label-boundary suffix of it (down to the registrable domain, never
+    // the bare TLD) appears in the blocklist, and when several entries
+    // match, the MOST SPECIFIC (longest suffix = smallest explode pos)
+    // decides the category. Hosts here are the post-canonicalization deep
+    // form h{doc_id%7}.{source}.example.com — the blocklist consumes
+    // ta_url_canon's output in the real pipeline order.
+    //
+    // Scale shape: the suffix chain is depth-bounded (labels−1 ≤ 3 rows
+    // per doc), the blocklist join is a BROADCAST hash join at this size
+    // (at the UT1 scale, 4.6M entries, the identical plan hash-partitions
+    // on the suffix string instead), the longest-match winner is one
+    // doc_id-keyed min(struct) aggregate, and the keep-flag join back to
+    // the corpus is doc_id-keyed sort-merge — all linear, no all-pairs.
+    sqlChecked(
+      "ta_blocklist",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.example.com' AS host
+         |  FROM documents),
+         |lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM h),
+         |ex AS (
+         |  SELECT doc_id, host,
+         |    unnest(generate_series(1, len(labels) - 1)) - 1 AS pos,
+         |    unnest(list_transform(generate_series(1, len(labels) - 1),
+         |                          i -> array_to_string(labels[i:len(labels)], '.'))) AS suffix
+         |  FROM lab),
+         |bl(entry, category) AS (VALUES $blocklistValuesSql),
+         |best AS (
+         |  SELECT ex.doc_id, min_by(suffix, pos) AS matched_entry,
+         |    min_by(bl.category, pos) AS category
+         |  FROM ex JOIN bl ON suffix = entry GROUP BY ex.doc_id)
+         |SELECT h.doc_id, h.host, best.matched_entry, best.category,
+         |  (best.matched_entry IS NOT NULL) AS blocked
+         |FROM h LEFT JOIN best ON h.doc_id = best.doc_id
+         |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bl = Blocklist.toDF("entry", "category")
+      val h = Tables.documents(s, dir).select($"doc_id",
+        concat(lit("h"), ($"doc_id" % 7).cast("string"), lit("."), $"source",
+          lit(".example.com")).as("host"))
+      val labels = split($"host", "\\.")
+      val sufs = transform(sequence(lit(1), size(labels) - 1), i =>
+        struct((i - 1).as("pos"),
+          array_join(slice(labels, i, size(labels) - i + 1), ".").as("suffix")))
+      val ex = h.select($"doc_id", explode(sufs).as("sf"))
+        .select($"doc_id", $"sf.pos".as("pos"), $"sf.suffix".as("suffix"))
+      val best = ex.join(broadcast(bl), $"suffix" === $"entry")
+        .groupBy($"doc_id")
+        .agg(min(struct($"pos", $"suffix", $"category")).as("b"))
+        .select($"doc_id", $"b.suffix".as("matched_entry"), $"b.category".as("category"))
+      val out = h.join(best, Seq("doc_id"), "left")
+        .select($"doc_id", $"host", $"matched_entry", $"category",
+          $"matched_entry".isNotNull.as("blocked"))
+      graft.QueryDef.largeSort(out, $"doc_id")
+    },
 
     // Per-doc canonicalization: the dirty URL beside its canonical form and
     // host. Pure per-row expressions — the linear scan is the whole plan.
