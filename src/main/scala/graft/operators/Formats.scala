@@ -184,7 +184,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ statsPruneQuery :+ dqChecksQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -697,6 +697,164 @@ object Formats {
             .otherwise($"price_after").as("price_after"))
       QueryDef.largeSort(diff, $"o_orderkey")
     }
+
+  /** Range-clustered table fixture for io_stats_prune (write-once per
+    * source dir per JVM): orders split into [[StatsPruneFiles]] contiguous
+    * o_orderkey ranges, one immutable file each, plus a per-file min/max
+    * STATS manifest (the zone map) written beside them.
+    */
+  private val statsDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val StatsPruneFiles = 8
+
+  def statsTableDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    statsDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val root = scratchDir("graft-stats")
+      val orders = Tables.orders(s, dir)
+      val maxKey = orders.agg(max($"o_orderkey")).collect().head.getLong(0)
+      val width = maxKey / StatsPruneFiles + 1
+      val stats = (0 until StatsPruneFiles).flatMap { i =>
+        val slice = orders.filter(
+          $"o_orderkey" >= i * width && $"o_orderkey" < (i + 1) * width)
+        val st = slice.agg(min($"o_orderkey"), max($"o_orderkey"), count(lit(1)))
+          .collect().head
+        if (st.isNullAt(0)) None // an empty range writes no file, no stats row
+        else {
+          writeDataFile(s, root, s"data-r$i.parquet", slice)
+          Some((s"data-r$i.parquet", st.getLong(0), st.getLong(1), st.getLong(2)))
+        }
+      }
+      stats.toDF("file", "min_key", "max_key", "n_rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/_stats")
+      root
+    })
+
+  // FILE-LEVEL DATA SKIPPING by column stats (Delta data skipping /
+  // Iceberg metadata filtering / parquet row-group zone maps lifted to the
+  // file level): the planner consults a per-file min/max STATS manifest,
+  // intersects it with the query's key range, and reads ONLY the files
+  // whose range overlaps — the within-partition complement of
+  // io_partitioned_prune's directory pruning. The files-read gate is
+  // computed for real from input_file_name() on the executed scan, and the
+  // pruned aggregate is cross-checked in-query against the unpruned
+  // predicate scan. At 100 TB the stats manifest is O(files) planning
+  // metadata (exactly what the formats store in their manifests), and
+  // skipping turns a full-table scan into an O(selectivity) one for any
+  // clustered key — which is WHY tables get z-ordered (lo_zorder) first.
+  private def statsPruneQuery: QueryDef =
+    sqlChecked(
+      "io_stats_prune",
+      s"""WITH hit AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey >= 1000 AND o_orderkey <= 2500)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) AS sum_price,
+        |  TRUE AS pruned_subset_of_files, TRUE AS pruned_equals_full_scan
+        |FROM hit""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = statsTableDir(s, dir)
+      val (lo, hi) = (1000L, 2500L)
+      val stats = s.read.parquet(s"$root/_stats")
+      // planning step: O(files) metadata intersect, model-collect sized
+      val keep = stats.filter($"max_key" >= lo && $"min_key" <= hi)
+        .select($"file").collect().map(_.getString(0)).toSeq.sorted
+      val pruned = s.read.parquet(keep.map(f => s"$root/$f"): _*)
+        .filter($"o_orderkey" >= lo && $"o_orderkey" <= hi)
+      val filesRead = pruned
+        .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val prunedAgg = pruned
+        .agg(count(lit(1)).as("n_rows"), round(dsum($"o_totalprice"), 2).as("sum_price"))
+        .collect().head
+      // cross-check: the unpruned full scan under the same predicate
+      val allFiles = stats.select($"file").collect().map(_.getString(0)).toSeq
+      val fullAgg = s.read.parquet(allFiles.map(f => s"$root/$f"): _*)
+        .filter($"o_orderkey" >= lo && $"o_orderkey" <= hi)
+        .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+      Seq((prunedAgg.getLong(0), prunedAgg.getDouble(1),
+        filesRead.subsetOf(keep.toSet) && keep.length < allFiles.length,
+        prunedAgg.getLong(0) == fullAgg.getLong(0)
+          && prunedAgg.getDouble(1) == fullAgg.getDouble(1)))
+        .toDF("n_rows", "sum_price", "pruned_subset_of_files",
+          "pruned_equals_full_scan")
+    }
+
+  // DATA-QUALITY EXPECTATIONS (the Deequ/Great-Expectations constraint
+  // suite as an engine operator): a declared constraint list — column
+  // completeness, key uniqueness, value range, set membership, referential
+  // integrity — evaluated in ONE pass over the fact table (a single
+  // aggregate computes every row-local metric; map-side combined) plus one
+  // key-distinct and one broadcast anti-join for the two non-row-local
+  // constraints. Emits the measured metric and a pass/fail verdict per
+  // constraint — the gate a production pipeline runs BEFORE publishing a
+  // snapshot. At 100 TB: one scan, constant-width aggregates, dim-sized
+  // broadcast; nothing output-bound.
+  private def dqChecksQuery: QueryDef =
+    sqlChecked(
+      "io_dq_checks",
+      """WITH m AS (
+        |  SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(o_custkey) AS BIGINT) AS custkey_nonnull,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys,
+        |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_pos,
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS status_ok
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS orphans
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL)
+        |SELECT c."constraint", c.metric, c.passed FROM (
+        |  SELECT 'custkey_complete' AS "constraint",
+        |    round(custkey_nonnull / CAST(n AS DOUBLE), 6) AS metric,
+        |    (custkey_nonnull = n) AS passed FROM m
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    round(distinct_keys / CAST(n AS DOUBLE), 6), (distinct_keys = n) FROM m
+        |  UNION ALL SELECT 'price_positive',
+        |    round(price_pos / CAST(n AS DOUBLE), 6), (price_pos = n) FROM m
+        |  UNION ALL SELECT 'status_in_set',
+        |    round(status_ok / CAST(n AS DOUBLE), 6), (status_ok = n) FROM m
+        |  UNION ALL SELECT 'custkey_references_customer',
+        |    round(1.0 - orphans / CAST((SELECT n FROM m) AS DOUBLE), 6),
+        |    (orphans = 0) FROM fk) c
+        |ORDER BY c."constraint"""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      QueryDef.smallSort(
+        dqSuite(s, Tables.orders(s, dir), Tables.customer(s, dir)),
+        $"constraint")
+    }
+
+  /** The constraint suite over arbitrary (orders-shaped, customer-shaped)
+    * frames — exposed so DqChecksSpec can feed PLANTED violations and pin
+    * that every constraint actually fails with the exact metric.
+    */
+  def dqSuite(s: org.apache.spark.sql.SparkSession,
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val m = orders.agg(
+      count(lit(1)).as("n"),
+      count($"o_custkey").as("custkey_nonnull"),
+      countDistinct($"o_orderkey").as("distinct_keys"),
+      sum(when($"o_totalprice" > 0, 1L).otherwise(0L)).as("price_pos"),
+      sum(when($"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L)).as("status_ok"))
+    val orphans = orders.filter($"o_custkey".isNotNull)
+      .join(broadcast(customer.select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val r = m.crossJoin(orphans)
+    def frac(num: org.apache.spark.sql.Column) =
+      round(num.cast("double") / $"n".cast("double"), 6)
+    r.select(lit("custkey_complete").as("constraint"),
+        frac($"custkey_nonnull").as("metric"), ($"custkey_nonnull" === $"n").as("passed"))
+      .union(r.select(lit("orderkey_unique"), frac($"distinct_keys"), $"distinct_keys" === $"n"))
+      .union(r.select(lit("price_positive"), frac($"price_pos"), $"price_pos" === $"n"))
+      .union(r.select(lit("status_in_set"), frac($"status_ok"), $"status_ok" === $"n"))
+      .union(r.select(lit("custkey_references_customer"),
+        round(lit(1.0) - $"orphans".cast("double") / $"n".cast("double"), 6),
+        $"orphans" === 0))
+  }
 
   /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
     * customer tables per source dir. Table names carry the dir hash so
