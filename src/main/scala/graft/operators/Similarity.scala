@@ -1337,8 +1337,81 @@ object Similarity {
         .select($"query_id", $"k", $"n_hit",
           round($"n_hit".cast("double") / $"k".cast("double"), 6).as("recall_at_k"))
         .transform(d => QueryDef.smallSort(d, $"query_id"))
+    },
+
+    // EXACT cosine RANGE search (every neighbor with cos ≥ t, not top-k)
+    // over the persisted IVF layout, with SOUND cluster pruning by the
+    // spherical triangle inequality: for unit directions
+    // angle(q,x) ≥ angle(q,c) − r_c, where r_c is the cluster's angular
+    // radius (max angle(x,c) over members — K rows of index metadata,
+    // computed once per build), so a cluster with
+    // angle(q,c) − r_c > acos(t) provably holds no result for q and its
+    // partition is never read. Pruning is a pure skip: scanned-but-
+    // useless members die at the exact cos ≥ t filter, so the result is
+    // EXACT however little prunes. On this corpus's weak clusters the
+    // radii are wide and most clusters scan (the oracle replays the
+    // brute-force definition); RangeSearchSpec plants separable clusters
+    // and pins that the bound really skips partitions there. The margin
+    // acos(t − 5e-7) absorbs the 6-dp rounding band so a pair that
+    // ROUNDS into the threshold can never sit in a pruned cluster. At
+    // 100 TB: radii are K-row metadata, the scan/skip decision is Q×K
+    // driver arithmetic (model-collect class), and the scan reads only
+    // the chosen cluster partitions.
+    sqlChecked(
+      "sim_range_search",
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)
+        |SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+        |    / (q.nrm * c.nrm), 6) AS cos
+        |FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        |WHERE q.vec_id < 5
+        |  AND round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+        |    / (q.nrm * c.nrm), 6) >= 0.25
+        |ORDER BY query_id, cand_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      QueryDef.largeSort(
+        rangeSearchPruned(s, dir, 0.25)._1, $"query_id", $"cand_id")
     }
   )
+
+  /** Exact range search over the persisted IVF dir with angular-radius
+    * cluster pruning (see the sim_range_search comment for the bound).
+    * Returns (results, clustersScanned, clustersTotal) so RangeSearchSpec
+    * can pin real pruning on clustered data.
+    */
+  def rangeSearchPruned(s: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double): (org.apache.spark.sql.DataFrame, Long, Long) = {
+    import s.implicits._
+    val idx = ivfIndexDir(s, dir)
+    val centroids = s.read.parquet(s"$idx/centroids")
+    val posts = s.read.parquet(s"$idx/postings")
+    def angTo(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column) =
+      acos(least(lit(1.0), greatest(lit(-1.0),
+        Exprs.dot(v, $"c") / (nrm * $"cnrm"))))
+    // per-cluster angular radius: index metadata, one pass at build cost
+    val radii = posts.join(broadcast(centroids), $"cluster" === $"label")
+      .select($"cluster", angTo($"v", $"nrm").as("ang"))
+      .groupBy($"cluster").agg(max($"ang").as("radius"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val q = embWithNorm(s, dir).filter($"vec_id" < 5)
+    val qc = q.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"label", angTo($"v", $"nrm").as("qang"))
+      .collect() // Q×K rows — the model-collect class
+    // margin: cover the 6-dp rounding band, then a conservative epsilon
+    val maxAng = math.acos(threshold - 5e-7) + 1e-9
+    val scan = qc.filter { r =>
+      val rad = radii.getOrElse(r.getInt(1), math.Pi)
+      r.getDouble(2) - rad <= maxAng
+    }.map(_.getInt(1)).distinct.toSeq
+    val scanned = posts.filter($"cluster".isin(scan: _*))
+    val qv = q.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val res = broadcast(qv).join(scanned, $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("cand_id"),
+        round(Exprs.dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos"))
+      .filter($"cos" >= threshold)
+    (res, scan.length.toLong, radii.size.toLong)
+  }
 
   /** Projected-space exact top-k (core of sim_rp_topk; exposed for
     * RpRecallSpec): project once, assemble per-vec integer coordinate
