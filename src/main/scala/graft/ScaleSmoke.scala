@@ -127,7 +127,25 @@ object ScaleSmoke {
     // incremental IVF: build+ingest on first touch of each dir (the
     // once-per-layout cost, like sim_ivf_persist/io_bucketed_join); the
     // serve itself is probe-proportional.
-    "sim_ivf_incr")
+    "sim_ivf_incr",
+    // round-12: HTML extraction is a pure per-row block classifier scan;
+    // the blocklist is a depth-bounded suffix explode + broadcast join +
+    // one doc-keyed agg/join — both linear.
+    "ta_html_extract", "ta_blocklist",
+    // the dedup cascade under ×8 EXACT copies: stage 1 collapses every
+    // copy family to one survivor, so the expensive near-dup stage runs
+    // on ~n/8 — the smoke quantifies the cost-ordering payoff that is the
+    // operator's whole argument.
+    "dd_cascade",
+    // merge/CDF/stats-prune/DQ: fixture build + a fixed number of file
+    // commits on first touch (the once-per-layout class) + linear
+    // rewrites; stats-prune's scan is selectivity-bound by construction;
+    // the DQ suite is one scan + a broadcast anti-join.
+    "io_merge", "io_cdf", "io_stats_prune", "io_dq_checks",
+    // range search: K-row radius metadata + Q×K scan/skip decisions; on
+    // the unclustered ×copies corpus everything scans — the honest
+    // worst case, a linear candidate scan.
+    "sim_range_search")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
