@@ -236,17 +236,20 @@ object Bench {
     // Cross-round guard: previous full-suite medians live in bench_prev.json
     // ("queries":{"name":sec,...}); flag >3× round-over-round moves above 1 s.
     val prevPath = java.nio.file.Paths.get("bench_prev.json")
+    // the basis is only comparable at ITS scale factor: an sf1 (or
+    // scale-smoke) run compared against the sf0.1 basis spuriously
+    // flags/retries every data-proportional query (seen with
+    // ta_pipeline_e2e at sf1, r10)
+    val prevSf: Option[String] =
+      if (!java.nio.file.Files.exists(prevPath)) None
+      else "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(
+          new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8"))
+        .map(_.group(1))
     val prevMedians: Map[String, Double] =
-      if (java.nio.file.Files.exists(prevPath)) {
+      if (java.nio.file.Files.exists(prevPath) && !prevSf.exists(_ != sfDir)) {
         val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
-        // the basis is only comparable at ITS scale factor: an sf1 (or
-        // scale-smoke) run compared against the sf0.1 basis spuriously
-        // flags/retries every data-proportional query (seen with
-        // ta_pipeline_e2e at sf1, r10)
-        val prevSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
-          .findFirstMatchIn(txt).map(_.group(1))
-        if (prevSf.exists(_ != sfDir)) Map.empty
-        else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
           .filter(m => m.group(1) != "round" && m.group(1) != "runs" && m.group(1) != "sf")
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
@@ -326,7 +329,12 @@ object Bench {
     // medians before being caught).
     val defaultConfig = shuffle == DefaultShuffle &&
       maxPart == DefaultMaxPartitionBytes && openCost == DefaultOpenCost
-    if (only.isEmpty && ((clean && defaultConfig) || forceRefresh)) {
+    // A run at a DIFFERENT scale factor than the standing basis must never
+    // become the basis: with prevSf != sfDir the per-query regression flags
+    // are (correctly) disabled above, so an sf1 sweep would read as "clean"
+    // and silently replace the sf0.1 basis with sf1 medians.
+    val sameSf = !prevSf.exists(_ != sfDir)
+    if (only.isEmpty && ((clean && defaultConfig && sameSf) || forceRefresh)) {
       val prevJson = "{\"runs\":" + runs + ",\"sf\":\"" + sfDir + "\",\"queries\":" + qs + "}"
       java.nio.file.Files.write(prevPath, (prevJson + "\n").getBytes("UTF-8"))
     } else if (only.isEmpty) {
