@@ -145,7 +145,11 @@ object ScaleSmoke {
     // range search: K-row radius metadata + Q×K scan/skip decisions; on
     // the unclustered ×copies corpus everything scans — the honest
     // worst case, a linear candidate scan.
-    "sim_range_search")
+    "sim_range_search",
+    // MoR deletes: two predicate scans emitting (file,pos) vectors +
+    // anti-join reads against the broadcast delete-sized DV — all linear,
+    // zero data rewrites. The clone adds one manifest write on top.
+    "io_dv_delete", "io_shallow_clone")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -184,7 +184,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ statsPruneQuery :+ dqChecksQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ dvDeleteQuery :+ shallowCloneQuery :+ statsPruneQuery :+ dqChecksQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -522,13 +522,22 @@ object Formats {
     (orphans, expired.map(_.getName).toSeq, listing.length.toLong)
   }
 
+  /** Resolve a manifest line to a path: relative lines live under the
+    * manifest's own root; absolute lines (shallow-clone references into
+    * ANOTHER table's root) are used as-is — exactly how production
+    * manifests store file URIs, which is what makes zero-copy clones
+    * possible.
+    */
+  private def resolveManifestLine(root: String, line: String): String =
+    if (line.startsWith("/")) line else s"$root/$line"
+
   /** Read a pinned manifest version of the table under `root`. */
   private def readManifestVersion(
       s: org.apache.spark.sql.SparkSession, root: String, v: Int) = {
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files
       .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v$v.txt"))
-      .asScala.filter(_.nonEmpty).map(l => s"$root/$l").toSeq
+      .asScala.filter(_.nonEmpty).map(resolveManifestLine(root, _)).toSeq
     s.read.parquet(files: _*)
   }
 
@@ -911,6 +920,212 @@ object Formats {
         round(lit(1.0) - $"orphans".cast("double") / $"n".cast("double"), 6),
         $"orphans" === 0))
   }
+
+  /** Apply a positional DELETION-VECTOR delete (merge-on-read) to the
+    * versioned table under `root`: commit v4 deleting `o_orderkey % 7 = 2`
+    * and then a STACKED v5 deleting `o_orderkey % 10 = 6` among the
+    * survivors. No data file is touched — each commit writes only a
+    * (file, pos) positional-delete table (the Delta deletion-vector /
+    * Iceberg positional-delete-file design, expressed Spark-first: row
+    * positions come from the parquet reader's own `_metadata.file_path` /
+    * `_metadata.row_index` columns, the same row-addressing Delta's DV
+    * implementation uses) plus a manifest whose `dv:` lines accumulate
+    * every live vector.
+    *
+    * Why this exists next to copy-on-write [[applyMergeV4]]: CoW pays
+    * O(affected files × file size) write amplification per delete — at
+    * 100 TB a 0.1% scattered delete can rewrite the whole table. MoR pays
+    * O(deleted rows) on write and defers the cost to read time, where it
+    * is one anti-join against a delete-sized table (broadcast here;
+    * production formats push the per-file bitmap into the scan itself —
+    * semantically the same pruning). Compaction later folds DVs back into
+    * data files, which is exactly [[applyMergeV4]]'s rewrite path.
+    *
+    * Returns (dv4 file names, dv5 file names).
+    */
+  def applyDvDeletes(s: org.apache.spark.sql.SparkSession,
+      root: String): (Seq[String], Seq[String]) = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val dataFiles = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v3.txt"))
+      .asScala.filter(_.nonEmpty).toSeq
+
+    // ONE scan of the base files builds the vector: (file, pos) of every
+    // row matching the delete predicate. Positions always address the
+    // immutable BASE file, so later vectors stack without rebasing.
+    def addressed = s.read.parquet(dataFiles.map(resolveManifestLine(root, _)): _*)
+      .withColumn("file", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("pos", col("_metadata.row_index"))
+    val dv4 = addressed.filter($"o_orderkey" % 7 === 2).select($"file", $"pos")
+    val dv4Names = writeDataGroup(s, root, "dv-v4", dv4)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/manifest-v4.txt"),
+      ((dataFiles ++ dv4Names.map("dv:" + _)).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+
+    // The second delete sees the MoR view of v4 (so a row already dead in
+    // dv4 is not re-deleted — the vectors partition the deleted rows).
+    val dv5 = readMorVersion(s, root, 4)
+      .filter($"o_orderkey" % 10 === 6).select($"file", $"pos")
+    val dv5Names = writeDataGroup(s, root, "dv-v5", dv5)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/manifest-v5.txt"),
+      ((dataFiles ++ (dv4Names ++ dv5Names).map("dv:" + _)).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    (dv4Names, dv5Names)
+  }
+
+  /** Merge-on-read snapshot read: scan the manifest's data files with
+    * their (file, pos) row addresses and anti-join the union of its `dv:`
+    * deletion vectors. The DV side is delete-sized — broadcast, so the
+    * read overhead over a plain scan is one build of a small hash set per
+    * task (production formats specialize this to a per-file bitmap probe
+    * inside the scan; the broadcast hash anti-join is the engine-level
+    * equivalent, and Catalyst prunes the `_metadata` columns right after
+    * the join). Exposes `file`/`pos` for callers that stack further DVs.
+    */
+  def readMorVersion(s: org.apache.spark.sql.SparkSession,
+      root: String, v: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v$v.txt"))
+      .asScala.filter(_.nonEmpty).toSeq
+    val (dvLines, dataLines) = lines.partition(_.startsWith("dv:"))
+    val base = s.read.parquet(
+      dataLines.map(resolveManifestLine(root, _)): _*)
+      .withColumn("file", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("pos", col("_metadata.row_index"))
+    if (dvLines.isEmpty) base
+    else {
+      val dv = s.read.parquet(
+        dvLines.map(f => s"$root/${f.stripPrefix("dv:")}"): _*)
+      base.join(broadcast(dv), Seq("file", "pos"), "left_anti")
+    }
+  }
+
+  // MERGE-ON-READ DELETES via positional deletion vectors — the write-
+  // amplification-free half of the table-format delete story (io_merge is
+  // the copy-on-write half). Two stacked delete commits run for real
+  // against a fresh hardlinked copy of the versioned table; the oracle
+  // replays both snapshots by predicate, which proves the positional
+  // machinery (metadata row addressing, vector stacking, anti-join read)
+  // equals predicate deletion. The in-query booleans additionally pin
+  // that no data file was rewritten across BOTH commits and that the
+  // MoR read agrees with an independent predicate scan of the base.
+  private def dvDeleteQuery: QueryDef =
+    sqlChecked(
+      "io_dv_delete",
+      """WITH a2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+        |b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+        |v3 AS (SELECT * FROM a2 UNION ALL SELECT * FROM b),
+        |v4 AS (SELECT * FROM v3 WHERE o_orderkey % 7 <> 2),
+        |v5 AS (SELECT * FROM v4 WHERE o_orderkey % 10 <> 6)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v4) AS n_rows_v4,
+        |  (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) FROM v4) AS sum_price_v4,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v3 WHERE o_orderkey % 7 = 2) AS n_deleted_v4,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v5) AS n_rows_v5,
+        |  (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) FROM v5) AS sum_price_v5,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v4 WHERE o_orderkey % 10 = 6) AS n_deleted_v5,
+        |  TRUE AS data_files_unchanged, TRUE AS mor_equals_predicate,
+        |  TRUE AS v3_still_full""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val root = freshVersionedCopy(s, dir)
+      def v3Agg() = {
+        val r = readManifestVersion(s, root, 3)
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val before = v3Agg()
+      val (dv4Names, dv5Names) = applyDvDeletes(s, root)
+      def dvCount(names: Seq[String]): Long =
+        s.read.parquet(names.map(f => s"$root/$f"): _*).count()
+      def morAgg(v: Int) = {
+        val r = readMorVersion(s, root, v)
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (v4n, v4sum) = morAgg(4)
+      val (v5n, v5sum) = morAgg(5)
+      // independent predicate replay over the base snapshot
+      def predAgg(p: org.apache.spark.sql.Column) = {
+        val r = readManifestVersion(s, root, 3).filter(p)
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val p4 = predAgg($"o_orderkey" % 7 =!= 2)
+      val p5 = predAgg($"o_orderkey" % 7 =!= 2 && $"o_orderkey" % 10 =!= 6)
+      def manifestData(v: Int): Seq[String] = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v$v.txt"))
+        .asScala.filter(_.nonEmpty).filterNot(_.startsWith("dv:")).toSeq
+      Seq((v4n, v4sum, dvCount(dv4Names), v5n, v5sum, dvCount(dv5Names),
+        manifestData(4) == manifestData(3) && manifestData(5) == manifestData(3),
+        (v4n, v4sum) == p4 && (v5n, v5sum) == p5,
+        v3Agg() == before))
+        .toDF("n_rows_v4", "sum_price_v4", "n_deleted_v4",
+          "n_rows_v5", "sum_price_v5", "n_deleted_v5",
+          "data_files_unchanged", "mor_equals_predicate", "v3_still_full")
+    }
+
+  // ZERO-COPY SHALLOW CLONE (Delta SHALLOW CLONE / an Iceberg snapshot
+  // ref): a clone is a NEW manifest in a new root whose data lines are
+  // absolute references into the source table — O(manifest) to create, no
+  // data bytes moved. The clone then diverges independently: both
+  // deletion-vector commits run against the CLONE (its DVs live in its
+  // own root, addressing the shared immutable base files by position),
+  // while the source keeps serving its unmodified snapshot. The oracle
+  // replays the diverged clone by predicate; the in-query booleans prove
+  // the clone root holds zero data files and the source still reads full.
+  // At 100 TB this is how experiment branches are cut from a production
+  // table: manifest-sized metadata, never a second copy of the data.
+  private def shallowCloneQuery: QueryDef =
+    sqlChecked(
+      "io_shallow_clone",
+      """WITH a2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+        |b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+        |v3 AS (SELECT * FROM a2 UNION ALL SELECT * FROM b),
+        |cl AS (SELECT * FROM v3 WHERE o_orderkey % 7 <> 2 AND o_orderkey % 10 <> 6)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_rows_clone,
+        |  (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) FROM cl) AS sum_price_clone,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v3) AS n_rows_source,
+        |  (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) FROM v3) AS sum_price_source,
+        |  TRUE AS clone_zero_copy, TRUE AS source_unaffected""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val srcRoot = freshVersionedCopy(s, dir)
+      def srcAgg() = {
+        val r = readManifestVersion(s, srcRoot, 3)
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val before = srcAgg()
+      // the clone: one manifest write, data lines are absolute refs
+      val cloneRoot = scratchDir("graft-clone")
+      val srcData = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$srcRoot/manifest-v3.txt"))
+        .asScala.filter(_.nonEmpty).toSeq
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$cloneRoot/manifest-v3.txt"),
+        (srcData.map(f => s"$srcRoot/$f").mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      // diverge the clone (two stacked DV deletes), source untouched
+      applyDvDeletes(s, cloneRoot)
+      val clAgg = readMorVersion(s, cloneRoot, 5)
+        .agg(count(lit(1)).as("n"), round(dsum($"o_totalprice"), 2).as("p"))
+        .collect().head
+      val after = srcAgg()
+      val zeroCopy = !new java.io.File(cloneRoot).listFiles()
+        .exists(_.getName.startsWith("data-"))
+      Seq((clAgg.getLong(0), clAgg.getDouble(1), after._1, after._2,
+        zeroCopy, after == before))
+        .toDF("n_rows_clone", "sum_price_clone",
+          "n_rows_source", "sum_price_source",
+          "clone_zero_copy", "source_unaffected")
+    }
 
   /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
     * customer tables per source dir. Table names carry the dir hash so
