@@ -149,7 +149,11 @@ object ScaleSmoke {
     // MoR deletes: two predicate scans emitting (file,pos) vectors +
     // anti-join reads against the broadcast delete-sized DV — all linear,
     // zero data rewrites. The clone adds one manifest write on top.
-    "io_dv_delete", "io_shallow_clone")
+    "io_dv_delete", "io_shallow_clone",
+    // CLIP-style pair filtering: token explode + (doc, dim) agg + one
+    // doc-keyed join against the 64x-exploded embeddings — token-count-
+    // linear, no pairwise stage.
+    "mm_clip_filter")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

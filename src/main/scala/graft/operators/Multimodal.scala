@@ -323,6 +323,13 @@ object Multimodal {
   /** Shards the PACKER produces (deliberately ≠ [[TarShardCount]]). */
   val PackShardCount = 3
 
+  /** Keep threshold for mm_clip_filter's alignment cosine — the LAION
+    * operating point rescaled to this corpus' score distribution (keeps
+    * roughly the aligned third; the distribution is ~symmetric around 0 on
+    * unpaired synthetic data, exactly where misaligned pairs sit for CLIP).
+    */
+  val ClipKeepThreshold = 0.05
+
   val defs: Seq[QueryDef] = Seq(
 
     // Binary-column feature extraction (pure expressions, no decode).
@@ -753,8 +760,97 @@ object Multimodal {
         .mapPartitions(_.flatMap(readTarShard))
         .toDF()
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+    },
+
+    // IMAGE-TEXT PAIR ALIGNMENT FILTERING — the LAION curation stage
+    // (Schuhmann et al. 2021 kept a crawled pair only when the CLIP
+    // image/text cosine cleared 0.28; Radford et al. 2021 for CLIP): score
+    // every (caption, image-embedding) pair and keep the aligned ones. The
+    // text encoder here is the public hashing-trick bag-of-words projection
+    // (Weinberger et al. 2009): token -> (md5 dim, ±1 md5 sign) into the
+    // image embedding's own dimensionality, so the score is a real
+    // cross-modal cosine, deterministic and engine-portable. All sums are
+    // EXACT INTEGERS (caption weights are ±1 counts; the image side is the
+    // sim_quantize_int8 micro-unit quantization), so the score is
+    // bit-identical under any partitioning — the ta_logreg discipline.
+    // Scale: token explode + one (doc, dim) hash agg + one doc-keyed join
+    // against the 64x-exploded embeddings; everything linear and co-keyed
+    // on doc_id after the dim agg, no pairwise work, nothing collected.
+    sqlChecked(
+      "mm_clip_filter",
+      s"""WITH dc AS (SELECT min(len(embedding)) AS d FROM embeddings),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
+         |                       w -> w <> '')) AS w
+         |  FROM documents),
+         |dims AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('clipdim:' || w),1,15)) AS BIGINT) % (SELECT d FROM dc) AS dim,
+         |    CASE WHEN CAST(('0x' || substr(md5('clipsign:' || w),1,15)) AS BIGINT) % 2 = 0
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM toks),
+         |cap AS (SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS wgt FROM dims GROUP BY 1, 2),
+         |cn AS (SELECT doc_id, CAST(SUM(wgt*wgt) AS BIGINT) AS cn2 FROM cap GROUP BY 1),
+         |img AS (
+         |  SELECT vec_id AS doc_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |inm AS (SELECT doc_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS in2 FROM img),
+         |dot AS (
+         |  SELECT c.doc_id, CAST(SUM(c.wgt * i.q[CAST(c.dim AS INT) + 1]) AS BIGINT) AS dotm
+         |  FROM cap c JOIN inm i USING (doc_id) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  round(CAST(t.dotm AS DOUBLE) / sqrt(CAST(c.cn2 * i.in2 AS DOUBLE)), 6) AS clip_sim,
+         |  round(CAST(t.dotm AS DOUBLE) / sqrt(CAST(c.cn2 * i.in2 AS DOUBLE)), 6) >= $ClipKeepThreshold AS kept
+         |FROM dot t JOIN cn c USING (doc_id) JOIN inm i USING (doc_id)
+         |WHERE c.cn2 > 0 AND i.in2 > 0
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      graft.QueryDef.largeSort(
+        clipScores(s, Tables.documents(s, dir), Tables.embeddings(s, dir)),
+        col("doc_id"))
     }
   )
+
+  /** The CLIP-style alignment scorer over arbitrary (documents-shaped,
+    * embeddings-shaped) frames — exposed so ClipFilterSpec can feed PLANTED
+    * aligned / misaligned pairs and pin the score's fixed points (a caption
+    * whose hashed projection IS the image vector scores 1.0; its negation
+    * scores -1.0). Returns (doc_id, clip_sim, kept).
+    */
+  def clipScores(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      embeds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Exprs
+    // dimensionality probe: one scalar agg, model-sized driver traffic
+    val d = embeds.agg(min(size($"embedding"))).collect().head.getInt(0)
+    val dims = docs
+      .select($"doc_id", explode(Exprs.normWords($"text")).as("w"))
+      .select($"doc_id",
+        (Exprs.hash60(concat(lit("clipdim:"), $"w")) % d).as("dim"),
+        when(Exprs.hash60(concat(lit("clipsign:"), $"w")) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    val cap = dims.groupBy($"doc_id", $"dim")
+      .agg(sum($"sgn").as("wgt")) // map-side combined; ±1 counts, exact
+    val cn = cap.groupBy($"doc_id").agg(sum($"wgt" * $"wgt").as("cn2"))
+    val img = embeds.select($"vec_id".as("doc_id"),
+      transform($"embedding",
+        x => round(x.cast("double") * 1000000).cast("long")).as("q"))
+    val inm = img.select($"doc_id", $"q",
+      aggregate($"q", lit(0L), (acc, x) => acc + x * x).as("in2"))
+    // skinny co-keyed join: embeddings exploded once to (doc, dim, qv)
+    val imgDims = img.select($"doc_id", posexplode($"q").as(Seq("dim", "qv")))
+    val dot = cap.join(imgDims, Seq("doc_id", "dim"))
+      .groupBy($"doc_id").agg(sum($"wgt" * $"qv").as("dotm"))
+    dot
+      .join(cn, Seq("doc_id")).join(inm.select($"doc_id", $"in2"), Seq("doc_id"))
+      .filter($"cn2" > 0 && $"in2" > 0)
+      .select($"doc_id",
+        round($"dotm".cast("double") /
+          sqrt(($"cn2" * $"in2").cast("double")), 6).as("clip_sim"))
+      .withColumn("kept", $"clip_sim" >= ClipKeepThreshold)
+  }
 
   /** Write-once-per-JVM webdataset fixture: the committed img_*.png files
     * packed into [[TarShardCount]] tar shards by doc_id mod, each sample as
