@@ -153,7 +153,10 @@ object ScaleSmoke {
     // CLIP-style pair filtering: token explode + (doc, dim) agg + one
     // doc-keyed join against the 64x-exploded embeddings — token-count-
     // linear, no pairwise stage.
-    "mm_clip_filter")
+    "mm_clip_filter",
+    // partition evolution: O(files) manifest planning + a selectivity-
+    // bound pruned scan; fixture build (7 linear writes) on first touch.
+    "io_partition_evolution")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -184,7 +184,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ dvDeleteQuery :+ shallowCloneQuery :+ statsPruneQuery :+ dqChecksQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ dvDeleteQuery :+ shallowCloneQuery :+ partitionEvolutionQuery :+ statsPruneQuery :+ dqChecksQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -1125,6 +1125,104 @@ object Formats {
         .toDF("n_rows_clone", "sum_price_clone",
           "n_rows_source", "sum_price_source",
           "clone_zero_copy", "source_unaffected")
+    }
+
+  /** Write-once PARTITION-EVOLUTION fixture per source dir per JVM (the
+    * statsTableDir discipline): the even-key half of orders written under
+    * SPEC 1 (hash-bucketed by `o_orderkey % EvoBuckets` — the original
+    * layout), the odd-key half under SPEC 2 (partitioned by
+    * `o_orderstatus` — the evolved layout), one immutable file per
+    * partition value, plus a manifest recording each file's spec id and
+    * partition tuple — Iceberg's partition-spec-per-file design, which is
+    * what lets a table change its partitioning WITHOUT rewriting history.
+    */
+  private val evoDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val EvoBuckets = 4
+
+  def evoTableDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    evoDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val root = scratchDir("graft-evo")
+      val orders = Tables.orders(s, dir)
+      val lines = scala.collection.mutable.Buffer.empty[String]
+      for (b <- 0 until EvoBuckets) {
+        val name = s"evo-s1-b$b.parquet"
+        // bucket on (key div 2) so the hash dim is independent of the
+        // even/odd old-vs-new data split (key % EvoBuckets would leave
+        // the odd buckets empty under even keys)
+        writeDataFile(s, root, name,
+          orders.filter($"o_orderkey" % 2 === 0 &&
+            expr(s"(o_orderkey div 2) % $EvoBuckets") === b))
+        lines += s"$name|1|bucket=$b"
+      }
+      for (st <- Seq("F", "O", "P")) {
+        val name = s"evo-s2-$st.parquet"
+        writeDataFile(s, root, name,
+          orders.filter($"o_orderkey" % 2 === 1 && $"o_orderstatus" === st))
+        lines += s"$name|2|status=$st"
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/manifest-evo.txt"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      root
+    })
+
+  // PARTITION EVOLUTION (Iceberg spec §partition-evolution): the table
+  // changed its partition scheme mid-life — old files stay under the old
+  // spec, new files land under the new one, and the PLANNER prunes each
+  // file under ITS OWN spec: a status predicate prunes the evolved files
+  // to the one matching partition while the legacy hash-bucketed files
+  // (unprunable on status) are all kept and filtered by the residual
+  // predicate. The alternative at 100 TB is rewriting the whole table
+  // every time the partitioning needs change; evolution makes it an
+  // O(manifest) metadata operation. The oracle replays the predicate over
+  // the logical table; the in-query gates compute the file pruning for
+  // real (spec-2 reads exactly one of its three files; the spec-1 files
+  // demonstrably NEED the residual filter) and cross-check the pruned
+  // read against the unpruned full scan.
+  private def partitionEvolutionQuery: QueryDef =
+    sqlChecked(
+      "io_partition_evolution",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) AS sum_price,
+        |  CAST(7 AS BIGINT) AS n_files_total, CAST(5 AS BIGINT) AS n_files_read,
+        |  TRUE AS spec2_pruned, TRUE AS spec1_needs_residual,
+        |  TRUE AS pruned_equals_full_scan
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val root = evoTableDir(s, dir)
+      val entries = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$root/manifest-evo.txt"))
+        .asScala.filter(_.nonEmpty).map { l =>
+          val Array(name, spec, tuple) = l.split('|'); (name, spec, tuple)
+        }.toSeq
+      // per-file planning under the file's OWN spec: spec 2 prunes on the
+      // status predicate, spec 1 cannot (hash buckets carry no status info)
+      val kept = entries.collect {
+        case (n, "1", _) => n
+        case (n, "2", t) if t == "status=F" => n
+      }
+      val keptS1 = kept.filter(_.contains("-s1-"))
+      def agg(files: Seq[String]) = {
+        val r = s.read.parquet(files.map(f => s"$root/$f"): _*)
+          .filter($"o_orderstatus" === "F") // the residual predicate
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val pruned = agg(kept)
+      val full = agg(entries.map(_._1))
+      val spec2Pruned = kept.filter(_.contains("-s2-")) == Seq("evo-s2-F.parquet") &&
+        entries.count(_._2 == "2") == 3
+      // the legacy files really do need the residual: they hold non-F rows
+      val residualNeeded = s.read.parquet(keptS1.map(f => s"$root/$f"): _*)
+        .filter($"o_orderstatus" =!= "F").limit(1).count() > 0
+      Seq((pruned._1, pruned._2,
+        entries.length.toLong, kept.length.toLong,
+        spec2Pruned, residualNeeded, pruned == full))
+        .toDF("n_rows", "sum_price", "n_files_total", "n_files_read",
+          "spec2_pruned", "spec1_needs_residual", "pruned_equals_full_scan")
     }
 
   /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
