@@ -156,7 +156,11 @@ object ScaleSmoke {
     "mm_clip_filter",
     // partition evolution: O(files) manifest planning + a selectivity-
     // bound pruned scan; fixture build (7 linear writes) on first touch.
-    "io_partition_evolution")
+    "io_partition_evolution",
+    // Matryoshka truncate-then-rerank eval: one broadcast-query candidate
+    // scan (prefix + full scores in one pass) + per-query windows on a
+    // single hash partitioning — Q-row output.
+    "sim_dim_truncate")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -39,6 +39,53 @@ object Similarity {
   val RpQueryMax = 5
   val RpTopK = 10
 
+  /** Prefix length for sim_dim_truncate's Matryoshka-style first stage. */
+  val TruncDims = 16
+
+  /** Shortlist size the truncated stage hands to the full-dim rerank. */
+  val TruncShortlist = 30
+
+  /** sim_dim_truncate's two-stage eval over an arbitrary embeddings-shaped
+    * frame — exposed so DimTruncateSpec can plant fixed points (all signal
+    * in the prefix → both recalls 1.0; prefix-blind vectors → the rerank
+    * recovers exactly what the tie-broken shortlist retained) and pin the
+    * subset guarantee: a truth item surviving the truncated top-10 always
+    * survives the rerank, so recall_rerank >= recall_trunc on ANY data.
+    */
+  def mrlEval(s: org.apache.spark.sql.SparkSession,
+      embeds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = embeds
+      .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+      .withColumn("t", slice($"v", 1, TruncDims))
+      .withColumn("nrm", Exprs.l2norm($"v"))
+      .withColumn("tnrm", Exprs.l2norm($"t"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"t".as("qt"),
+        $"nrm".as("qnrm"), $"tnrm".as("qtnrm"))
+    val scored = broadcast(q)
+      .join(e.as("c"), $"query_id" =!= $"c.vec_id")
+      .select($"query_id", $"c.vec_id".as("cand_id"),
+        round(Exprs.dot($"qt", $"c.t") / ($"qtnrm" * $"c.tnrm"), 6).as("tcos"),
+        round(Exprs.dot($"qv", $"c.v") / ($"qnrm" * $"c.nrm"), 6).as("cos"))
+    val byQ = Window.partitionBy($"query_id")
+    val rk = scored
+      .withColumn("trk", row_number().over(byQ.orderBy($"tcos".desc, $"cand_id".asc)))
+      .withColumn("frk", row_number().over(byQ.orderBy($"cos".desc, $"cand_id".asc)))
+    val rr = rk.withColumn("rrk", row_number().over(
+      Window.partitionBy($"query_id", ($"trk" <= TruncShortlist))
+        .orderBy($"cos".desc, $"cand_id".asc)))
+    val hitT = when($"trk" <= 10 && $"frk" <= 10, 1L).otherwise(0L)
+    val hitR = when($"trk" <= TruncShortlist && $"rrk" <= 10 && $"frk" <= 10, 1L)
+      .otherwise(0L)
+    rr.groupBy($"query_id")
+      .agg(sum(hitT).as("n_hit_trunc"), sum(hitR).as("n_hit_rerank"))
+      .select($"query_id", $"n_hit_trunc", $"n_hit_rerank",
+        round($"n_hit_trunc" / lit(10.0), 6).as("recall_trunc"),
+        round($"n_hit_rerank" / lit(10.0), 6).as("recall_rerank"))
+      .transform(d => QueryDef.smallSort(d, $"query_id"))
+  }
+
   val PqSubs = 8
   val PqSubDim = 8
   val PqCodes = 16
@@ -1337,6 +1384,52 @@ object Similarity {
         .select($"query_id", $"k", $"n_hit",
           round($"n_hit".cast("double") / $"k".cast("double"), 6).as("recall_at_k"))
         .transform(d => QueryDef.smallSort(d, $"query_id"))
+    },
+
+    // MATRYOSHKA / TRUNCATED-DIMENSION RETRIEVAL (Kusupati et al. 2022:
+    // MRL embeddings are trained so every PREFIX of the vector is itself a
+    // usable embedding; the deployment pattern is shortlist-on-a-prefix +
+    // rerank-full): retrieve with only the first TruncDims of the vector
+    // (a TruncDims/D-cost scan — 4× cheaper dot products here), shortlist
+    // TruncShortlist candidates, rerank the shortlist at full dimension,
+    // and measure recall@k of BOTH stages against the exact full-dim
+    // top-k. On random (untrained) vectors the prefix loses real recall
+    // and the rerank claws back exactly what the shortlist retained —
+    // the eval quantifies that contract; on MRL-trained embeddings the
+    // same plan serves production traffic. One broadcast-query candidate
+    // scan computes prefix and full scores together (the eval needs the
+    // full-dim truth anyway); ranks are per-query windows on one hash
+    // partitioning; output is Q rows.
+    sqlChecked(
+      "sim_dim_truncate",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, v[1:$TruncDims] AS t,
+        |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+        |        sqrt(list_sum(list_transform(v[1:$TruncDims], x -> x*x))) AS tnrm FROM v),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_sum(list_transform(generate_series(1, $TruncDims), i -> q.t[i] * c.t[i]))
+        |      / (q.tnrm * c.tnrm), 6) AS tcos,
+        |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+        |      / (q.nrm * c.nrm), 6) AS cos
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY tcos DESC, cand_id) AS trk,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS frk
+        |  FROM scored),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, (trk <= $TruncShortlist)
+        |    ORDER BY cos DESC, cand_id) AS rrk
+        |  FROM rk)
+        |SELECT query_id,
+        |  CAST(SUM(CASE WHEN trk <= 10 AND frk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_trunc,
+        |  CAST(SUM(CASE WHEN trk <= $TruncShortlist AND rrk <= 10 AND frk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_rerank,
+        |  round(SUM(CASE WHEN trk <= 10 AND frk <= 10 THEN 1 ELSE 0 END) / 10.0, 6) AS recall_trunc,
+        |  round(SUM(CASE WHEN trk <= $TruncShortlist AND rrk <= 10 AND frk <= 10 THEN 1 ELSE 0 END) / 10.0, 6) AS recall_rerank
+        |FROM rr GROUP BY query_id
+        |ORDER BY query_id""".stripMargin) { (s, dir) =>
+      mrlEval(s, Tables.embeddings(s, dir))
     },
 
     // EXACT cosine RANGE search (every neighbor with cos ≥ t, not top-k)
