@@ -160,7 +160,10 @@ object ScaleSmoke {
     // Matryoshka truncate-then-rerank eval: one broadcast-query candidate
     // scan (prefix + full scores in one pass) + per-query windows on a
     // single hash partitioning — Q-row output.
-    "sim_dim_truncate")
+    "sim_dim_truncate",
+    // attribution: ONE range-frame window on a user-keyed partitioning,
+    // frame state bounded by a user's 7-day event volume; no pair blowup.
+    "ev_attribution")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

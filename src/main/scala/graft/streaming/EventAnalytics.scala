@@ -92,6 +92,52 @@ object EventAnalytics {
       .transform(d => QueryDef.largeSort(d, col("user_id")))
   }
 
+  /** Lookback horizon for multi-touch attribution, in microseconds (7 d). */
+  val AttributionLookbackUs = 7L * 24 * 3600 * 1000000L
+
+  /** Multi-touch ATTRIBUTION (the marketing-analytics credit assignment —
+    * first-touch / last-touch / linear are all derivable from this table):
+    * for every conversion (`purchase`), the touches (`view`/`click`) by
+    * the same user inside the lookback window, summarized exactly — touch
+    * counts per channel (linear credit = count/n, left as exact integers),
+    * and the first/last touch (type + event id, ties broken by (ts,
+    * event_id)). ONE pass: a range-frame window over the per-user event
+    * timeline — no conversion×touch pair is materialized (the oracle
+    * replays via the independent interval join + ordered list aggregation,
+    * so the window plan is cross-checked against the join semantics). At
+    * 100 TB: one user-keyed shuffle, frame state bounded by a user's
+    * 7-day event volume; output is conversion-sized.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-AttributionLookbackUs, 0)
+    // struct ordering = (us, event_id) lexicographic: min is the first
+    // touch in the window, max the last; purchases stay null and are
+    // ignored by the aggregate
+    val touchKey = when(col("event_type").isin("view", "click"),
+      struct(col("us"), col("event_id"), col("event_type")))
+    ev
+      .withColumn("n_click",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("n_view",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+      .withColumn("ft", min(touchKey).over(w))
+      .withColumn("lt", max(touchKey).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        date_format(col("ts"), TsFmt).as("conv_ts"),
+        col("value").as("conv_value"),
+        (col("n_click") + col("n_view")).as("n_touches"),
+        col("n_click"), col("n_view"),
+        col("ft.event_type").as("first_type"), col("ft.event_id").as("first_id"),
+        col("lt.event_type").as("last_type"), col("lt.event_id").as("last_id"))
+      .transform(d => QueryDef.largeSort(d, col("conv_id")))
+  }
+
   /** Cohort retention: users grouped by first-seen day; n_users active at
     * each day offset 0..7 from their cohort day. The (user_id, day)
     * de-duplication happens BEFORE the cohort join, so the join and
@@ -273,6 +319,35 @@ object EventAnalytics {
         |FROM s LEFT JOIN c ON s.user_id = c.user_id LEFT JOIN p ON s.user_id = p.user_id
         |ORDER BY s.user_id""".stripMargin) { (s, dir) =>
       funnel(Tables.events(s, dir))
+    },
+
+    // Multi-touch attribution (see [[attribution]]). The Spark plan is a
+    // range-frame window; the oracle is the INDEPENDENT interval-join +
+    // ordered-list-aggregation formulation, so a hash match certifies the
+    // window frame's boundary semantics against the join's BETWEEN.
+    sqlChecked(
+      "ev_attribution",
+      s"""WITH e AS (SELECT event_id, user_id, ts, value, event_type, epoch_us(ts) AS us FROM events),
+        |conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |tch AS (SELECT * FROM e WHERE event_type IN ('view','click')),
+        |j AS (SELECT c.event_id AS conv_id, c.user_id, c.ts AS cts, c.value,
+        |             t.event_id AS tid, t.event_type AS ttype, t.us AS tus
+        |      FROM conv c LEFT JOIN tch t
+        |        ON t.user_id = c.user_id
+        |       AND t.us BETWEEN c.us - ${AttributionLookbackUs} AND c.us)
+        |SELECT conv_id, user_id,
+        |  strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS conv_ts,
+        |  value AS conv_value,
+        |  CAST(count(tid) AS BIGINT) AS n_touches,
+        |  CAST(count(CASE WHEN ttype = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |  CAST(count(CASE WHEN ttype = 'view' THEN 1 END) AS BIGINT) AS n_view,
+        |  (array_agg(ttype ORDER BY tus, tid) FILTER (WHERE tid IS NOT NULL))[1] AS first_type,
+        |  (array_agg(tid ORDER BY tus, tid) FILTER (WHERE tid IS NOT NULL))[1] AS first_id,
+        |  (array_agg(ttype ORDER BY tus, tid) FILTER (WHERE tid IS NOT NULL))[-1] AS last_type,
+        |  (array_agg(tid ORDER BY tus, tid) FILTER (WHERE tid IS NOT NULL))[-1] AS last_id
+        |FROM j GROUP BY conv_id, user_id, cts, value
+        |ORDER BY conv_id""".stripMargin) { (s, dir) =>
+      attribution(Tables.events(s, dir))
     },
 
     // Day-0..7 cohort retention counts.
