@@ -163,7 +163,11 @@ object ScaleSmoke {
     "sim_dim_truncate",
     // attribution: ONE range-frame window on a user-keyed partitioning,
     // frame state bounded by a user's 7-day event volume; no pair blowup.
-    "ev_attribution")
+    "ev_attribution",
+    // HITS: per half-step one edge⋈state join + one keyed agg over
+    // fixed-width rows (the pr_pagerank topology); edge set saturates
+    // under ×copies like the rest of the graph family.
+    "pr_hits")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

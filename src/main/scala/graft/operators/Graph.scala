@@ -42,6 +42,12 @@ object Graph {
   /** Result size for the presentation top-k. */
   val PrTopK = 30
 
+  /** HITS iterations (each = one auth update + one hub update). */
+  val HitsIters = 3
+
+  /** Per-side result size for pr_hits' presentation top-k. */
+  val HitsTopK = 20
+
   /** Write-once-per-(dir, JVM) PURCHASE-INCIDENCE INTERMEDIATE shared by
     * the graph family (r10 verdict #2): distinct (custkey, orderkey,
     * partkey) triples from orders⋈lineitem, materialized to parquet by the
@@ -175,6 +181,27 @@ object Graph {
         |  (SELECT mx FROM outd) <= CAST(ceil(sqrt(2.0 * (SELECT COUNT(*) FROM co))) AS BIGINT) + 1
         |    AS outdeg_bounded""".stripMargin) { (s, dir) =>
       triangleProfile(s, copurchaseEdges(s, dir))
+    },
+
+    // HITS — hubs & authorities (Kleinberg 1999, the other classic
+    // link-analysis fixed point) on the DIRECTED customer→part purchase
+    // graph: a good hub is a customer whose purchases concentrate on
+    // authoritative parts, a good authority a part bought by good hubs.
+    // Same engineering discipline as pr_pagerank: exact integer
+    // micro-units (L1 normalization per half-step — score·SCALE DIV total,
+    // the total being a 1-row model-collect scalar — so three iterations
+    // are bit-identical in any engine and under any partitioning, where
+    // float L2-normalized HITS is neither), edges read once from the
+    // shared incidence intermediate and cached pre-partitioned, one join +
+    // one aggregate per half-step over fixed-width rows, localCheckpoint
+    // truncating each round's lineage. The oracle unrolls the entire
+    // 3-iteration trajectory as a CTE chain off the raw tables — every
+    // intermediate score vector is pinned, not just the final top-k.
+    sqlChecked("pr_hits", hitsOracleSql) { (s, dir) =>
+      hits(s, s.read.parquet(purchaseIncidence(s, dir))
+        .select(concat(lit("c:"), col("custkey")).as("c"),
+          concat(lit("p:"), col("partkey")).as("p"))
+        .distinct())
     })
 
   /** Triangle profile of an undirected edge list (u < v, distinct) —
@@ -243,6 +270,82 @@ object Graph {
     edges.unpersist()
     deg.unpersist()
     ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** [[HitsIters]] integer HITS iterations over directed (c, p) edges:
+    * returns the top [[HitsTopK]] per side as (kind, node, score_micro).
+    * Exposed for HitsSpec's hand-computable graphs.
+    */
+  def hits(s: SparkSession, edges0: DataFrame): DataFrame = {
+    import s.implicits._
+    // the two half-steps join on DIFFERENT keys — cache one pre-partitioned
+    // copy per key (the pagerank discipline, doubled): after the two
+    // initial shuffles the edge list never moves again; each half-step
+    // co-shuffles only the O(nodes) state side, and the groupBy output of
+    // one half-step arrives already hash-partitioned for the next
+    val e0 = edges0.select($"c", $"p")
+    val edgesByC = e0.repartition($"c").cache()
+    val edgesByP = e0.repartition($"p").cache()
+    val nHubs = edgesByC.select($"c").distinct().count() // 1-row driver scalar
+    val h0 = PrScale / nHubs
+    var hub = edgesByC.select($"c").distinct().select($"c", lit(h0).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      // checkpoint the RAW aggregate BEFORE the total collect: the global
+      // sum and the normalization both read the materialized vector, so
+      // the edge join runs exactly once per half-step (and the lineage is
+      // truncated per round, the pagerank lesson)
+      val authRaw = edgesByC.join(hub, "c")
+        .groupBy($"p").agg(sum($"h").as("raw")).localCheckpoint()
+      val totalA = authRaw.agg(sum($"raw")).collect().head.getLong(0)
+      // exact 128-bit intermediate: raw·SCALE ≲ 1e29 stays inside
+      // DECIMAL(38,0); DIV floors back to micro-units (BIGINT)
+      auth = authRaw.select($"p",
+        expr(s"CAST(raw AS DECIMAL(38,0)) * $PrScale DIV CAST($totalA AS DECIMAL(38,0))")
+          .as("a"))
+      val hubRaw = edgesByP.join(auth, "p")
+        .groupBy($"c").agg(sum($"a").as("raw")).localCheckpoint()
+      val totalH = hubRaw.agg(sum($"raw")).collect().head.getLong(0)
+      hub = hubRaw.select($"c",
+        expr(s"CAST(raw AS DECIMAL(38,0)) * $PrScale DIV CAST($totalH AS DECIMAL(38,0))")
+          .as("h"))
+    }
+    edgesByC.unpersist()
+    edgesByP.unpersist()
+    val topA = auth.orderBy($"a".desc, $"p")
+      .limit(HitsTopK).select(lit("auth").as("kind"), $"p".as("node"), $"a".as("score_micro"))
+    val topH = hub.orderBy($"h".desc, $"c")
+      .limit(HitsTopK).select(lit("hub").as("kind"), $"c".as("node"), $"h".as("score_micro"))
+    QueryDef.smallSort(topA.union(topH),
+      $"kind", $"score_micro".desc, $"node")
+  }
+
+  /** The identical 3-iteration HITS trajectory unrolled as a CTE chain. */
+  private def hitsOracleSql: String = {
+    val iters = (1 to HitsIters).map { k =>
+      s"""a${k}r AS (
+         |  SELECT p, sum(h.h) AS raw FROM inc JOIN h${k - 1} h USING (c) GROUP BY p),
+         |a$k AS (
+         |  SELECT p, CAST(raw * $PrScale // (SELECT sum(raw) FROM a${k}r) AS BIGINT) AS a
+         |  FROM a${k}r),
+         |h${k}r AS (
+         |  SELECT c, sum(a.a) AS raw FROM inc JOIN a$k a USING (p) GROUP BY c),
+         |h$k AS (
+         |  SELECT c, CAST(raw * $PrScale // (SELECT sum(raw) FROM h${k}r) AS BIGINT) AS h
+         |  FROM h${k}r)"""
+    }.mkString(",\n")
+    s"""WITH inc AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS c, 'p:' || l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |params AS (SELECT $PrScale // count(DISTINCT c) AS h0 FROM inc),
+       |h0 AS (SELECT DISTINCT c, (SELECT h0 FROM params) AS h FROM inc),
+       |$iters
+       |SELECT kind, node, score_micro FROM (
+       |  (SELECT 'auth' AS kind, p AS node, a AS score_micro FROM a$HitsIters
+       |   ORDER BY a DESC, p LIMIT $HitsTopK)
+       |  UNION ALL
+       |  (SELECT 'hub', c, h FROM h$HitsIters ORDER BY h DESC, c LIMIT $HitsTopK))
+       |ORDER BY kind, score_micro DESC, node""".stripMargin
   }
 
   /** The identical fixed-point trajectory unrolled as a DuckDB CTE chain. */
