@@ -167,7 +167,11 @@ object ScaleSmoke {
     // HITS: per half-step one edge⋈state join + one keyed agg over
     // fixed-width rows (the pr_pagerank topology); edge set saturates
     // under ×copies like the rest of the graph family.
-    "pr_hits")
+    "pr_hits",
+    // LSH eval: the banded candidate join + candidate-sized verify +
+    // the prefix-filtered exact truth — each individually smoked (the
+    // dd_minhash_lsh / dd_ppjoin rows); the eval rides their sum.
+    "dd_lsh_eval")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

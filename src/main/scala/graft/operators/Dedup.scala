@@ -466,6 +466,33 @@ object Dedup {
     jaccardFor(cands, sh).filter($"jaccard" >= threshold)
   }
 
+  /** dd_lsh_eval's measurement over an arbitrary documents-shaped frame —
+    * exposed so LshEvalSpec can plant corpora at chosen similarity levels
+    * (exact copies must yield recall 1.0; the subset identity
+    * n_verified = |cands ∩ truth| must hold by construction).
+    */
+  def lshCandidateEval(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sh = docShinglesOf(s, docs, 3).cache()
+    val sig = minhashSignatures(sh, 32)
+    val buckets = minhashBandBuckets(sig, 32, 8)
+    val cands = buckets.as("x")
+      .join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct().cache()
+    val nCand = cands.count()
+    val nVerified = jaccardFor(cands, sh).filter($"jaccard" >= 0.5).count()
+    val nTrue = ppJoinPairs(s, docs).count() // the independent exact truth
+    cands.unpersist(); sh.unpersist()
+    Seq((nTrue, nCand, nVerified)).toDF("n_true", "n_cand", "n_verified")
+      .select($"n_true", $"n_cand", $"n_verified",
+        round($"n_verified".cast("double") / $"n_cand".cast("double"), 6)
+          .as("cand_precision"),
+        round($"n_verified".cast("double") / $"n_true".cast("double"), 6)
+          .as("lsh_recall"))
+  }
+
   /** Hyperplane-LSH near-dup pairs over any (vec_id, v: array&lt;double&gt;)
     * DataFrame: bucket-equality candidates in any of L tables at the tight
     * near-dup operating point ([[HyperplaneLsh.DedupPlanes]] — see there for
@@ -829,6 +856,42 @@ object Dedup {
       import s.implicits._
       QueryDef.largeSort(
         minhashLshPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
+    },
+
+    // IN-ENGINE LSH QUALITY EVAL (the sim_recall_eval discipline brought
+    // to the dedup family): how good is the banded-MinHash CANDIDATE
+    // stage, measured against the exact threshold-1/2 truth that
+    // dd_ppjoin's prefix filter computes with completeness a theorem?
+    // Reports the three set sizes plus candidate precision (verification
+    // work that paid off) and LSH recall (true pairs whose bands collided
+    // — the S-curve's integral over the corpus' actual similarity
+    // distribution, the number a pipeline needs before trusting banded
+    // dedup at 100 TB where exact verification of everything is
+    // unaffordable). The oracle replays the LSH stages via the shared CTE
+    // chain and the truth as the unconstrained all-pairs join — fully
+    // independent of the prefix-filter algorithm on the Spark side.
+    sqlChecked(
+      "dd_lsh_eval",
+      s"""WITH ${minhashPairsCtes(k = 32, bands = 8, threshold = 0.5)},
+        |tp0 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |tp AS (
+        |  SELECT doc_a, doc_b FROM tp0
+        |  JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
+        |  WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.5),
+        |m AS (SELECT
+        |  (SELECT count(*) FROM tp) AS n_true,
+        |  (SELECT count(*) FROM cands) AS n_cand,
+        |  (SELECT count(*) FROM mh_pairs) AS n_verified)
+        |SELECT CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(n_verified AS BIGINT) AS n_verified,
+        |  round(CAST(n_verified AS DOUBLE) / n_cand, 6) AS cand_precision,
+        |  round(CAST(n_verified AS DOUBLE) / n_true, 6) AS lsh_recall
+        |FROM m""".stripMargin) { (s, dir) =>
+      lshCandidateEval(s, Tables.documents(s, dir))
     },
 
     // INCREMENTAL ingest dedup — the production topology dd_minhash_lsh's
