@@ -171,7 +171,10 @@ object ScaleSmoke {
     // LSH eval: the banded candidate join + candidate-sized verify +
     // the prefix-filtered exact truth — each individually smoked (the
     // dd_minhash_lsh / dd_ppjoin rows); the eval rides their sum.
-    "dd_lsh_eval")
+    "dd_lsh_eval",
+    // bloom index: one distributed build pass (per-file OR-merged bloom
+    // fold), O(files) planning metadata, selectivity-bound pruned read.
+    "io_bloom_index")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.Exprs
 import graft.QueryDef.sqlChecked
 
 /** Distributed source/sink round-trips for the columnar and text formats the
@@ -184,7 +185,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ dvDeleteQuery :+ shallowCloneQuery :+ partitionEvolutionQuery :+ statsPruneQuery :+ dqChecksQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ dvDeleteQuery :+ shallowCloneQuery :+ partitionEvolutionQuery :+ statsPruneQuery :+ bloomIndexQuery :+ dqChecksQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -770,7 +771,7 @@ object Formats {
     */
   private val statsDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private val StatsPruneFiles = 8
+  private final val StatsPruneFiles = 8
 
   def statsTableDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
     statsDirs.getOrElseUpdate(dir, {
@@ -1223,6 +1224,108 @@ object Formats {
         spec2Pruned, residualNeeded, pruned == full))
         .toDF("n_rows", "sum_price", "n_files_total", "n_files_read",
           "spec2_pruned", "spec1_needs_residual", "pruned_equals_full_scan")
+    }
+
+  /** Bits / probes for the per-file bloom index (2^16 bits = 8 KiB per
+    * file — O(files) planning metadata like the min/max stats manifest).
+    */
+  final val BloomIdxBits = 65536
+  final val BloomIdxProbes = 3
+
+  /** Write-once per dir per JVM: the statsTableDir files plus a per-file
+    * BLOOM INDEX over hashed o_custkey (`_blooms`), built in ONE
+    * distributed pass (group by source file, [[graft.functions.BloomAgg]]
+    * fold — merge is bitwise OR, so the build is partitioning-independent).
+    */
+  private val bloomDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def bloomIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    bloomDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val root = statsTableDir(s, dir)
+      val files = s.read.parquet(s"$root/_stats")
+        .select($"file").collect().map(_.getString(0)).toSeq.sorted
+      s.read.parquet(files.map(f => s"$root/$f"): _*)
+        .select(
+          substring_index(input_file_name(), "/", -1).as("file"),
+          Exprs.hash60(concat(lit("bk:"), $"o_custkey")).as("h"))
+        .groupBy($"file")
+        .agg(graft.functions.BloomAgg($"h", BloomIdxBits, BloomIdxProbes).as("bits"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/_blooms")
+      root
+    })
+
+  // FILE-LEVEL BLOOM-FILTER INDEX (Parquet column bloom filters / Delta's
+  // bloom index, lifted to the planner): min/max zone maps only help
+  // range-clustered keys — a POINT lookup on a column scattered across
+  // every file (o_custkey in an orderkey-clustered table) prunes nothing
+  // by stats. A per-file bloom answers "might this file contain k?" in
+  // O(probes) bit tests against O(files) metadata; false negatives are
+  // impossible (so pruning is SOUND — the gate cross-checks the pruned
+  // aggregate against the full predicate scan), false positives only cost
+  // a wasted file read. The probe key is the rarest deterministic
+  // customer (exactly one order — the case where bloom pruning is
+  // decisive: the key lives in ONE file, stats in none). The oracle
+  // FULL-REPLAYS the index: file assignment, every file's set-bit union,
+  // the key's probe positions, and the kept-file count — so n_files_read
+  // is hash-matched as a NUMBER, not gated as a boolean.
+  private def bloomIndexQuery: QueryDef =
+    sqlChecked(
+      "io_bloom_index",
+      s"""WITH params AS (SELECT max(o_orderkey) // ${StatsPruneFiles} + 1 AS width FROM orders),
+        |kk AS (SELECT min(o_custkey) AS k FROM (
+        |  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) = 1)),
+        |fi AS (SELECT o_custkey, o_totalprice,
+        |         CAST(o_orderkey // (SELECT width FROM params) AS INT) AS f FROM orders),
+        |hh AS (SELECT f, CAST(('0x' || substr(md5('bk:' || CAST(o_custkey AS VARCHAR)),1,15)) AS BIGINT) AS h FROM fi),
+        |idx AS (SELECT unnest(generate_series(0, ${BloomIdxProbes - 1})) AS i),
+        |fbits AS (SELECT DISTINCT f, ${graft.functions.BloomAgg.positionsSql("h", "i", BloomIdxBits)} AS p
+        |          FROM hh CROSS JOIN idx),
+        |kh AS (SELECT CAST(('0x' || substr(md5('bk:' || CAST(k AS VARCHAR)),1,15)) AS BIGINT) AS h FROM kk),
+        |kpos AS (SELECT DISTINCT ${graft.functions.BloomAgg.positionsSql("h", "i", BloomIdxBits)} AS p
+        |         FROM kh CROSS JOIN idx),
+        |kept AS (SELECT f FROM (
+        |    SELECT f, count(*) AS hits FROM fbits JOIN kpos USING (p) GROUP BY f)
+        |  WHERE hits = (SELECT count(*) FROM kpos)),
+        |res AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) AS sum_price
+        |  FROM orders WHERE o_custkey = (SELECT k FROM kk))
+        |SELECT (SELECT k FROM kk) AS probe_key, n_rows, sum_price,
+        |  CAST((SELECT count(DISTINCT f) FROM fi) AS BIGINT) AS n_files_total,
+        |  CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_files_read,
+        |  TRUE AS pruned_equals_full_scan
+        |FROM res""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = bloomIndexDir(s, dir)
+      // the rarest deterministic key + its hash: two 1-row driver scalars
+      val k = Tables.orders(s, dir).groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .filter($"n" === 1).agg(min($"o_custkey")).collect().head.getLong(0)
+      val hK = s.range(1)
+        .select(Exprs.hash60(concat(lit("bk:"), lit(k))).as("h"))
+        .collect().head.getLong(0)
+      // planning: O(files) metadata, the key's probe bits tested against
+      // each file's stored bit array (the same mightContain the decontam
+      // scan uses — index build and probe share one formula)
+      val kept = s.read.parquet(s"$root/_blooms")
+        .withColumn("h", lit(hK))
+        .filter(graft.functions.BloomAgg.mightContain(
+          "bits", "h", BloomIdxBits, BloomIdxProbes))
+        .select($"file").collect().map(_.getString(0)).toSeq.sorted
+      val allFiles = s.read.parquet(s"$root/_stats")
+        .select($"file").collect().map(_.getString(0)).toSeq.sorted
+      def agg(files: Seq[String]) = {
+        val r = s.read.parquet(files.map(f => s"$root/$f"): _*)
+          .filter($"o_custkey" === k)
+          .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+        (r.getLong(0), r.getDouble(1))
+      }
+      val pruned = agg(kept)
+      val full = agg(allFiles)
+      Seq((k, pruned._1, pruned._2, allFiles.length.toLong, kept.length.toLong,
+        pruned == full))
+        .toDF("probe_key", "n_rows", "sum_price",
+          "n_files_total", "n_files_read", "pruned_equals_full_scan")
     }
 
   /** Write-once bucketed (8 buckets on custkey, sorted within) orders and
