@@ -174,7 +174,10 @@ object ScaleSmoke {
     "dd_lsh_eval",
     // bloom index: one distributed build pass (per-file OR-merged bloom
     // fold), O(files) planning metadata, selectivity-bound pruned read.
-    "io_bloom_index")
+    "io_bloom_index",
+    // OCC: conflict detection is one metadata swap; the writers' work is
+    // three predicate scans emitting delete-sized vectors + MoR reads.
+    "io_occ_conflict")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

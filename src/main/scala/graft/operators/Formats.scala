@@ -185,7 +185,7 @@ object Formats {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .transform(d => QueryDef.largeSort(d, $"o_orderkey"))
     }
-  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ dvDeleteQuery :+ shallowCloneQuery :+ partitionEvolutionQuery :+ statsPruneQuery :+ bloomIndexQuery :+ dqChecksQuery
+  ) :+ compactionQuery :+ bucketedJoinQuery :+ timeTravelQuery :+ dynamicOverwriteQuery :+ vacuumQuery :+ mergeQuery :+ cdfQuery :+ dvDeleteQuery :+ shallowCloneQuery :+ partitionEvolutionQuery :+ occConflictQuery :+ statsPruneQuery :+ bloomIndexQuery :+ dqChecksQuery
 
   /** BUCKETED co-located join (`bucketBy` + `saveAsTable`): the core 100 TB
     * join topology. Both sides are written ONCE as bucketed tables —
@@ -1224,6 +1224,109 @@ object Formats {
         spec2Pruned, residualNeeded, pruned == full))
         .toDF("n_rows", "sum_price", "n_files_total", "n_files_read",
           "spec2_pruned", "spec1_needs_residual", "pruned_equals_full_scan")
+    }
+
+  /** ATOMIC put-if-absent manifest commit — the whole concurrency story of
+    * a log-structured table format in one primitive (Delta's LogStore
+    * `putIfAbsent` contract / Iceberg's atomic metadata swap): stage the
+    * manifest body to a temp file, then `link(2)` it to `manifest-vN`.
+    * POSIX rename() silently REPLACES an existing target (so ATOMIC_MOVE
+    * is NOT put-if-absent — the first version of this helper had exactly
+    * that lost-update bug, and the io_occ_conflict serializability gate
+    * caught it); hard-linking fails with EEXIST atomically AND makes the
+    * complete staged content appear at the target in one step, so exactly
+    * one writer can create each version and readers never see a torn
+    * manifest. Data files are immutable and written BEFORE the commit, so
+    * a loser's aborted attempt strands only unreferenced files (vacuum's
+    * job).
+    */
+  def tryCommitManifest(root: String, v: Int, lines: Seq[String]): Boolean = {
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(root), s"_commit_v$v", ".tmp")
+    java.nio.file.Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(s"$root/manifest-v$v.txt"), tmp)
+      java.nio.file.Files.delete(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp); false
+    }
+  }
+
+  // OPTIMISTIC CONCURRENCY CONTROL between two table writers (the Delta
+  // commit protocol / Iceberg's atomic swap): writers A and B both read
+  // snapshot v3 and prepare deletes; A claims manifest-v4 via the atomic
+  // put-if-absent; B's attempt to claim v4 with its STALE manifest is
+  // rejected — and had it won, the in-query audit shows it would have
+  // resurrected rows A deleted (the classic lost update). B then REBASES:
+  // recomputes its delete against the now-current v4 MoR view and commits
+  // v5. The final state is proven equal to the SEQUENTIAL application of
+  // both deletes (serializability), which is the whole point of the
+  // protocol. Data files are immutable and staged before any commit, so
+  // the loser's aborted attempt strands only an unreferenced vector
+  // (vacuum's job, io_vacuum). At 100 TB this is how hundreds of
+  // concurrent jobs share one table: conflict detection costs one
+  // metadata swap, retries re-plan against metadata, data moves never
+  // block each other.
+  private def occConflictQuery: QueryDef =
+    sqlChecked(
+      "io_occ_conflict",
+      """WITH a2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+        |b AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+        |v3 AS (SELECT * FROM a2 UNION ALL SELECT * FROM b),
+        |v5 AS (SELECT * FROM v3 WHERE o_orderkey % 7 <> 2 AND o_orderkey % 10 <> 6)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v5) AS n_rows_final,
+        |  (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,8))) AS DOUBLE), 2) FROM v5) AS sum_price_final,
+        |  TRUE AS a_committed, TRUE AS b_first_rejected,
+        |  TRUE AS lost_update_prevented, TRUE AS b_retry_committed,
+        |  TRUE AS serializable""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val root = freshVersionedCopy(s, dir)
+      val dataFiles = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v3.txt"))
+        .asScala.filter(_.nonEmpty).toSeq
+      // both writers read SNAPSHOT v3 and stage immutable delete vectors
+      val dvA = readMorVersion(s, root, 3)
+        .filter($"o_orderkey" % 7 === 2).select($"file", $"pos")
+      val aNames = writeDataGroup(s, root, "dv-a", dvA)
+      val dvB = readMorVersion(s, root, 3)
+        .filter($"o_orderkey" % 10 === 6).select($"file", $"pos")
+      val bNames = writeDataGroup(s, root, "dv-b", dvB)
+      // A claims v4; B's stale claim of the same version must lose
+      val aWon = tryCommitManifest(root, 4, dataFiles ++ aNames.map("dv:" + _))
+      val bFirst = tryCommitManifest(root, 4, dataFiles ++ bNames.map("dv:" + _))
+      // the lost update B's stale manifest would have caused: rows A
+      // deleted that B's vector does not cover would come back to life
+      def dv(names: Seq[String]) =
+        s.read.parquet(names.map(f => s"$root/$f"): _*)
+      val resurrected = dv(aNames)
+        .join(dv(bNames), Seq("file", "pos"), "left_anti").count()
+      // conflict resolution: REBASE against the current snapshot — the
+      // delete is recomputed on v4's MoR view (rows already dead under A
+      // are excluded, so the stacked vectors stay disjoint) — commit v5
+      val dvB2 = readMorVersion(s, root, 4)
+        .filter($"o_orderkey" % 10 === 6).select($"file", $"pos")
+      val b2Names = writeDataGroup(s, root, "dv-b2", dvB2)
+      val v4Lines = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get(s"$root/manifest-v4.txt"))
+        .asScala.filter(_.nonEmpty).toSeq
+      val bRetry = tryCommitManifest(root, 5, v4Lines ++ b2Names.map("dv:" + _))
+      val fin = readMorVersion(s, root, 5)
+        .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+      // serializability: the concurrent outcome equals the sequential one
+      val seq = readMorVersion(s, root, 3)
+        .filter($"o_orderkey" % 7 =!= 2 && $"o_orderkey" % 10 =!= 6)
+        .agg(count(lit(1)), round(dsum($"o_totalprice"), 2)).collect().head
+      Seq((fin.getLong(0), fin.getDouble(1),
+        aWon, !bFirst, resurrected > 0, bRetry,
+        fin.getLong(0) == seq.getLong(0) && fin.getDouble(1) == seq.getDouble(1)))
+        .toDF("n_rows_final", "sum_price_final", "a_committed",
+          "b_first_rejected", "lost_update_prevented", "b_retry_committed",
+          "serializable")
     }
 
   /** Bits / probes for the per-file bloom index (2^16 bits = 8 KiB per
