@@ -177,7 +177,10 @@ object ScaleSmoke {
     "io_bloom_index",
     // OCC: conflict detection is one metadata swap; the writers' work is
     // three predicate scans emitting delete-sized vectors + MoR reads.
-    "io_occ_conflict")
+    "io_occ_conflict",
+    // EWMA: one event scan + calendar-sized per-series array folds
+    // (sequential per series by nature; types parallelize).
+    "ev_ewma")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")

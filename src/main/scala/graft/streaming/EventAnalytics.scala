@@ -194,6 +194,42 @@ object EventAnalytics {
       .transform(d => QueryDef.smallSort(d, col("hour"), col("event_type")))
   }
 
+  /** EWMA smoothing numerator (alpha = 0.3 as the integer pair 30/100). */
+  val EwmaAlphaNum = 30L
+
+  /** Exponentially-weighted moving average over each event type's
+    * gap-filled hourly count series, in EXACT integer micro-units:
+    * s_1 = x_1·10^6, s_t = (30·x_t·10^6 + 70·s_{t-1}) DIV 100 — the
+    * recursion every monitoring/forecast baseline runs, made bit-identical
+    * across engines and partitionings by integer fixed-point (float EWMA
+    * drifts by evaluation order). The recursion is inherently sequential
+    * PER SERIES, so it runs as ONE ordered array fold per event type —
+    * the per-series array is calendar-sized (O(hours), the retention
+    * argument), never event-sized, and the types parallelize. The oracle
+    * replays the identical recursion as a recursive CTE over the same
+    * gap-filled spine.
+    */
+  def ewmaHourly(events: DataFrame): DataFrame = {
+    val spine = gapfillHourly(events)
+      .select(col("event_type"), col("hour"), col("n_events"))
+    spine.groupBy(col("event_type"))
+      // "yyyy-MM-dd HH:mm" sorts lexicographically = chronologically, so
+      // the struct sort orders the fold without a second window pass
+      .agg(sort_array(collect_list(struct(col("hour"), col("n_events")))).as("arr"))
+      .select(col("event_type"), explode(expr(
+        s"""aggregate(arr,
+           |  CAST(array() AS ARRAY<STRUCT<hour: STRING, n: BIGINT, e: BIGINT>>),
+           |  (acc, x) -> acc || array(named_struct(
+           |    'hour', x.hour, 'n', x.n_events,
+           |    'e', CASE WHEN size(acc) = 0 THEN x.n_events * 1000000
+           |              ELSE ($EwmaAlphaNum * x.n_events * 1000000 +
+           |                    (100 - $EwmaAlphaNum) * element_at(acc, -1).e) DIV 100
+           |         END)))""".stripMargin)).as("r"))
+      .select(col("event_type"), col("r.hour").as("hour"),
+        col("r.n").as("n_events"), col("r.e").as("ewma_micro"))
+      .transform(d => QueryDef.smallSort(d, col("event_type"), col("hour")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // INCREMENTAL aggregate maintenance (the delta-compute topology every
@@ -382,6 +418,34 @@ object EventAnalytics {
         |FROM sp CROSS JOIN ty LEFT JOIN h ON h.hour_ts = sp.hour_ts AND h.event_type = ty.event_type
         |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
       gapfillHourly(Tables.events(s, dir))
+    },
+
+    // Integer EWMA over the gap-filled hourly series (see [[ewmaHourly]]).
+    // The oracle replays the recursion as a recursive CTE — a genuinely
+    // different evaluation strategy (row-at-a-time self-join) from the
+    // Spark side's per-series array fold, agreeing bit-for-bit because
+    // the arithmetic is exact integers.
+    sqlChecked(
+      "ev_ewma",
+      s"""WITH RECURSIVE b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |h AS (SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT ty.event_type, strftime(sp.hour_ts, '%Y-%m-%d %H:%M') AS hour,
+        |    COALESCE(h.n, 0) AS n,
+        |    row_number() OVER (PARTITION BY ty.event_type ORDER BY sp.hour_ts) AS idx
+        |  FROM sp CROSS JOIN ty LEFT JOIN h ON h.hour_ts = sp.hour_ts AND h.event_type = ty.event_type),
+        |r AS (
+        |  SELECT event_type, idx, hour, n, CAST(n * 1000000 AS BIGINT) AS e
+        |  FROM spine WHERE idx = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.idx, s.hour, s.n,
+        |    CAST(($EwmaAlphaNum * s.n * 1000000 + ${100 - EwmaAlphaNum} * r.e) // 100 AS BIGINT)
+        |  FROM spine s JOIN r ON s.event_type = r.event_type AND s.idx = r.idx + 1)
+        |SELECT event_type, hour, CAST(n AS BIGINT) AS n_events, e AS ewma_micro
+        |FROM r ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      ewmaHourly(Tables.events(s, dir))
     },
 
     // STREAM-STATIC join: a purchase stream enriched with a batch-computed
