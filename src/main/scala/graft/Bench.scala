@@ -219,7 +219,10 @@ object Bench {
           f" free disk ${new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9}%.1f GB")
       }
     }
-    val heavySpillers = Set("dd_ppjoin", "dd_containment")
+    // dd_lsh_eval joined the set in r12: it embeds a full ppjoin (the
+    // exact-truth side), so at sf1 it spills the same tens of GB and
+    // must run in the managed tail with the other output-bound joins
+    val heavySpillers = Set("dd_ppjoin", "dd_containment", "dd_lsh_eval")
     val defs0 = SparkEntry.allDefs.filter(d => only.forall(_.contains(d.name)))
     val defs =
       if (scratchGcGb.isEmpty) defs0
