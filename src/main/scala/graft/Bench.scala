@@ -199,13 +199,22 @@ object Bench {
     def dirBytes(f: java.io.File): Long =
       if (f.isFile) f.length
       else { val ks = f.listFiles(); if (ks == null) 0L else ks.map(dirBytes).sum }
-    def scratchBytes(): Long = {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    // Spark writes blockmgr-*/spark-* under spark.local.dir (or
+    // SPARK_LOCAL_DIRS) when set, NOT java.io.tmpdir — scanning only tmpdir
+    // would silently disable the ENOSPC protection on such configs.
+    val scratchRoots: Seq[java.io.File] = {
+      val conf = spark.conf.getOption("spark.local.dir")
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      conf.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq(System.getProperty("java.io.tmpdir", "/tmp")))
+        .map(new java.io.File(_))
+    }
+    def scratchBytes(): Long = scratchRoots.map { tmp =>
       val kids = tmp.listFiles()
       if (kids == null) 0L
       else kids.filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
         .map(dirBytes).sum
-    }
+    }.sum
     def reclaimScratch(label: String): Unit = scratchGcGb.foreach { gb =>
       val limit = (gb * (1L << 30)).toLong
       var b = scratchBytes()
@@ -216,7 +225,7 @@ object Bench {
           System.gc(); Thread.sleep(2000); b = scratchBytes(); tries += 1
         }
         System.err.println(f"[bench] scratch after reclaim ${b / 1e9}%.1f GB," +
-          f" free disk ${new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9}%.1f GB")
+          f" free disk ${scratchRoots.head.getUsableSpace / 1e9}%.1f GB")
       }
     }
     // dd_lsh_eval joined the set in r12: it embeds a full ppjoin (the
@@ -231,7 +240,7 @@ object Bench {
     val results0 = defs.map { d =>
       if (scratchGcGb.isDefined && heavySpillers(d.name))
         System.err.println(f"[bench] pre-${d.name} free disk: " +
-          f"${new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")).getUsableSpace / 1e9}%.1f GB")
+          f"${scratchRoots.head.getUsableSpace / 1e9}%.1f GB")
       val r = measure(d)
       reclaimScratch(d.name)
       r

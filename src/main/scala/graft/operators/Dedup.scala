@@ -33,6 +33,41 @@ object Dedup {
     */
   val HotShingleDfCap = 128
 
+  /** Sweep-scale input gate for the EXACT quadratic pair baselines
+    * (dd_ppjoin / dd_containment / dd_lsh_eval's exact-truth side). These
+    * queries are correct-by-construction oracle baselines whose cost is
+    * intentionally output-bound — at the sf1 sweep they were 79% of the
+    * whole suite's wall (r12 verdict #1). Above [[ExactPairsDocCap]]
+    * documents they run on the deterministic `doc_id % ExactPairsStride = 0`
+    * stratum instead of the full corpus: candidate/verify work drops
+    * ~stride², the algorithms and their oracles are unchanged (the oracle
+    * SQL replays the same corpus-size-dependent gate), and both driver
+    * correctness scales (sf0.01 = 500 docs, sf0.1 = 5000) sit under the cap
+    * so the hash-checked surface is byte-identical there. This is the
+    * ann-benchmarks recall-eval methodology applied to exact-join truth:
+    * estimate on a deterministic stratum, don't pay the full quadratic bill
+    * at every scale. `final val` literals so oracle-SQL interpolation is
+    * constant-folded regardless of object-init order.
+    */
+  final val ExactPairsDocCap = 10000
+  final val ExactPairsStride = 4
+
+  /** SQL twin of the gate in [[exactPairsDocs]] — a WHERE predicate over
+    * `documents` rows.
+    */
+  private final val ExactDocsGateSql: String =
+    s"((SELECT count(*) FROM documents) <= $ExactPairsDocCap OR doc_id % $ExactPairsStride = 0)"
+
+  /** The corpus the exact quadratic baselines run on (see
+    * [[ExactPairsDocCap]]). The count is a metadata-cheap 1-row action.
+    */
+  def exactPairsDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    if (docs.count() > ExactPairsDocCap)
+      docs.filter($"doc_id" % ExactPairsStride === 0)
+    else docs
+  }
+
   /** Sliding-window width (tokens) for exact-substring duplicate-span
     * removal: shared spans ≥ this many tokens are detected and removed.
     */
@@ -469,9 +504,26 @@ object Dedup {
   /** dd_lsh_eval's measurement over an arbitrary documents-shaped frame —
     * exposed so LshEvalSpec can plant corpora at chosen similarity levels
     * (exact copies must yield recall 1.0; the subset identity
-    * n_verified = |cands ∩ truth| must hold by construction).
+    * n_hit = |cands ∩ truth| must hold by construction) and so
+    * LshEvalSampleSpec can force a `truthStride` and pin sampled-vs-full
+    * recall agreement.
+    *
+    * The exact truth is [[ppJoinPairs]] — the SAME prefix-filter
+    * formulation dd_ppjoin's oracle replays, so the Spark truth and the
+    * oracle truth are one algorithm (previously the oracle used an
+    * unconstrained all-pairs join whose round-into-threshold band the
+    * prefix/size cut doesn't cover — a latent divergence, r12 advisory #1).
+    * With `truthStride` > 1 the truth (and the recall numerator) is
+    * restricted to the `doc_id % truthStride == 0` stratum: per-doc
+    * signatures/bands/Jaccard are pairwise-local, so the restriction of the
+    * full-corpus verified set to stratum pairs EQUALS the sampled run's —
+    * recall on the stratum is an unbiased estimate of full recall at
+    * ~stride² less truth-side work (the ann-benchmarks sampled-recall
+    * methodology). Precision stays full-corpus: verification is
+    * candidate-bounded, already the scale path.
     */
-  def lshCandidateEval(s: SparkSession, docs: DataFrame): DataFrame = {
+  def lshCandidateEval(
+      s: SparkSession, docs: DataFrame, truthStride: Int = 1): DataFrame = {
     import s.implicits._
     val sh = docShinglesOf(s, docs, 3).cache()
     val sig = minhashSignatures(sh, 32)
@@ -482,14 +534,28 @@ object Dedup {
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct().cache()
     val nCand = cands.count()
-    val nVerified = jaccardFor(cands, sh).filter($"jaccard" >= 0.5).count()
-    val nTrue = ppJoinPairs(s, docs).count() // the independent exact truth
-    cands.unpersist(); sh.unpersist()
-    Seq((nTrue, nCand, nVerified)).toDF("n_true", "n_cand", "n_verified")
-      .select($"n_true", $"n_cand", $"n_verified",
-        round($"n_verified".cast("double") / $"n_cand".cast("double"), 6)
+    val verified = jaccardFor(cands, sh).filter($"jaccard" >= 0.5).cache()
+    val nVerified = verified.count()
+    val truthDocs =
+      if (truthStride > 1) docs.filter($"doc_id" % truthStride === 0) else docs
+    val nTrue = ppJoinPairs(s, truthDocs).count() // the independent exact truth
+    val nHit =
+      if (truthStride > 1)
+        verified
+          .filter($"doc_a" % truthStride === 0 && $"doc_b" % truthStride === 0)
+          .count()
+      else nVerified
+    cands.unpersist(); verified.unpersist(); sh.unpersist()
+    Seq((nTrue, nCand, nVerified, nHit))
+      .toDF("n_true", "n_cand", "n_verified", "n_hit")
+      .select($"n_true", $"n_cand", $"n_verified", $"n_hit",
+        // zero guards: a degenerate corpus (no candidates / no true pairs)
+        // must yield NULL on both engines, not Spark NULL vs DuckDB inf
+        when($"n_cand" > 0,
+          round($"n_verified".cast("double") / $"n_cand".cast("double"), 6))
           .as("cand_precision"),
-        round($"n_verified".cast("double") / $"n_true".cast("double"), 6)
+        when($"n_true" > 0,
+          round($"n_hit".cast("double") / $"n_true".cast("double"), 6))
           .as("lsh_recall"))
   }
 
@@ -756,7 +822,7 @@ object Dedup {
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
         |                w -> w <> '') AS w
-        |  FROM documents),
+        |  FROM documents WHERE $ExactDocsGateSql),
         |sh AS (
         |  SELECT doc_id, ${sqlHash60("shingle")} AS h FROM (
         |    SELECT DISTINCT doc_id, shingle FROM (
@@ -789,7 +855,8 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
       QueryDef.largeSort(
-        ppJoinPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
+        ppJoinPairs(s, exactPairsDocs(s, Tables.documents(s, dir))),
+        $"doc_a", $"doc_b")
     },
 
     // EXACT set-CONTAINMENT join at C(a→b) = |Sa∩Sb|/|Sa| ≥ 3/4 — the
@@ -812,7 +879,7 @@ object Dedup {
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'),
         |                w -> w <> '') AS w
-        |  FROM documents),
+        |  FROM documents WHERE $ExactDocsGateSql),
         |sh AS (
         |  SELECT doc_id, ${sqlHash60("shingle")} AS h FROM (
         |    SELECT DISTINCT doc_id, shingle FROM (
@@ -844,7 +911,8 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
       QueryDef.largeSort(
-        containmentPairs(s, Tables.documents(s, dir)), $"doc_a", $"doc_b")
+        containmentPairs(s, exactPairsDocs(s, Tables.documents(s, dir))),
+        $"doc_a", $"doc_b")
     },
 
     // MinHash (K=32) + LSH (8 bands × 4 rows) candidate pairs, then exact
@@ -868,30 +936,60 @@ object Dedup {
     // distribution, the number a pipeline needs before trusting banded
     // dedup at 100 TB where exact verification of everything is
     // unaffordable). The oracle replays the LSH stages via the shared CTE
-    // chain and the truth as the unconstrained all-pairs join — fully
-    // independent of the prefix-filter algorithm on the Spark side.
+    // chain and the truth via the SAME prefix-filter formulation as
+    // dd_ppjoin's oracle (tsh..tp below) over the ExactDocsGateSql stratum —
+    // at the driver correctness scales the gate passes every doc (full
+    // truth); above the cap the truth runs on the doc_id % 4 stratum and
+    // lsh_recall becomes the sampled-recall estimate (n_hit counts verified
+    // pairs with BOTH ends in the stratum; see lshCandidateEval's scaladoc
+    // for why the restriction equals the sampled run).
     sqlChecked(
       "dd_lsh_eval",
       s"""WITH ${minhashPairsCtes(k = 32, bands = 8, threshold = 0.5)},
-        |tp0 AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
+        |tsh AS (SELECT doc_id, h FROM shh WHERE $ExactDocsGateSql),
+        |tdf AS (SELECT h, count(*) AS df FROM tsh GROUP BY h),
+        |tord AS (
+        |  SELECT doc_id, h,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS pos,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM tsh JOIN tdf USING (h)),
+        |tpref AS (SELECT doc_id, h, n FROM tord WHERE pos <= n - (n + 1) // 2 + 1),
+        |tcand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tpref a JOIN tpref b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  WHERE 2 * b.n >= a.n AND 2 * a.n >= b.n),
+        |tcom AS (
+        |  SELECT doc_a, doc_b, count(*) AS common
+        |  FROM tcand JOIN tsh x ON x.doc_id = doc_a
+        |             JOIN tsh y ON y.doc_id = doc_b AND y.h = x.h
+        |  GROUP BY doc_a, doc_b),
+        |tcnt AS (SELECT doc_id, count(*) AS n FROM tsh GROUP BY doc_id),
         |tp AS (
-        |  SELECT doc_a, doc_b FROM tp0
-        |  JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id
+        |  SELECT doc_a, doc_b FROM tcom
+        |  JOIN tcnt ca ON doc_a = ca.doc_id JOIN tcnt cb ON doc_b = cb.doc_id
         |  WHERE round(common / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.5),
+        |hit AS (
+        |  SELECT doc_a, doc_b FROM mh_pairs
+        |  WHERE ((SELECT count(*) FROM documents) <= $ExactPairsDocCap
+        |         OR (doc_a % $ExactPairsStride = 0 AND doc_b % $ExactPairsStride = 0))),
         |m AS (SELECT
         |  (SELECT count(*) FROM tp) AS n_true,
         |  (SELECT count(*) FROM cands) AS n_cand,
-        |  (SELECT count(*) FROM mh_pairs) AS n_verified)
+        |  (SELECT count(*) FROM mh_pairs) AS n_verified,
+        |  (SELECT count(*) FROM hit) AS n_hit)
         |SELECT CAST(n_true AS BIGINT) AS n_true,
         |  CAST(n_cand AS BIGINT) AS n_cand,
         |  CAST(n_verified AS BIGINT) AS n_verified,
-        |  round(CAST(n_verified AS DOUBLE) / n_cand, 6) AS cand_precision,
-        |  round(CAST(n_verified AS DOUBLE) / n_true, 6) AS lsh_recall
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  CASE WHEN n_cand > 0
+        |    THEN round(CAST(n_verified AS DOUBLE) / n_cand, 6) END AS cand_precision,
+        |  CASE WHEN n_true > 0
+        |    THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS lsh_recall
         |FROM m""".stripMargin) { (s, dir) =>
-      lshCandidateEval(s, Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
+      val stride =
+        if (docs.count() > ExactPairsDocCap) ExactPairsStride else 1
+      lshCandidateEval(s, docs, stride)
     },
 
     // INCREMENTAL ingest dedup — the production topology dd_minhash_lsh's

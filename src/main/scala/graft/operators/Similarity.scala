@@ -301,6 +301,16 @@ object Similarity {
         .join(e, "vec_id")
         .select($"cluster", $"vec_id", $"v", $"nrm")
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$p/postings")
+      // Per-cluster angular radii are INDEX metadata (one K-row table) —
+      // computed here at build cost so range search never rescans the
+      // postings to re-derive them (each serve reads the K-row parquet).
+      s.read.parquet(s"$p/postings")
+        .join(broadcast(centroids), $"cluster" === $"label")
+        .select($"cluster",
+          acos(least(lit(1.0), greatest(lit(-1.0),
+            Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm")))).as("ang"))
+        .groupBy($"cluster").agg(max($"ang").as("radius"))
+        .write.mode("overwrite").parquet(s"$p/radii")
       p
     })
 
@@ -1482,10 +1492,10 @@ object Similarity {
     def angTo(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column) =
       acos(least(lit(1.0), greatest(lit(-1.0),
         Exprs.dot(v, $"c") / (nrm * $"cnrm"))))
-    // per-cluster angular radius: index metadata, one pass at build cost
-    val radii = posts.join(broadcast(centroids), $"cluster" === $"label")
-      .select($"cluster", angTo($"v", $"nrm").as("ang"))
-      .groupBy($"cluster").agg(max($"ang").as("radius"))
+    // per-cluster angular radius: index metadata, computed once at build
+    // cost by ivfIndexDir and persisted as the K-row $idx/radii table —
+    // serving reads K rows, never the postings
+    val radii = s.read.parquet(s"$idx/radii")
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val q = embWithNorm(s, dir).filter($"vec_id" < 5)
     val qc = q.crossJoin(broadcast(centroids))

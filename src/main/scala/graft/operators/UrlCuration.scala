@@ -194,9 +194,13 @@ object UrlCuration {
         concat(lit("h"), ($"doc_id" % 7).cast("string"), lit("."), $"source",
           lit(".example.com")).as("host"))
       val labels = split($"host", "\\.")
-      val sufs = transform(sequence(lit(1), size(labels) - 1), i =>
+      // Guard the degenerate 1-label host: Spark's sequence(1, 0) yields the
+      // DESCENDING array [1, 0] (bogus pos=-1/0 suffix rows) where DuckDB's
+      // generate_series(1, 0) is empty. `when` without `otherwise` gives
+      // null, which explode() drops — matching the empty-range semantics.
+      val sufs = when(size(labels) >= 2, transform(sequence(lit(1), size(labels) - 1), i =>
         struct((i - 1).as("pos"),
-          array_join(slice(labels, i, size(labels) - i + 1), ".").as("suffix")))
+          array_join(slice(labels, i, size(labels) - i + 1), ".").as("suffix"))))
       val ex = h.select($"doc_id", explode(sufs).as("sf"))
         .select($"doc_id", $"sf.pos".as("pos"), $"sf.suffix".as("suffix"))
       val best = ex.join(broadcast(bl), $"suffix" === $"entry")

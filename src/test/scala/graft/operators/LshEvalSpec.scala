@@ -25,17 +25,20 @@ class LshEvalSpec extends SparkSuite with Matchers {
     r.getLong(0) shouldBe 18 // n_true
     r.getLong(1) shouldBe 18 // n_cand: identical signatures, nothing else
     r.getLong(2) shouldBe 18 // n_verified
-    r.getDouble(3) shouldBe 1.0
+    r.getLong(3) shouldBe 18 // n_hit == n_verified at stride 1
     r.getDouble(4) shouldBe 1.0
+    r.getDouble(5) shouldBe 1.0
   }
 
   test("subset identities on real data") {
     val r = Dedup.lshCandidateEval(
       spark, Tables.documents(spark, sf("sf0.001"))).collect().head
-    val (nTrue, nCand, nVer) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (nTrue, nCand, nVer, nHit) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     nVer should be <= nCand
     nVer should be <= nTrue
-    r.getDouble(4) shouldBe
+    nHit shouldBe nVer // stride 1: the stratum is the whole corpus
+    r.getDouble(5) shouldBe
       BigDecimal(nVer.toDouble / nTrue).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble
   }
