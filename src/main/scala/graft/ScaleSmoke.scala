@@ -172,6 +172,10 @@ object ScaleSmoke {
     // the prefix-filtered exact truth — each individually smoked (the
     // dd_minhash_lsh / dd_ppjoin rows); the eval rides their sum.
     "dd_lsh_eval",
+    // graph ANN: per-shard M-NN builds (n²/S, partition-local) + a
+    // fixed-unroll scatter-gather walk whose scored set is budget-bounded
+    // (≤ shards × (greedy + beam·M·hops)) regardless of corpus size.
+    "sim_hnsw_topk",
     // bloom index: one distributed build pass (per-file OR-merged bloom
     // fold), O(files) planning metadata, selectivity-bound pruned read.
     "io_bloom_index",

@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Sampling.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.GraphAnn.defs ++
       operators.Multimodal.defs ++
       operators.Graph.defs ++
       operators.SkewJoin.defs ++

@@ -149,10 +149,37 @@ object Similarity {
   private def ivfCentroids(s: org.apache.spark.sql.SparkSession, dir: String) =
     centroidsOf(s, Tables.embeddings(s, dir))
 
+  /** The IVF scored-candidate set (query_id, cand_id): nprobe=3 probes ⋈
+    * the inverted lists, self excluded. This IS the method's measured
+    * candidate budget — shared by sim_ivf_topk (which scores + ranks it)
+    * and sim_recall_eval (which counts it as n_cand), so the budget the
+    * eval reports is exactly the work the serving query pays.
+    */
+  private[operators] def ivfCandidatePairs(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val e = embWithNorm(s, dir)
+    val centroids = ivfCentroids(s, dir)
+    // index build: every vector → its nearest centroid's partition
+    val assigned = ivfAssigned(e, centroids)
+    // probe: each query → its nprobe=3 nearest centroids
+    val probes = e.filter($"vec_id" < 5).crossJoin(broadcast(centroids))
+      .select($"vec_id".as("query_id"), $"label",
+        round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"label".as("cluster"))
+    broadcast(probes)
+      .join(assigned, Seq("cluster"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"))
+  }
+
   /** Same quantizer over an arbitrary (label, embedding) frame — the
     * incremental index trains it on the BASE subset only.
     */
-  private def centroidsOf(s: org.apache.spark.sql.SparkSession,
+  private[operators] def centroidsOf(s: org.apache.spark.sql.SparkSession,
       labeled: org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     labeled
@@ -165,7 +192,7 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: every vector → its inverted list. */
-  private def ivfAssigned(
+  private[operators] def ivfAssigned(
       e: org.apache.spark.sql.DataFrame,
       centroids: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions.{broadcast => bc}
@@ -560,24 +587,10 @@ object Similarity {
     sqlChecked("sim_ivf_topk", IvfTopkSql) { (s, dir) =>
       import s.implicits._
       val e = embWithNorm(s, dir)
-      val centroids = ivfCentroids(s, dir)
-      // index build: every vector → its nearest centroid's partition
-      val assigned = ivfAssigned(e, centroids)
-      // probe: each query → its nprobe=3 nearest centroids
-      val probes = e.filter($"vec_id" < 5).crossJoin(broadcast(centroids))
-        .select($"vec_id".as("query_id"), $"label",
-          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("ccos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"query_id").orderBy($"ccos".desc, $"label".asc)))
-        .filter($"rk" <= 3)
-        .select($"query_id", $"label".as("cluster"))
       val q = e.select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
         .filter($"query_id" < 5)
       val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
-      broadcast(probes)
-        .join(assigned, Seq("cluster"))
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("cand_id"))
+      ivfCandidatePairs(s, dir)
         .join(broadcast(q), Seq("query_id"))
         .join(e.as("c"), $"cand_id" === $"c.vec_id")
         .select($"query_id", $"cand_id",
@@ -1354,14 +1367,18 @@ object Similarity {
     sqlChecked(
       "sim_recall_eval",
       s"""WITH $IvfPrefixSql,
+        |${GraphAnn.HnswCtesSql},
+        |ivf_cand AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id
+        |  FROM probes p
+        |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id),
         |ivf_scored AS (
-        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |  SELECT ic.query_id, ic.cand_id,
         |    round(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
         |      / (q.nrm * c.nrm), 6) AS cos
-        |  FROM probes p
-        |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
-        |  JOIN n q ON q.vec_id = p.query_id
-        |  JOIN n c ON c.vec_id = a.vec_id),
+        |  FROM ivf_cand ic
+        |  JOIN n q ON q.vec_id = ic.query_id
+        |  JOIN n c ON c.vec_id = ic.cand_id),
         |ivf AS (SELECT query_id, cand_id FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
         |  FROM ivf_scored) WHERE rk <= 10),
@@ -1372,28 +1389,61 @@ object Similarity {
         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 5),
         |bf AS (SELECT query_id, cand_id FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
-        |  FROM bf_scored) WHERE rk <= 10)
-        |SELECT b.query_id,
-        |  CAST(count(*) AS BIGINT) AS k,
-        |  CAST(count(i.cand_id) AS BIGINT) AS n_hit,
-        |  round(CAST(count(i.cand_id) AS DOUBLE) / count(*), 6) AS recall_at_k
-        |FROM bf b LEFT JOIN ivf i
-        |  ON i.query_id = b.query_id AND i.cand_id = b.cand_id
-        |GROUP BY b.query_id
-        |ORDER BY b.query_id""".stripMargin) { (s, dir) =>
+        |  FROM bf_scored) WHERE rk <= 10),
+        |hn_cand AS (SELECT query_id, node AS cand_id FROM hvis WHERE node <> query_id),
+        |ivf_nc AS (SELECT query_id, count(*) AS n_cand FROM ivf_cand GROUP BY query_id),
+        |hn_nc AS (SELECT query_id, count(*) AS n_cand FROM hn_cand GROUP BY query_id),
+        |ivf_gr AS (
+        |  SELECT b.query_id, count(*) AS k, count(i.cand_id) AS n_hit
+        |  FROM bf b LEFT JOIN ivf i
+        |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+        |  GROUP BY b.query_id),
+        |hn_gr AS (
+        |  SELECT b.query_id, count(*) AS k, count(i.cand_id) AS n_hit
+        |  FROM bf b LEFT JOIN hnsw_topk i
+        |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+        |  GROUP BY b.query_id)
+        |SELECT method, query_id, CAST(k AS BIGINT) AS k,
+        |  CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+        |  round(CAST(n_hit AS DOUBLE) / k, 6) AS recall_at_k
+        |FROM (
+        |  SELECT 'hnsw' AS method, g.query_id, g.k, c.n_cand, g.n_hit
+        |  FROM hn_gr g JOIN hn_nc c USING (query_id)
+        |  UNION ALL
+        |  SELECT 'ivf' AS method, g.query_id, g.k, c.n_cand, g.n_hit
+        |  FROM ivf_gr g JOIN ivf_nc c USING (query_id))
+        |ORDER BY method, query_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val bf = graft.SparkEntry.queries("sim_topk_bruteforce")(s, dir)
         .select($"query_id", $"cand_id")
-      val ivf = graft.SparkEntry.queries("sim_ivf_topk")(s, dir)
-        .select($"query_id", $"cand_id").withColumn("hit", lit(1L))
-      bf.join(ivf, Seq("query_id", "cand_id"), "left")
-        .groupBy($"query_id")
-        .agg(
-          count(lit(1)).as("k"),
-          sum(coalesce($"hit", lit(0L))).as("n_hit"))
-        .select($"query_id", $"k", $"n_hit",
-          round($"n_hit".cast("double") / $"k".cast("double"), 6).as("recall_at_k"))
-        .transform(d => QueryDef.smallSort(d, $"query_id"))
+      // one grading harness per ANN method: recall@k of its top-k against
+      // the brute-force truth PLUS its measured candidate budget (n_cand =
+      // scored candidates, i.e. distance computations paid) — the
+      // ann-benchmarks recall-per-budget framing, so "hnsw beats ivf" is a
+      // statement at a measured budget, not an absolute
+      def grade(method: String, topk: org.apache.spark.sql.DataFrame,
+          cands: org.apache.spark.sql.DataFrame) = {
+        val hits = bf
+          .join(topk.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        val nc = cands.groupBy($"query_id").agg(count(lit(1)).as("n_cand"))
+        hits.join(nc, Seq("query_id"))
+          .select(lit(method).as("method"), $"query_id", $"k", $"n_cand",
+            $"n_hit",
+            round($"n_hit".cast("double") / $"k".cast("double"), 6)
+              .as("recall_at_k"))
+      }
+      val ivfTop = graft.SparkEntry.queries("sim_ivf_topk")(s, dir)
+        .select($"query_id", $"cand_id")
+      val emb = Tables.embeddings(s, dir)
+      val hnTop = GraphAnn.hnswTopk(s, emb).select($"query_id", $"cand_id")
+      val hnCands = GraphAnn.hnswSearch(s, emb)
+        .filter($"node" =!= $"query_id")
+        .select($"query_id", $"node".as("cand_id"))
+      grade("hnsw", hnTop, hnCands)
+        .union(grade("ivf", ivfTop, ivfCandidatePairs(s, dir)))
+        .transform(d => QueryDef.smallSort(d, $"method", $"query_id"))
     },
 
     // MATRYOSHKA / TRUNCATED-DIMENSION RETRIEVAL (Kusupati et al. 2022:
