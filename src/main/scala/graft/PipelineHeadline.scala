@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The COMPOSED curation pipeline, end to end, as ONE measured run
+  * (r12 verdict #6: the repo had every stage green individually but no
+  * single throughput figure for the composition — the "100 TB story" as
+  * one number). Topology is the FineWeb/RefinedWeb production order:
+  *
+  *   1. GATES  — per-document quality curation in one scan family:
+  *               Gopher structural rules ∧ quality score ≥ 0.5 ∧
+  *               URL-category blocklist ∧ language-consistency
+  *               (detected == declared). Per-doc, embarrassingly parallel,
+  *               runs FIRST because it's the cheapest bytes-dropper.
+  *   2. DEDUP  — the staged cascade (exact hash → canonical URL →
+  *               MinHash-LSH near-dup) over gate survivors only.
+  *   3. PACK   — greedy 512-token sequence packing of the final keeps
+  *               (the training-data delivery format).
+  *
+  * Every stage is the SAME code the oracle-checked queries run
+  * (gopherFlags / qualityScores / blocklistMatches / detectLang /
+  * cascadeAttribution / seqPack — extracted frame-parameterized cores),
+  * so the measured number is the verified semantics, not a fork.
+  *
+  * Prints ONE JSON line: per-stage wall seconds + docs/bytes in/out, and
+  * the end-to-end docs/s and MB/s. Byte accounting reads octet_length of
+  * the text column (measurement-only scans, run outside the stage
+  * timers). Run: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.PipelineHeadline"
+  */
+object PipelineHeadline {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline-headline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sfDir)
+    def bytesAndCount(ids: DataFrame): (Long, Long) = {
+      val r = docs.join(ids.select("doc_id"), "doc_id")
+        .agg(count(lit(1)), coalesce(sum(octet_length($"text")), lit(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (docsIn, bytesIn) = {
+      val r = docs.agg(count(lit(1)), sum(octet_length($"text"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- stage 1: gates (localCheckpoint materializes the survivor set,
+    // so the timer covers the full gate computation)
+    val ((gatePass, gateCounts), tGates) = timed {
+      val gop = operators.TextAnalysis.gopherFlags(spark, docs)
+        .filter($"keep").select("doc_id")
+      val qual = operators.TextAnalysis.qualityScores(spark, docs)
+        .filter($"quality" >= 0.5).select("doc_id")
+      val bl = operators.UrlCuration.blocklistMatches(spark, docs)
+        .filter(!$"blocked").select("doc_id")
+      val lang = operators.TextAnalysis.detectLang(spark, docs)
+        .filter($"lang_detected" === $"lang_declared").select("doc_id")
+      val pass = docs.select("doc_id")
+        .join(gop, "doc_id").join(qual, "doc_id")
+        .join(bl, "doc_id").join(lang, "doc_id")
+        .localCheckpoint()
+      val counts = Map(
+        "gopher" -> gop.count(), "quality" -> qual.count(),
+        "blocklist" -> bl.count(), "lang" -> lang.count())
+      (pass, counts)
+    }
+    val (gateDocs, gateBytes) = bytesAndCount(gatePass)
+
+    // ---- stage 2: dedup cascade over gate survivors
+    val (keeps, tDedup) = timed {
+      operators.Dedup.cascadeAttribution(spark, docs.join(gatePass, "doc_id"))
+        .filter($"stage" === "keep").select("doc_id")
+        .localCheckpoint()
+    }
+    val (keepDocs, keepBytes) = bytesAndCount(keeps)
+
+    // ---- stage 3: sequence packing of the final keeps
+    val (packRow, tPack) = timed {
+      operators.TextAnalysis.seqPack(spark, docs.join(keeps, "doc_id"))
+        .agg(coalesce(sum($"n_tokens"), lit(0L)),
+          coalesce(sum($"n_packs"), lit(0L)))
+        .collect().head
+    }
+    val (tokensOut, packsOut) = (packRow.getLong(0), packRow.getLong(1))
+
+    val total = tGates + tDedup + tPack
+    val json =
+      f"""{"metric":"pipeline_e2e","sf":"$sfDir","total_sec":$total%.2f,""" +
+        f""""docs_in":$docsIn,"bytes_in":$bytesIn,""" +
+        f""""docs_per_sec":${docsIn / total}%.1f,""" +
+        f""""mb_per_sec":${bytesIn / total / 1e6}%.2f,""" +
+        f""""stages":{""" +
+        f""""gates":{"sec":$tGates%.2f,"docs_out":$gateDocs,"bytes_out":$gateBytes,""" +
+        s""""pass_per_gate":{${gateCounts.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}},""" +
+        f""""dedup":{"sec":$tDedup%.2f,"docs_out":$keepDocs,"bytes_out":$keepBytes},""" +
+        f""""pack":{"sec":$tPack%.2f,"tokens_out":$tokensOut,"packs_out":$packsOut}}}"""
+    println(json)
+    spark.stop()
+  }
+}

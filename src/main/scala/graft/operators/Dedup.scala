@@ -1458,37 +1458,46 @@ object Dedup {
          |UNION ALL SELECT doc_id, stage, dup_of FROM keeps
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      val s1 = docs
-        .select($"doc_id", $"source", $"text",
-          Exprs.fingerprint($"text").as("content_hash"))
-        .withColumn("s1_keep",
-          min($"doc_id").over(Window.partitionBy($"content_hash")))
-      val exactDups = s1.filter($"doc_id" =!= $"s1_keep")
-        .select($"doc_id", lit("exact").as("stage"), $"s1_keep".as("dup_of"))
-      val surv1 = s1.filter($"doc_id" === $"s1_keep")
-      val s2 = surv1
-        .select($"doc_id", $"text",
-          UrlCuration.canonUrl(
-            UrlCuration.dirtyUrl($"source", $"doc_id")).as("canon_url"))
-        .withColumn("s2_keep",
-          min($"doc_id").over(Window.partitionBy($"canon_url")))
-      val urlDups = s2.filter($"doc_id" =!= $"s2_keep")
-        .select($"doc_id", lit("url").as("stage"), $"s2_keep".as("dup_of"))
-      val surv2 = s2.filter($"doc_id" === $"s2_keep").select($"doc_id", $"text")
-      val nearDups = minhashLshPairs(s, surv2)
-        .groupBy($"doc_b".as("doc_id"))
-        .agg(min($"doc_a").as("dup_of"))
-        .select($"doc_id", lit("near").as("stage"), $"dup_of")
-      val keeps = surv2.select($"doc_id")
-        .join(nearDups.select($"doc_id"), Seq("doc_id"), "left_anti")
-        .select($"doc_id", lit("keep").as("stage"),
-          lit(null).cast("long").as("dup_of"))
       QueryDef.largeSort(
-        exactDups.union(urlDups).union(nearDups).union(keeps), $"doc_id")
+        cascadeAttribution(s, Tables.documents(s, dir)), $"doc_id")
     }
   )
+
+  /** Core of dd_cascade over any (doc_id, source, text) frame — exposed so
+    * PipelineHeadline can run the staged dedup on the gate-surviving slice
+    * of the corpus (the composed-pipeline topology) and specs can plant
+    * corpora. See the dd_cascade comment for stage semantics.
+    */
+  def cascadeAttribution(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s1 = docs
+      .select($"doc_id", $"source", $"text",
+        Exprs.fingerprint($"text").as("content_hash"))
+      .withColumn("s1_keep",
+        min($"doc_id").over(Window.partitionBy($"content_hash")))
+    val exactDups = s1.filter($"doc_id" =!= $"s1_keep")
+      .select($"doc_id", lit("exact").as("stage"), $"s1_keep".as("dup_of"))
+    val surv1 = s1.filter($"doc_id" === $"s1_keep")
+    val s2 = surv1
+      .select($"doc_id", $"text",
+        UrlCuration.canonUrl(
+          UrlCuration.dirtyUrl($"source", $"doc_id")).as("canon_url"))
+      .withColumn("s2_keep",
+        min($"doc_id").over(Window.partitionBy($"canon_url")))
+    val urlDups = s2.filter($"doc_id" =!= $"s2_keep")
+      .select($"doc_id", lit("url").as("stage"), $"s2_keep".as("dup_of"))
+    val surv2 = s2.filter($"doc_id" === $"s2_keep").select($"doc_id", $"text")
+    val nearDups = minhashLshPairs(s, surv2)
+      .groupBy($"doc_b".as("doc_id"))
+      .agg(min($"doc_a").as("dup_of"))
+      .select($"doc_id", lit("near").as("stage"), $"dup_of")
+    val keeps = surv2.select($"doc_id")
+      .join(nearDups.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", lit("keep").as("stage"),
+        lit(null).cast("long").as("dup_of"))
+    exactDups.union(urlDups).union(nearDups).union(keeps)
+  }
 
   /** Core of dd_substr_dedup over any (doc_id, text) frame — exposed so the
     * planted-case spec can drive it on adversarial inputs.

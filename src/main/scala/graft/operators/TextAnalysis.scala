@@ -192,19 +192,7 @@ object TextAnalysis {
       // One fused scan per doc (TextStats) — the composed regexp_replace +
       // interpreted HOF-filter formulation was the sf1-convicted per-row
       // cost (BASELINE.md round 9: 20.5× DuckDB, gap growing with data).
-      val st = Exprs.textStats($"text")
-      val charLen = st.getField("char_len")
-      val nTokens = st.getField("n_tokens")
-      val punctRatio = when(charLen === 0, 0.0).otherwise(
-        round(st.getField("n_punct").cast("double") / charLen.cast("double"), 6))
-      val stopRatio = when(nTokens === 0, 0.0).otherwise(
-        round(st.getField("n_stop").cast("double") / nTokens.cast("double"), 6))
-      Tables.documents(s, dir)
-        .select($"doc_id", charLen.as("char_len"), nTokens.as("n_tokens"),
-          punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"))
-        .withColumn("quality",
-          round(lit(0.4) * (lit(1.0) - $"punct_ratio") + lit(0.3) * $"stop_ratio"
-            + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0)), 6))
+      qualityScores(s, Tables.documents(s, dir))
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
@@ -375,22 +363,7 @@ object TextAnalysis {
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val toks = Exprs.normWords($"text")
-      val nWords = size(toks).cast("long")
-      val meanWordLen = when(nWords === 0, 0.0).otherwise(
-        round(length(concat_ws("", toks)).cast("double") / nWords.cast("double"), 6))
-      val distinctRatio = when(nWords === 0, 0.0).otherwise(
-        round(size(array_distinct(toks)).cast("double") / nWords.cast("double"), 6))
-      val nStop = size(filter(toks, w => w.isin(stopEn: _*))).cast("long")
-      Tables.documents(s, dir)
-        .select($"doc_id", nWords.as("n_words"), meanWordLen.as("mean_word_len"),
-          distinctRatio.as("distinct_ratio"), nStop.as("n_stop"))
-        .withColumn("ok_len", $"n_words" >= 20 && $"n_words" <= 100000)
-        .withColumn("ok_word_len", $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
-        .withColumn("ok_repetition", $"distinct_ratio" >= 0.3)
-        .withColumn("ok_stopwords", $"n_stop" >= 2)
-        .withColumn("keep",
-          $"ok_len" && $"ok_word_len" && $"ok_repetition" && $"ok_stopwords")
+      gopherFlags(s, Tables.documents(s, dir))
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
@@ -956,19 +929,7 @@ object TextAnalysis {
         |       ELSE (cum - 1) // 512 END - (cum - n_tokens) // 512 + 1 AS n_packs
         |FROM cum ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val shards = s.conf.getOption("graft.pack.shards").map(_.toInt).getOrElse(8)
-      val w = Window.partitionBy($"shard").orderBy($"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select($"doc_id", ($"doc_id" % shards).as("shard"),
-          size(Exprs.normWords($"text")).cast("long").as("n_tokens"))
-        .withColumn("cum", sum($"n_tokens").over(w))
-        .select($"doc_id", $"shard", $"n_tokens",
-          expr("(cum - n_tokens) div 512").as("pack_first"),
-          when($"n_tokens" === 0, expr("(cum - n_tokens) div 512"))
-            .otherwise(expr("(cum - 1) div 512")).as("pack_last"))
-        .withColumn("n_packs", $"pack_last" - $"pack_first" + 1)
+      seqPack(s, Tables.documents(s, dir))
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     },
 
@@ -1521,5 +1482,72 @@ object TextAnalysis {
         sum(when($"cb".isNull, 1L).otherwise(0L)).as("n_backoff"),
         round(avg(-log(p)), 4).as("score"))
       .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
+  }
+
+  /** Core of ta_gopher_rules over any (doc_id, text) frame — exposed for
+    * PipelineHeadline's composed gate stage.
+    */
+  def gopherFlags(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = Exprs.normWords($"text")
+    val nWords = size(toks).cast("long")
+    val meanWordLen = when(nWords === 0, 0.0).otherwise(
+      round(length(concat_ws("", toks)).cast("double") / nWords.cast("double"), 6))
+    val distinctRatio = when(nWords === 0, 0.0).otherwise(
+      round(size(array_distinct(toks)).cast("double") / nWords.cast("double"), 6))
+    val nStop = size(filter(toks, w => w.isin(stopEn: _*))).cast("long")
+    docs
+      .select($"doc_id", nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+        distinctRatio.as("distinct_ratio"), nStop.as("n_stop"))
+      .withColumn("ok_len", $"n_words" >= 20 && $"n_words" <= 100000)
+      .withColumn("ok_word_len", $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0)
+      .withColumn("ok_repetition", $"distinct_ratio" >= 0.3)
+      .withColumn("ok_stopwords", $"n_stop" >= 2)
+      .withColumn("keep",
+        $"ok_len" && $"ok_word_len" && $"ok_repetition" && $"ok_stopwords")
+  }
+
+  /** Core of ta_quality over any (doc_id, text) frame — one fused TextStats
+    * scan per doc (the sf1-convicted formulation fix, BASELINE.md round 9).
+    */
+  def qualityScores(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val st = Exprs.textStats($"text")
+    val charLen = st.getField("char_len")
+    val nTokens = st.getField("n_tokens")
+    val punctRatio = when(charLen === 0, 0.0).otherwise(
+      round(st.getField("n_punct").cast("double") / charLen.cast("double"), 6))
+    val stopRatio = when(nTokens === 0, 0.0).otherwise(
+      round(st.getField("n_stop").cast("double") / nTokens.cast("double"), 6))
+    docs
+      .select($"doc_id", charLen.as("char_len"), nTokens.as("n_tokens"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"))
+      .withColumn("quality",
+        round(lit(0.4) * (lit(1.0) - $"punct_ratio") + lit(0.3) * $"stop_ratio"
+          + lit(0.3) * least(lit(1.0), $"n_tokens" / lit(100.0)), 6))
+  }
+
+  /** Core of ta_seq_pack over any (doc_id, text) frame: greedy sequential
+    * packing into 512-token bins, sharded for parallelism (the per-shard
+    * running sum is the only window).
+    */
+  def seqPack(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val shards = s.conf.getOption("graft.pack.shards").map(_.toInt).getOrElse(8)
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select($"doc_id", ($"doc_id" % shards).as("shard"),
+        size(Exprs.normWords($"text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"shard", $"n_tokens",
+        expr("(cum - n_tokens) div 512").as("pack_first"),
+        when($"n_tokens" === 0, expr("(cum - n_tokens) div 512"))
+          .otherwise(expr("(cum - 1) div 512")).as("pack_last"))
+      .withColumn("n_packs", $"pack_last" - $"pack_first" + 1)
   }
 }

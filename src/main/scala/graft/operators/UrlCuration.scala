@@ -189,28 +189,8 @@ object UrlCuration {
          |FROM h LEFT JOIN best ON h.doc_id = best.doc_id
          |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val bl = Blocklist.toDF("entry", "category")
-      val h = Tables.documents(s, dir).select($"doc_id",
-        concat(lit("h"), ($"doc_id" % 7).cast("string"), lit("."), $"source",
-          lit(".example.com")).as("host"))
-      val labels = split($"host", "\\.")
-      // Guard the degenerate 1-label host: Spark's sequence(1, 0) yields the
-      // DESCENDING array [1, 0] (bogus pos=-1/0 suffix rows) where DuckDB's
-      // generate_series(1, 0) is empty. `when` without `otherwise` gives
-      // null, which explode() drops — matching the empty-range semantics.
-      val sufs = when(size(labels) >= 2, transform(sequence(lit(1), size(labels) - 1), i =>
-        struct((i - 1).as("pos"),
-          array_join(slice(labels, i, size(labels) - i + 1), ".").as("suffix"))))
-      val ex = h.select($"doc_id", explode(sufs).as("sf"))
-        .select($"doc_id", $"sf.pos".as("pos"), $"sf.suffix".as("suffix"))
-      val best = ex.join(broadcast(bl), $"suffix" === $"entry")
-        .groupBy($"doc_id")
-        .agg(min(struct($"pos", $"suffix", $"category")).as("b"))
-        .select($"doc_id", $"b.suffix".as("matched_entry"), $"b.category".as("category"))
-      val out = h.join(best, Seq("doc_id"), "left")
-        .select($"doc_id", $"host", $"matched_entry", $"category",
-          $"matched_entry".isNotNull.as("blocked"))
-      graft.QueryDef.largeSort(out, $"doc_id")
+      graft.QueryDef.largeSort(
+        blocklistMatches(s, Tables.documents(s, dir)), $"doc_id")
     },
 
     // Per-doc canonicalization: the dirty URL beside its canonical form and
@@ -261,4 +241,32 @@ object UrlCuration {
         .select($"doc_id", $"host", $"canon_url", $"rk", ($"rk" <= HostCap).as("keep"))
         .transform(d => graft.QueryDef.largeSort(d, $"doc_id"))
     })
+
+  /** Core of ta_blocklist over any (doc_id, source) frame — exposed for
+    * PipelineHeadline's composed gate stage. Label-boundary suffix
+    * matching against the category blocklist (see the ta_blocklist
+    * comment; the 1-label-host guard keeps Spark's sequence(1, 0)
+    * descending-array edge out of the suffix set).
+    */
+  def blocklistMatches(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val bl = Blocklist.toDF("entry", "category")
+    val h = docs.select($"doc_id",
+      concat(lit("h"), ($"doc_id" % 7).cast("string"), lit("."), $"source",
+        lit(".example.com")).as("host"))
+    val labels = split($"host", "\\.")
+    val sufs = when(size(labels) >= 2, transform(sequence(lit(1), size(labels) - 1), i =>
+      struct((i - 1).as("pos"),
+        array_join(slice(labels, i, size(labels) - i + 1), ".").as("suffix"))))
+    val ex = h.select($"doc_id", explode(sufs).as("sf"))
+      .select($"doc_id", $"sf.pos".as("pos"), $"sf.suffix".as("suffix"))
+    val best = ex.join(broadcast(bl), $"suffix" === $"entry")
+      .groupBy($"doc_id")
+      .agg(min(struct($"pos", $"suffix", $"category")).as("b"))
+      .select($"doc_id", $"b.suffix".as("matched_entry"), $"b.category".as("category"))
+    h.join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"host", $"matched_entry", $"category",
+        $"matched_entry".isNotNull.as("blocked"))
+  }
 }
