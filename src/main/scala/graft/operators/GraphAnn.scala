@@ -103,9 +103,14 @@ object GraphAnn {
     */
   def hnswSearch(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
-    val nodes = hnswNodes(emb).cache()
-    val e0 = knnEdges(nodes, HnswM0).cache()
-    val e1 = knnEdges(nodes.filter($"top"), HnswM1).cache()
+    // localCheckpoint (eager) after every build/walk step: with plain
+    // cache() the final action's task binaries carry the WHOLE chained
+    // lineage (measured 13.5 MiB broadcasts and an 18 s wall at 2 000
+    // vectors — pure plan/codegen overhead); truncating collapses each
+    // step to a scan of materialized rows and the search to ~2 s
+    val nodes = hnswNodes(emb).localCheckpoint()
+    val e0 = knnEdges(nodes, HnswM0).localCheckpoint()
+    val e1 = knnEdges(nodes.filter($"top"), HnswM1).localCheckpoint()
     val entries = nodes.filter($"top")
       .groupBy($"shard").agg(min($"vec_id").as("entry"))
     val q = nodes.filter($"vec_id" < HnswQueryMax)
@@ -121,7 +126,7 @@ object GraphAnn {
       .orderBy($"cos".desc, $"node".asc)
     // entry: each query scores every shard's fixed entry point
     var state = score(q.select($"query_id").crossJoin(broadcast(entries))
-      .select($"query_id", $"shard", $"entry".as("node"))).cache()
+      .select($"query_id", $"shard", $"entry".as("node"))).localCheckpoint()
     var scoredSets = Seq(state)
     // greedy descent on the upper layer (beam 1): move to the best of
     // {current} ∪ neighbors each hop
@@ -131,12 +136,12 @@ object GraphAnn {
         .select($"g.query_id".as("query_id"), $"g.shard".as("shard"),
           $"e.dst".as("node"))
         .distinct()
-      val sc = score(nb).cache()
+      val sc = score(nb).localCheckpoint()
       scoredSets :+= sc
       state = state.select($"query_id", $"shard", $"node", $"cos")
         .union(sc).distinct()
         .withColumn("rk", row_number().over(wSel)).filter($"rk" === 1)
-        .select($"query_id", $"shard", $"node", $"cos").cache()
+        .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
     }
     // beam search on the base layer: expand all beam members' neighbors,
     // keep the HnswBeam best of {beam} ∪ {expansion}
@@ -146,27 +151,33 @@ object GraphAnn {
         .select($"b.query_id".as("query_id"), $"b.shard".as("shard"),
           $"e.dst".as("node"))
         .distinct()
-      val sc = score(nb).cache()
+      val sc = score(nb).localCheckpoint()
       scoredSets :+= sc
       state = state.select($"query_id", $"shard", $"node", $"cos")
         .union(sc).distinct()
         .withColumn("rk", row_number().over(wSel)).filter($"rk" <= HnswBeam)
-        .select($"query_id", $"shard", $"node", $"cos").cache()
+        .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
     }
     scoredSets.map(_.select($"query_id", $"node", $"cos"))
       .reduce(_ union _).distinct()
   }
 
-  /** Global top-k merge over the per-shard visited sets (self excluded). */
-  def hnswTopk(s: SparkSession, emb: DataFrame, k: Int = HnswK): DataFrame = {
-    import s.implicits._
-    val wq = Window.partitionBy($"query_id").orderBy($"cos".desc, $"node".asc)
-    hnswSearch(s, emb)
-      .filter($"node" =!= $"query_id")
-      .withColumn("rk", row_number().over(wq)).filter($"rk" <= k)
-      .select($"query_id", $"node".as("cand_id"), $"cos",
-        $"rk".cast("long").as("rk"))
+  /** Global top-k merge over an already-computed visited set — exposed so
+    * sim_recall_eval pays for ONE search and derives both the top-k and
+    * the candidate budget from it.
+    */
+  def hnswTopkFrom(vis: DataFrame, k: Int = HnswK): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node").asc)
+    vis.filter(col("node") =!= col("query_id"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+      .select(col("query_id"), col("node").as("cand_id"), col("cos"),
+        col("rk").cast("long").as("rk"))
   }
+
+  /** Global top-k merge over the per-shard visited sets (self excluded). */
+  def hnswTopk(s: SparkSession, emb: DataFrame, k: Int = HnswK): DataFrame =
+    hnswTopkFrom(hnswSearch(s, emb), k)
 
   /** IVF candidate set over an arbitrary (vec_id, embedding, label) frame
     * with adjustable nprobe — HnswRecallSpec's comparison harness: the spec

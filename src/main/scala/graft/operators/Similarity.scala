@@ -1436,9 +1436,10 @@ object Similarity {
       }
       val ivfTop = graft.SparkEntry.queries("sim_ivf_topk")(s, dir)
         .select($"query_id", $"cand_id")
-      val emb = Tables.embeddings(s, dir)
-      val hnTop = GraphAnn.hnswTopk(s, emb).select($"query_id", $"cand_id")
-      val hnCands = GraphAnn.hnswSearch(s, emb)
+      // ONE search pays for both the top-k and the budget count
+      val vis = GraphAnn.hnswSearch(s, Tables.embeddings(s, dir))
+      val hnTop = GraphAnn.hnswTopkFrom(vis).select($"query_id", $"cand_id")
+      val hnCands = vis
         .filter($"node" =!= $"query_id")
         .select($"query_id", $"node".as("cand_id"))
       grade("hnsw", hnTop, hnCands)
