@@ -111,6 +111,16 @@ object GraphAnn {
     val nodes = hnswNodes(emb).localCheckpoint()
     val e0 = knnEdges(nodes, HnswM0).localCheckpoint()
     val e1 = knnEdges(nodes.filter($"top"), HnswM1).localCheckpoint()
+    hnswWalk(s, nodes, e0, e1)
+  }
+
+  /** The walk alone, over an already-materialized index (nodes + the two
+    * layer edge lists) — shared by the fused build+search path above and
+    * the persisted-index serve (sim_hnsw_persist).
+    */
+  def hnswWalk(s: SparkSession, nodes: DataFrame, e0: DataFrame,
+      e1: DataFrame): DataFrame = {
+    import s.implicits._
     val entries = nodes.filter($"top")
       .groupBy($"shard").agg(min($"vec_id").as("entry"))
     val q = nodes.filter($"vec_id" < HnswQueryMax)
@@ -275,6 +285,36 @@ object GraphAnn {
     parts.mkString(",\n")
   }
 
+  /** Write-once-per-(dir, JVM) PERSISTED GRAPH INDEX (the ivfIndexDir
+    * discipline for the HNSW family): `nodes/` plus the two layer edge
+    * lists as parquet PARTITIONED BY shard — the long-lived serving form,
+    * where the n²/S build amortizes over every query batch and an
+    * executor serving shard k reads only `edges0/shard=k`. Removed on JVM
+    * exit.
+    */
+  private val hnswIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def hnswIndexDir(s: SparkSession, dir: String): String =
+    hnswIndexDirs.getOrElseUpdate(dir, {
+      import s.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-hnsw-index").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(p))
+      }))
+      val nodes = hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
+      nodes.write.mode("overwrite").parquet(s"$p/nodes")
+      knnEdges(nodes, HnswM0)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$p/edges0")
+      knnEdges(nodes.filter($"top"), HnswM1)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$p/edges1")
+      p
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     // Graph-ANN top-k: sharded 2-layer NSW build + greedy/beam search +
@@ -289,6 +329,25 @@ object GraphAnn {
       import s.implicits._
       graft.QueryDef.smallSort(
         hnswTopk(s, Tables.embeddings(s, dir)), $"query_id", $"rk")
+    },
+
+    // The PERSISTED-index twin (the sim_ivf_persist discipline): the graph
+    // is built ONCE into shard-partitioned parquet; this query serves a
+    // batch by walking the stored edge lists. Same deterministic build ⇒
+    // the same oracle as sim_hnsw_topk must hold verbatim.
+    sqlChecked(
+      "sim_hnsw_persist",
+      s"""WITH $VnSql,
+        |$HnswCtesSql
+        |SELECT query_id, cand_id, cos, rk FROM hnsw_topk
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val idx = hnswIndexDir(s, dir)
+      val vis = hnswWalk(s,
+        s.read.parquet(s"$idx/nodes"),
+        s.read.parquet(s"$idx/edges0").select("shard", "src", "dst"),
+        s.read.parquet(s"$idx/edges1").select("shard", "src", "dst"))
+      graft.QueryDef.smallSort(hnswTopkFrom(vis), $"query_id", $"rk")
     }
   )
 }
