@@ -317,8 +317,15 @@ object Bench {
     val totalRatio = if (prevSharedTotal > 0) sharedTotal / prevSharedTotal else 1.0
     val totalDrifted = totalRatio > 1.2
     val retriedJson = retried.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Memoized-artifact transparency (VERDICT r13 #5): queries served from a
+    // per-JVM memo (trained BPE model, persisted ANN indexes, materialized
+    // stream sources) have bench rows that measure SERVE cost — the one-time
+    // build ran inside the warmup. Emit each memo's recorded cold wall so
+    // the artifact distinguishes the two without external docs.
+    val coldBuild = ColdBuilds.snapshot.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","runs":$runs,"shuffle_partitions":$shuffle,"queries":$qs,"queries_nosort":$qsNoSort,"load_contaminated":$contaminated,"regressed_vs_prev":$regressed,"failed":$failed,"retried":$retriedJson,"basis_total_ratio":$totalRatio%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","runs":$runs,"shuffle_partitions":$shuffle,"queries":$qs,"queries_nosort":$qsNoSort,"load_contaminated":$contaminated,"regressed_vs_prev":$regressed,"failed":$failed,"retried":$retriedJson,"basis_total_ratio":$totalRatio%.3f,"cold_build":$coldBuild,"sf":"$sfDir"}"""
     // Full per-query detail goes to a file plus an early stdout line; the
     // FINAL stdout line is kept compact (headline queries only) so it fits
     // entirely inside the harness's bounded output-tail capture. A 3.5 kB

@@ -55,7 +55,10 @@ object PipelineHeadline {
       (r.getLong(0), r.getLong(1))
     }
     val (docsIn, bytesIn) = {
-      val r = docs.agg(count(lit(1)), sum(octet_length($"text"))).collect().head
+      // coalesce like bytesAndCount: on an empty corpus sum() is NULL and
+      // getLong NPEs, sending NaN/Infinity into the JSON line (ADVICE r13)
+      val r = docs.agg(count(lit(1)), coalesce(sum(octet_length($"text")), lit(0L)))
+        .collect().head
       (r.getLong(0), r.getLong(1))
     }
 
@@ -67,24 +70,30 @@ object PipelineHeadline {
 
     // ---- stage 1: gates (localCheckpoint materializes the survivor set,
     // so the timer covers the full gate computation)
-    val ((gatePass, gateCounts), tGates) = timed {
+    // Each gate frame is materialized (localCheckpoint) INSIDE the timer —
+    // the timer covers computing every gate exactly once — while the
+    // per-gate diagnostic counts run OUTSIDE it against the materialized
+    // blocks (ADVICE r13: counting uncached frames inside the timer
+    // recomputed each gate a second time, inflating tGates and deflating
+    // the headline docs/s).
+    val ((gatePass, gateFrames), tGates) = timed {
       val gop = operators.TextAnalysis.gopherFlags(spark, docs)
-        .filter($"keep").select("doc_id")
+        .filter($"keep").select("doc_id").localCheckpoint()
       val qual = operators.TextAnalysis.qualityScores(spark, docs)
-        .filter($"quality" >= 0.5).select("doc_id")
+        .filter($"quality" >= 0.5).select("doc_id").localCheckpoint()
       val bl = operators.UrlCuration.blocklistMatches(spark, docs)
-        .filter(!$"blocked").select("doc_id")
+        .filter(!$"blocked").select("doc_id").localCheckpoint()
       val lang = operators.TextAnalysis.detectLang(spark, docs)
         .filter($"lang_detected" === $"lang_declared").select("doc_id")
+        .localCheckpoint()
       val pass = docs.select("doc_id")
         .join(gop, "doc_id").join(qual, "doc_id")
         .join(bl, "doc_id").join(lang, "doc_id")
         .localCheckpoint()
-      val counts = Map(
-        "gopher" -> gop.count(), "quality" -> qual.count(),
-        "blocklist" -> bl.count(), "lang" -> lang.count())
-      (pass, counts)
+      (pass, Map("gopher" -> gop, "quality" -> qual,
+        "blocklist" -> bl, "lang" -> lang))
     }
+    val gateCounts = gateFrames.map { case (k, f) => k -> f.count() }
     val (gateDocs, gateBytes) = bytesAndCount(gatePass)
 
     // ---- stage 2: dedup cascade over gate survivors

@@ -296,7 +296,7 @@ object GraphAnn {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   def hnswIndexDir(s: SparkSession, dir: String): String =
-    hnswIndexDirs.getOrElseUpdate(dir, {
+    hnswIndexDirs.getOrElseUpdate(dir, graft.ColdBuilds.timed("sim_hnsw_persist", dir) {
       import s.implicits._
       val p = java.nio.file.Files
         .createTempDirectory("graft-hnsw-index").toString

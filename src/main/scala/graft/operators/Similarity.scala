@@ -311,7 +311,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   def ivfIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    ivfIndexDirs.getOrElseUpdate(dir, {
+    ivfIndexDirs.getOrElseUpdate(dir, graft.ColdBuilds.timed("sim_ivf_persist", dir) {
       import s.implicits._
       val p = java.nio.file.Files
         .createTempDirectory("graft-ivf-index").toString
@@ -333,7 +333,11 @@ object Similarity {
       // postings to re-derive them (each serve reads the K-row parquet).
       s.read.parquet(s"$p/postings")
         .join(broadcast(centroids), $"cluster" === $"label")
-        .select($"cluster",
+        // cluster is a PARTITION column here: its round-trip type depends on
+        // spark.sql.sources.partitionColumnTypeInference.enabled. Pin it to
+        // int at write time so the serve path's getInt is independent of
+        // session inference settings (ADVICE r13).
+        .select($"cluster".cast("int").as("cluster"),
           acos(least(lit(1.0), greatest(lit(-1.0),
             Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm")))).as("ang"))
         .groupBy($"cluster").agg(max($"ang").as("radius"))
@@ -396,7 +400,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   def ivfIncrIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    ivfIncrDirs.getOrElseUpdate(dir, {
+    ivfIncrDirs.getOrElseUpdate(dir, graft.ColdBuilds.timed("sim_ivf_incr", dir) {
       import s.implicits._
       val p = java.nio.file.Files
         .createTempDirectory("graft-ivf-incr").toString

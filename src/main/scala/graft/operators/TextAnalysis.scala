@@ -125,7 +125,7 @@ object TextAnalysis {
 
   def curationIntermediate(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    curationDirs.getOrElseUpdate(dir, {
+    curationDirs.getOrElseUpdate(dir, graft.ColdBuilds.timed("ta_curation_intermediate", dir) {
       import s.implicits._
       val p = java.nio.file.Files
         .createTempDirectory("graft-curation-ti").toString

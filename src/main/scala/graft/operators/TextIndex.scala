@@ -569,9 +569,10 @@ object TextIndex {
 
   private def bpeModelFor(
       s: org.apache.spark.sql.SparkSession, dir: String): Array[(Long, String, Long)] =
-    bpeModels.getOrElseUpdate(dir,
+    bpeModels.getOrElseUpdate(dir, graft.ColdBuilds.timed("ta_bpe_train", dir) {
       bpeTrain(s, Tables.documents(s, dir), BpeRounds).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    })
 
   /** Shared CTE prefix of the BPE oracles: vocab, initial segmentation,
     * and one (pair-count → argmax → replace) block per budget round, plus

@@ -833,7 +833,7 @@ object EventAnalytics {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def upsertSrcDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    upsertSrcDirs.getOrElseUpdate(dir, {
+    upsertSrcDirs.getOrElseUpdate(dir, graft.ColdBuilds.timed("ev_upsert_src", dir) {
       val p = Events.streamTmpDir("ev-upsert-src")
       Tables.events(s, dir).repartition(4)
         .write.mode("overwrite").parquet(p)
@@ -879,7 +879,7 @@ object EventAnalytics {
 
   private[streaming] def incrStateDir(
       s: org.apache.spark.sql.SparkSession, dir: String, cutoff: String): String =
-    incrStateDirs.getOrElseUpdate(s"$dir|$cutoff", {
+    incrStateDirs.getOrElseUpdate(s"$dir|$cutoff", graft.ColdBuilds.timed("ev_incr_rollup_state", dir) {
       import s.implicits._
       val p = java.nio.file.Files.createTempDirectory("graft-incr-state").toString
       Tables.events(s, dir)
