@@ -84,6 +84,31 @@ object Dedup {
   def documentsCount(s: SparkSession, dir: String): Long =
     docCounts.getOrElseUpdate(dir, Tables.documents(s, dir).count())
 
+  /** The exact-pairs gate applied to the EMBEDDINGS table: the labeled
+    * O(n²) all-pairs cosine baseline (dd_embedding_cosine) runs on the
+    * `vec_id % ExactPairsStride = 0` stratum above [[ExactPairsDocCap]]
+    * vectors — same cap, same stride, same oracle-mirrored shape as the
+    * document-side gate, and both driver correctness scales (500 / 2,000
+    * vectors) sit under the cap so the hash-checked surface is unchanged.
+    * The LSH/semdedup paths are the scale story; the baseline exists to
+    * grade them, and grading on a deterministic stratum is the sampled
+    * ann-benchmarks methodology (id assignment is independent of vector
+    * geometry in the fixture generator).
+    */
+  private[operators] final val ExactVecsGateSql: String =
+    s"((SELECT count(*) FROM embeddings) <= $ExactPairsDocCap OR vec_id % $ExactPairsStride = 0)"
+
+  private val vecCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def embeddingsCount(s: SparkSession, dir: String): Long =
+    vecCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
+
+  def exactPairsVecs(s: SparkSession, emb: DataFrame, n: Long): DataFrame = {
+    import s.implicits._
+    if (n > ExactPairsDocCap)
+      emb.filter($"vec_id" % ExactPairsStride === 0)
+    else emb
+  }
+
   /** Sliding-window width (tokens) for exact-substring duplicate-span
     * removal: shared spans ≥ this many tokens are detected and removed.
     */
@@ -1082,7 +1107,8 @@ object Dedup {
     // sf0.01; round 1's 0.8 matched an empty set and verified nothing).
     sqlChecked(
       "dd_embedding_cosine",
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings WHERE $ExactVecsGateSql),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1091,7 +1117,7 @@ object Dedup {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
+      val e = exactPairsVecs(s, Tables.embeddings(s, dir), embeddingsCount(s, dir))
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
         .withColumn("nrm", Exprs.l2norm($"v"))
       e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -11,8 +11,9 @@ import graft.functions.Exprs
   * et al. 2014): the dominant published ANN regime next to the repo's
   * IVF / PQ / LSH / random-projection paths, and the standard
   * ann-benchmarks comparison point. A navigable proximity graph is built
-  * over the corpus; a query greedily walks it from a fixed entry point,
-  * then beam-searches the base layer; only visited nodes are scored.
+  * over the corpus; a query greedily descends a layer ladder from a fixed
+  * entry point, then beam-searches the base layer; only visited nodes are
+  * scored.
   *
   * This implementation is the DETERMINISTIC, ORACLE-REPLAYABLE member of
   * the family (the pr_pagerank / ta_bpe_train trajectory-unroll
@@ -20,45 +21,64 @@ import graft.functions.Exprs
   * by a deterministic twin so DuckDB can re-derive the exact build AND
   * search from scratch in SQL:
   *
-  *  - random insertion order / random level draws → arithmetic level
-  *    assignment: node `vec_id` is promoted to the upper layer iff
-  *    `(vec_id DIV shards) % HnswPromote == 0` (every 8th member — id
-  *    order is independent of geometry, which is what the random draw
-  *    buys);
+  *  - random level draws → arithmetic promotion: node `vec_id` belongs to
+  *    upper layer ℓ iff `(vec_id DIV shards) % HnswPromote^ℓ == 0`. The
+  *    geometric thinning this produces is exactly published HNSW's
+  *    exponential level distribution (P(level ≥ ℓ) = 8^-ℓ), and — like
+  *    the random draw — id order is independent of geometry. The LADDER
+  *    HEIGHT IS DATA-DRIVEN: layer ℓ only carries edges where a shard has
+  *    ≥ 2 members, so effective levels grow ~log_8(n/shards) with the
+  *    corpus (2 000 vectors → 2 upper layers; 20 000 → 3) with no config
+  *    change, matching the published behavior (max level grows
+  *    logarithmically with n). [[HnswMaxLevels]] caps only the generated
+  *    unroll, not the data-driven height.
   *  - incremental neighbor selection → the exact M-NN graph per layer
-  *    (directed, 6-dp-rounded cosine, ties by id) — the NN-descent /
-  *    KGraph build target;
+  *    (directed, 6-dp-rounded cosine, ties by id) for the labeled exact
+  *    build, or deterministic NN-DESCENT (Dong et al., WWW 2011) for the
+  *    at-scale base-layer build (sim_hnsw_nnd): ring init in id order,
+  *    [[NndIters]] fixed rounds of neighbors-of-neighbors (forward ∪
+  *    reverse) candidate generation, top-M re-selection — O(n·(2M)²) per
+  *    round against the exact build's O(n²/S).
   *  - unbounded best-first search → a FIXED unroll: HnswGreedyHops greedy
-  *    steps on the upper layer, then HnswBeamHops beam steps (width
-  *    HnswBeam) on the base layer. Fixed depth makes the walk a finite
-  *    CTE chain instead of a data-dependent loop.
+  *    steps per upper layer (highest active layer first), then
+  *    HnswBeamHops beam steps (width HnswBeam) on the base layer. Fixed
+  *    depth makes the walk a finite CTE chain instead of a data-dependent
+  *    loop; a layer with no edges is a structural no-op in BOTH engines
+  *    (the Spark walk skips it, the oracle's hop CTEs are empty).
   *
   * SCALE SHAPE (the 100 TB story, and why the build is PARTITION-LOCAL):
   * the corpus is sharded by `vec_id % HnswShards`; each shard builds its
-  * own graph INDEPENDENTLY (the within-shard M-NN join keys on shard, so
+  * own graph INDEPENDENTLY (the within-shard joins key on shard, so
   * shards never exchange vectors) and a query scatter-gathers: search
   * every shard's graph, merge the per-shard visited sets, take the global
   * top-k — the published distributed-HNSW serving pattern (per-shard
-  * Faiss-HNSW + result merge). Build cost n²/S per shard against n² flat;
-  * at real scale the per-shard exact M-NN build is replaced by NN-descent
-  * over the same shard with the serve path unchanged. Two layers suffice
-  * at test scale (upper = n/8); the generalization is levels = log_8(n)
-  * with the same arithmetic promotion per level (SCALING.md).
+  * Faiss-HNSW + result merge). The exact build costs n²/S per shard; the
+  * NN-descent build replaces that with iters·n·(2M)² while the serve path
+  * is UNCHANGED (the same walk over whichever edge lists were built).
+  * Incremental maintenance (sim_hnsw_incr) follows published HNSW insert:
+  * an arrival batch links forward to its M nearest BASE members per layer
+  * and back-links prune each touched base list to M — arrival-sized
+  * ingest work, the frozen-quantizer discipline of sim_ivf_incr applied
+  * to graphs.
   *
   * Searching re-uses the repo's ANN eval discipline: sim_recall_eval
   * grades hnsw and ivf side-by-side against the brute-force truth AND
   * reports each method's measured candidate budget (n_cand = distinct
   * scored nodes), so the recall-per-candidate trade is a measured number,
   * not a claim. HnswRecallSpec pins the structural invariants and the
-  * drift scenario where graphs beat IVF at equal budget.
+  * drift scenario where graphs beat IVF at equal budget; HnswLevelsSpec
+  * pins the data-driven ladder; HnswNndSpec pins descent recall against
+  * the exact build; HnswIncrSpec pins insert semantics on a planted
+  * skewed arrival batch.
   */
 object GraphAnn {
 
   /** All `final val` literals: interpolated into oracle SQL at object init
-    * (init-order-safe) and exposed for HnswRecallSpec.
+    * (init-order-safe) and exposed for the specs.
     */
   final val HnswShards = 4
   final val HnswPromote = 8
+  final val HnswMaxLevels = 4
   final val HnswM0 = 6
   final val HnswM1 = 16
   final val HnswBeam = 4
@@ -66,25 +86,65 @@ object GraphAnn {
   final val HnswBeamHops = 3
   final val HnswQueryMax = 5
   final val HnswK = 10
+  final val NndIters = 3
+  final val HnswIncrMod = 7
+  final val HnswIncrRes = 3
 
-  /** Nodes with search geometry: double vector, norm, shard, upper-layer
-    * flag. Takes any (vec_id, embedding) frame so specs can plant corpora.
+  /** HnswPromote^l as a Long for SQL interpolation. */
+  private def p8(l: Int): Long = {
+    var x = 1L; var i = 0
+    while (i < l) { x *= HnswPromote; i += 1 }
+    x
+  }
+
+  /** Highest upper layer the arithmetic promotion admits (0 = base only). */
+  private def lvlExpr: Column = {
+    var c: Column = when(
+      expr(s"(vec_id DIV $HnswShards) % ${p8(HnswMaxLevels)}") === 0,
+      lit(HnswMaxLevels))
+    for (l <- HnswMaxLevels - 1 to 1 by -1)
+      c = c.when(expr(s"(vec_id DIV $HnswShards) % ${p8(l)}") === 0, lit(l))
+    c.otherwise(lit(0))
+  }
+
+  /** Nodes with search geometry: double vector, norm, shard, max layer.
+    * Takes any (vec_id, embedding) frame so specs can plant corpora.
     */
   def hnswNodes(emb: DataFrame): DataFrame =
     emb
       .select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("v"))
       .withColumn("nrm", Exprs.l2norm(col("v")))
       .withColumn("shard", col("vec_id") % HnswShards)
-      .withColumn("top", expr(s"(vec_id DIV $HnswShards) % $HnswPromote = 0"))
+      .withColumn("lvl", lvlExpr)
 
-  /** Directed exact M-NN edges WITHIN each shard (the layer graph). The
-    * join keys on shard, so the build is partition-local: every shard's
-    * edge list derives from that shard's vectors only.
+  /** Upper layers that can carry edges: some shard holds ≥ 2 members.
+    * One tiny two-stage aggregation + a 1-row driver fetch (the repo's
+    * scalar-collect class) — this is how the ladder height derives from
+    * the corpus instead of config. Conservative superset: a level listed
+    * here may still have empty edge lists in SOME shards — walking an
+    * empty edge list is a no-op, identical to the oracle's empty hop CTE.
     */
-  def knnEdges(members: DataFrame, m: Int): DataFrame = {
+  def activeLevels(nodes: DataFrame): Seq[Int] = {
+    val cAgg = (1 to HnswMaxLevels).map(l =>
+      sum(when(col("lvl") >= l, 1L).otherwise(0L)).as(s"c$l"))
+    val mAgg = (1 to HnswMaxLevels).map(l => max(col(s"c$l")).as(s"m$l"))
+    val row = nodes.groupBy(col("shard"))
+      .agg(cAgg.head, cAgg.tail: _*)
+      .agg(mAgg.head, mAgg.tail: _*)
+      .collect().headOption
+    (1 to HnswMaxLevels).filter(l =>
+      row.exists(r => !r.isNullAt(l - 1) && r.getLong(l - 1) >= 2))
+  }
+
+  /** Directed exact M-NN edges from `srcM` members into `dstM` members
+    * WITHIN each shard. The join keys on shard, so the build is
+    * partition-local: every shard's edge list derives from that shard's
+    * vectors only.
+    */
+  def knnEdgesBetween(srcM: DataFrame, dstM: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-    members.as("a")
-      .join(members.as("b"),
+    srcM.as("a")
+      .join(dstM.as("b"),
         col("a.shard") === col("b.shard") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.shard").as("shard"), col("a.vec_id").as("src"),
         col("b.vec_id").as("dst"),
@@ -95,34 +155,113 @@ object GraphAnn {
       .select("shard", "src", "dst")
   }
 
-  /** The full scatter-gather search: every scored (query, node) visit
-    * across all shards, deduped — (query_id, node, cos). n_cand in
-    * sim_recall_eval is exactly this set's per-query size: the measured
-    * candidate budget (distance computations paid). Queries are the
-    * corpus members with vec_id < HnswQueryMax, like every sim_ query.
+  /** Exact M-NN layer graph among `members` (the NN-descent build's
+    * target function).
+    */
+  def knnEdges(members: DataFrame, m: Int): DataFrame =
+    knnEdgesBetween(members, members, m)
+
+  /** Re-select top-`m` per src over a merged candidate edge set, scoring
+    * fresh (6-dp cosine, id tie-break) — the prune step of both NN-descent
+    * rounds and incremental-insert back-links.
+    */
+  def rerankEdges(nodes: DataFrame, edges: DataFrame, m: Int): DataFrame = {
+    val vecs = nodes.select(col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    edges.select("shard", "src", "dst").distinct()
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("snrm")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dnrm")), Seq("dst"))
+      .select(col("shard"), col("src"), col("dst"),
+        round(Exprs.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select("shard", "src", "dst")
+  }
+
+  /** Deterministic NN-DESCENT base-layer build (Dong et al., WWW 2011):
+    * start from a geometry-blind ring over the shard's id order (the
+    * deterministic twin of the paper's random init), then for a FIXED
+    * [[NndIters]] rounds let every node propose its general neighbors'
+    * general neighbors (general = forward ∪ reverse edges — the paper's
+    * key step) and keep the best M by cosine. Per round the candidate
+    * volume is ≤ n·(2M)² against the exact build's n²/S — the at-scale
+    * replacement the serve path is agnostic to. Each round is
+    * localCheckpointed: chained iterative DataFrame state is exactly the
+    * lineage class the 4×-plan-overhead lesson (BASELINE.md r13) covers.
+    */
+  def nndEdges(s: SparkSession, nodes: DataFrame): DataFrame = {
+    import s.implicits._
+    val wSh = Window.partitionBy($"shard").orderBy($"vec_id")
+    val mem = nodes.select($"shard", $"vec_id")
+      .withColumn("pos", row_number().over(wSh) - 1)
+    val cnts = mem.groupBy($"shard").agg(count(lit(1)).as("cnt"))
+    val init = mem.join(broadcast(cnts), Seq("shard"))
+      .select($"shard", $"vec_id".as("src"), $"pos", $"cnt",
+        explode(sequence(lit(1), lit(HnswM0))).as("j"))
+      .withColumn("dpos", ($"pos" + $"j") % $"cnt")
+      .join(mem.select($"shard", $"pos".as("dpos"), $"vec_id".as("dst")),
+        Seq("shard", "dpos"))
+      .filter($"src" =!= $"dst")
+      .select($"shard", $"src", $"dst").distinct()
+    var edges = init.localCheckpoint()
+    for (_ <- 1 to NndIters) {
+      val gen = edges
+        .union(edges.select($"shard", $"dst".as("src"), $"src".as("dst")))
+        .distinct()
+      val cand = gen.as("g1")
+        .join(gen.as("g2"),
+          $"g1.shard" === $"g2.shard" && $"g1.dst" === $"g2.src" &&
+            $"g1.src" =!= $"g2.dst")
+        .select($"g1.shard".as("shard"), $"g1.src".as("src"), $"g2.dst".as("dst"))
+        .union(gen)
+      edges = rerankEdges(nodes, cand, HnswM0).localCheckpoint()
+    }
+    edges
+  }
+
+  /** Exact edge lists for every potentially-active upper layer (keyed by
+    * layer).
+    */
+  private def upperEdgesOf(nodes: DataFrame): Map[Int, DataFrame] =
+    activeLevels(nodes).map(l =>
+      l -> knnEdges(nodes.filter(col("lvl") >= l), HnswM1).localCheckpoint()).toMap
+
+  /** The full scatter-gather search over a freshly-built EXACT index:
+    * every scored (query, node) visit across all shards, deduped —
+    * (query_id, node, cos). n_cand in sim_recall_eval is exactly this
+    * set's per-query size: the measured candidate budget (distance
+    * computations paid). Queries are the corpus members with
+    * vec_id < HnswQueryMax, like every sim_ query.
     */
   def hnswSearch(s: SparkSession, emb: DataFrame): DataFrame = {
-    import s.implicits._
     // localCheckpoint (eager) after every build/walk step: with plain
     // cache() the final action's task binaries carry the WHOLE chained
     // lineage (measured 13.5 MiB broadcasts and an 18 s wall at 2 000
     // vectors — pure plan/codegen overhead); truncating collapses each
-    // step to a scan of materialized rows and the search to ~2 s
+    // step to a scan of materialized rows
     val nodes = hnswNodes(emb).localCheckpoint()
     val e0 = knnEdges(nodes, HnswM0).localCheckpoint()
-    val e1 = knnEdges(nodes.filter($"top"), HnswM1).localCheckpoint()
-    hnswWalk(s, nodes, e0, e1)
+    hnswWalk(s, nodes, e0, upperEdgesOf(nodes))
   }
 
-  /** The walk alone, over an already-materialized index (nodes + the two
-    * layer edge lists) — shared by the fused build+search path above and
-    * the persisted-index serve (sim_hnsw_persist).
+  /** The walk alone, over already-materialized edge lists — shared by the
+    * fused build+search path, the persisted-index serve, the NN-descent
+    * variant and the incremental index: greedy descent down the upper
+    * ladder (highest layer first, [[HnswGreedyHops]] hops each), then
+    * beam search on the base layer. `uppers` maps layer → edge list;
+    * absent layers are skipped (≡ the oracle's empty hop CTEs).
+    * `entriesOpt` overrides the per-shard entry points (the incremental
+    * index freezes them on the base corpus).
     */
   def hnswWalk(s: SparkSession, nodes: DataFrame, e0: DataFrame,
-      e1: DataFrame): DataFrame = {
+      uppers: Map[Int, DataFrame],
+      entriesOpt: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
-    val entries = nodes.filter($"top")
-      .groupBy($"shard").agg(min($"vec_id").as("entry"))
+    val entries = entriesOpt.getOrElse(
+      nodes.filter($"lvl" >= 1).groupBy($"shard").agg(min($"vec_id").as("entry")))
     val q = nodes.filter($"vec_id" < HnswQueryMax)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     def score(cand: DataFrame): DataFrame =
@@ -138,10 +277,8 @@ object GraphAnn {
     var state = score(q.select($"query_id").crossJoin(broadcast(entries))
       .select($"query_id", $"shard", $"entry".as("node"))).localCheckpoint()
     var scoredSets = Seq(state)
-    // greedy descent on the upper layer (beam 1): move to the best of
-    // {current} ∪ neighbors each hop
-    for (_ <- 1 to HnswGreedyHops) {
-      val nb = state.as("g").join(e1.as("e"),
+    def step(edges: DataFrame, keep: Int): Unit = {
+      val nb = state.as("g").join(edges.as("e"),
           $"g.shard" === $"e.shard" && $"g.node" === $"e.src")
         .select($"g.query_id".as("query_id"), $"g.shard".as("shard"),
           $"e.dst".as("node"))
@@ -150,24 +287,16 @@ object GraphAnn {
       scoredSets :+= sc
       state = state.select($"query_id", $"shard", $"node", $"cos")
         .union(sc).distinct()
-        .withColumn("rk", row_number().over(wSel)).filter($"rk" === 1)
+        .withColumn("rk", row_number().over(wSel)).filter($"rk" <= keep)
         .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
     }
+    // greedy descent (beam 1), highest active layer first
+    for (l <- HnswMaxLevels to 1 by -1; el <- uppers.get(l); _ <- 1 to HnswGreedyHops)
+      step(el, 1)
     // beam search on the base layer: expand all beam members' neighbors,
     // keep the HnswBeam best of {beam} ∪ {expansion}
-    for (_ <- 1 to HnswBeamHops) {
-      val nb = state.as("b").join(e0.as("e"),
-          $"b.shard" === $"e.shard" && $"b.node" === $"e.src")
-        .select($"b.query_id".as("query_id"), $"b.shard".as("shard"),
-          $"e.dst".as("node"))
-        .distinct()
-      val sc = score(nb).localCheckpoint()
-      scoredSets :+= sc
-      state = state.select($"query_id", $"shard", $"node", $"cos")
-        .union(sc).distinct()
-        .withColumn("rk", row_number().over(wSel)).filter($"rk" <= HnswBeam)
-        .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
-    }
+    for (_ <- 1 to HnswBeamHops)
+      step(e0, HnswBeam)
     scoredSets.map(_.select($"query_id", $"node", $"cos"))
       .reduce(_ union _).distinct()
   }
@@ -217,6 +346,10 @@ object GraphAnn {
       .select($"query_id", $"vec_id".as("cand_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Oracle SQL generation: build AND walk replayed as CTE chains
+  // -------------------------------------------------------------------
+
   private def scoreSql(qv: String, cv: String, qn: String, cn: String): String =
     s"round(list_sum(list_transform(generate_series(1, len($qv)), i -> $qv[i] * $cv[i])) / ($qn * $cn), 6)"
 
@@ -225,59 +358,73 @@ object GraphAnn {
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
 
-  /** Build + search replayed as oracle CTEs. Assumes CTEs v, n (vec_id, v,
-    * nrm) are already defined; ends in `hvis` (all scored visits) and
-    * `hnsw_topk` (query_id, cand_id, cos, rk ≤ HnswK).
+  /** hn: every vector with walk geometry (assumes CTEs v, n defined). */
+  private val HnCteSql: String = {
+    val cases = (HnswMaxLevels to 1 by -1)
+      .map(l => s"WHEN (vec_id // $HnswShards) % ${p8(l)} = 0 THEN $l")
+      .mkString(" ")
+    s"""hn AS (SELECT vec_id, v, nrm, vec_id % $HnswShards AS shard,
+      |  CASE $cases ELSE 0 END AS lvl FROM n)""".stripMargin
+  }
+
+  /** Exact M-NN edges among level-≥-`lvlMin` members satisfying `pred`
+    * (an alias → predicate template), per shard.
     */
-  val HnswCtesSql: String = {
+  private def knnCteSql(name: String, lvlMin: Int, m: Int,
+      pred: String => String = _ => "TRUE"): String =
+    s"""$name AS (SELECT shard, src, dst FROM (
+      |  SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rk
+      |  FROM hn a JOIN hn b ON a.shard = b.shard AND a.vec_id <> b.vec_id
+      |    AND a.lvl >= $lvlMin AND b.lvl >= $lvlMin
+      |    AND ${pred("a")} AND ${pred("b")})
+      |  WHERE rk <= $m)""".stripMargin
+
+  /** The fixed-unroll walk + global top-k: greedy descent over layers
+    * HnswMaxLevels..1 (edge CTE per layer from `upper`), beam on `base`.
+    * Assumes hn and hq exist; `entries` names a (shard, entry) CTE. Ends
+    * in `hvis` (all scored visits) and `hnsw_topk`. State CTEs are
+    * MATERIALIZED: each is referenced twice and the ladder is 11 states
+    * deep — DuckDB's inlining of doubly-referenced chains is exponential
+    * (the ta_bpe_train lesson).
+    */
+  private def walkCtesSql(base: String, upper: Int => String,
+      entries: String): String = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    parts += s"""hn AS (SELECT vec_id, v, nrm, vec_id % $HnswShards AS shard,
-      |  ((vec_id // $HnswShards) % $HnswPromote = 0) AS top FROM n)""".stripMargin
-    parts += s"""he0 AS (SELECT shard, src, dst FROM (
-      |  SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
-      |    row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rk
-      |  FROM hn a JOIN hn b ON a.shard = b.shard AND a.vec_id <> b.vec_id)
-      |  WHERE rk <= $HnswM0)""".stripMargin
-    parts += s"""he1 AS (SELECT shard, src, dst FROM (
-      |  SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
-      |    row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rk
-      |  FROM hn a JOIN hn b ON a.shard = b.shard AND a.top AND b.top AND a.vec_id <> b.vec_id)
-      |  WHERE rk <= $HnswM1)""".stripMargin
-    parts += s"hent AS (SELECT shard, min(vec_id) AS entry FROM hn WHERE top GROUP BY shard)"
-    parts += s"hq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $HnswQueryMax)"
     parts += s"""hg0 AS (SELECT q.query_id, t.shard, t.entry AS node,
       |  ${scoreSql("q.qv", "c.v", "q.qnrm", "c.nrm")} AS cos
-      |  FROM hq q CROSS JOIN hent t JOIN hn c ON c.vec_id = t.entry)""".stripMargin
-    for (i <- 1 to HnswGreedyHops) {
-      parts += s"""hs$i AS (SELECT DISTINCT g.query_id, g.shard, e.dst AS node
-        |  FROM hg${i - 1} g JOIN he1 e ON e.shard = g.shard AND e.src = g.node)""".stripMargin
-      parts += s"""hc$i AS (SELECT s.query_id, s.shard, s.node,
+      |  FROM hq q CROSS JOIN $entries t JOIN hn c ON c.vec_id = t.entry)""".stripMargin
+    var state = "hg0"
+    val scored = scala.collection.mutable.ArrayBuffer("hg0")
+    for (l <- HnswMaxLevels to 1 by -1; i <- 1 to HnswGreedyHops) {
+      val id = s"l${l}h$i"
+      parts += s"""hs$id AS (SELECT DISTINCT g.query_id, g.shard, e.dst AS node
+        |  FROM $state g JOIN ${upper(l)} e ON e.shard = g.shard AND e.src = g.node)""".stripMargin
+      parts += s"""hc$id AS (SELECT s.query_id, s.shard, s.node,
         |  ${scoreSql("q.qv", "c.v", "q.qnrm", "c.nrm")} AS cos
-        |  FROM hs$i s JOIN hq q ON q.query_id = s.query_id JOIN hn c ON c.vec_id = s.node)""".stripMargin
-      parts += s"""hg$i AS (SELECT query_id, shard, node, cos FROM (
+        |  FROM hs$id s JOIN hq q ON q.query_id = s.query_id JOIN hn c ON c.vec_id = s.node)""".stripMargin
+      parts += s"""hg$id AS MATERIALIZED (SELECT query_id, shard, node, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id, shard
         |    ORDER BY cos DESC, node) AS rk
-        |  FROM (SELECT * FROM hg${i - 1} UNION SELECT * FROM hc$i)) WHERE rk = 1)""".stripMargin
+        |  FROM (SELECT * FROM $state UNION SELECT * FROM hc$id)) WHERE rk = 1)""".stripMargin
+      scored += s"hc$id"; state = s"hg$id"
     }
-    parts += s"hb0 AS (SELECT * FROM hg$HnswGreedyHops)"
+    parts += s"hb0 AS (SELECT * FROM $state)"
     for (i <- 1 to HnswBeamHops) {
       parts += s"""hx$i AS (SELECT DISTINCT b.query_id, b.shard, e.dst AS node
-        |  FROM hb${i - 1} b JOIN he0 e ON e.shard = b.shard AND e.src = b.node)""".stripMargin
+        |  FROM hb${i - 1} b JOIN $base e ON e.shard = b.shard AND e.src = b.node)""".stripMargin
       parts += s"""hw$i AS (SELECT s.query_id, s.shard, s.node,
         |  ${scoreSql("q.qv", "c.v", "q.qnrm", "c.nrm")} AS cos
         |  FROM hx$i s JOIN hq q ON q.query_id = s.query_id JOIN hn c ON c.vec_id = s.node)""".stripMargin
-      parts += s"""hb$i AS (SELECT query_id, shard, node, cos FROM (
+      parts += s"""hb$i AS MATERIALIZED (SELECT query_id, shard, node, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id, shard
         |    ORDER BY cos DESC, node) AS rk
         |  FROM (SELECT * FROM hb${i - 1} UNION SELECT * FROM hw$i)) WHERE rk <= $HnswBeam)""".stripMargin
+      scored += s"hw$i"
     }
-    val scoredSets = Seq("hg0") ++
-      (1 to HnswGreedyHops).map(i => s"hc$i") ++
-      (1 to HnswBeamHops).map(i => s"hw$i")
     parts += s"""hvis AS (SELECT DISTINCT query_id, node, cos FROM (
-      |  ${scoredSets.map(t => s"SELECT query_id, shard, node, cos FROM $t").mkString("\n  UNION ALL ")}))""".stripMargin
+      |  ${scored.map(t => s"SELECT query_id, shard, node, cos FROM $t").mkString("\n  UNION ALL ")}))""".stripMargin
     parts += s"""hnsw_topk AS (SELECT query_id, node AS cand_id, cos, rk FROM (
       |  SELECT query_id, node, cos,
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node) AS rk
@@ -285,41 +432,213 @@ object GraphAnn {
     parts.mkString(",\n")
   }
 
+  private val HentSql =
+    "hent AS (SELECT shard, min(vec_id) AS entry FROM hn WHERE lvl >= 1 GROUP BY shard)"
+  private val HqSql =
+    s"hq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $HnswQueryMax)"
+
+  /** Exact build + walk. Assumes CTEs v, n defined; ends in hvis /
+    * hnsw_topk. Shared verbatim by sim_hnsw_topk, sim_hnsw_persist (same
+    * deterministic build ⇒ same oracle) and sim_recall_eval.
+    */
+  val HnswCtesSql: String = Seq(
+    HnCteSql,
+    (1 to HnswMaxLevels).map(l => knnCteSql(s"he$l", l, HnswM1)).mkString(",\n"),
+    knnCteSql("he0", 0, HnswM0),
+    HentSql, HqSql,
+    walkCtesSql("he0", l => s"he$l", "hent")
+  ).mkString(",\n")
+
+  /** NN-descent base build + walk (upper layers stay exact — they hold
+    * n/8^ℓ members, never the quadratic term). Ends in hvis / hnsw_topk.
+    */
+  val HnswNndCtesSql: String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += HnCteSql
+    (1 to HnswMaxLevels).foreach(l => parts += knnCteSql(s"he$l", l, HnswM1))
+    parts += s"""nm AS (SELECT vec_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY vec_id) - 1 AS pos,
+      |  count(*) OVER (PARTITION BY shard) AS cnt FROM hn)""".stripMargin
+    parts += s"""nd0 AS (SELECT DISTINCT a.shard, a.vec_id AS src, b.vec_id AS dst
+      |  FROM nm a CROSS JOIN (SELECT unnest(generate_series(1, $HnswM0)) AS j) js
+      |  JOIN nm b ON b.shard = a.shard AND b.pos = (a.pos + js.j) % a.cnt
+      |  WHERE b.vec_id <> a.vec_id)""".stripMargin
+    for (t <- 1 to NndIters) {
+      val pe = s"nd${t - 1}"
+      parts += s"""ng$t AS MATERIALIZED (SELECT shard, src, dst FROM $pe
+        |  UNION SELECT shard, dst, src FROM $pe)""".stripMargin
+      parts += s"""nc$t AS (SELECT DISTINCT shard, src, dst FROM (
+        |  SELECT g1.shard, g1.src, g2.dst FROM ng$t g1 JOIN ng$t g2
+        |    ON g1.shard = g2.shard AND g1.dst = g2.src AND g1.src <> g2.dst
+        |  UNION SELECT shard, src, dst FROM ng$t))""".stripMargin
+      parts += s"""nd$t AS MATERIALIZED (SELECT shard, src, dst FROM (
+        |  SELECT c.shard, c.src, c.dst,
+        |    row_number() OVER (PARTITION BY c.src
+        |      ORDER BY ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} DESC, c.dst) AS rk
+        |  FROM nc$t c JOIN hn x ON x.vec_id = c.src JOIN hn y ON y.vec_id = c.dst)
+        |  WHERE rk <= $HnswM0)""".stripMargin
+    }
+    parts += HentSql
+    parts += HqSql
+    parts += walkCtesSql(s"nd$NndIters", l => s"he$l", "hent")
+    parts.mkString(",\n")
+  }
+
+  /** Incremental build + walk: exact per-layer graphs over the BASE
+    * corpus (vec_id % HnswIncrMod ≠ HnswIncrRes), arrival forward links
+    * (top-m among base members per layer), back-links pruned to m,
+    * entries frozen on the base. Ends in hvis / hnsw_topk.
+    */
+  val HnswIncrCtesSql: String = {
+    val baseP = (a: String) => s"$a.vec_id % $HnswIncrMod <> $HnswIncrRes"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += HnCteSql
+    for (l <- 0 to HnswMaxLevels) {
+      val m = if (l == 0) HnswM0 else HnswM1
+      parts += knnCteSql(s"hbe$l", l, m, baseP)
+      parts += s"""hfw$l AS (SELECT shard, src, dst FROM (
+        |  SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rk
+        |  FROM hn a JOIN hn b ON a.shard = b.shard
+        |    AND a.lvl >= $l AND b.lvl >= $l
+        |    AND a.vec_id % $HnswIncrMod = $HnswIncrRes AND ${baseP("b")})
+        |  WHERE rk <= $m)""".stripMargin
+      parts += s"""hme$l AS MATERIALIZED (SELECT shard, src, dst FROM (
+        |  SELECT u.shard, u.src, u.dst,
+        |    row_number() OVER (PARTITION BY u.src
+        |      ORDER BY ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} DESC, u.dst) AS rk
+        |  FROM (SELECT shard, src, dst FROM hbe$l
+        |        UNION SELECT shard, src, dst FROM hfw$l
+        |        UNION SELECT shard, dst, src FROM hfw$l) u
+        |  JOIN hn x ON x.vec_id = u.src JOIN hn y ON y.vec_id = u.dst)
+        |  WHERE rk <= $m)""".stripMargin
+    }
+    parts += s"""hent AS (SELECT shard, min(vec_id) AS entry FROM hn
+      |  WHERE lvl >= 1 AND vec_id % $HnswIncrMod <> $HnswIncrRes GROUP BY shard)""".stripMargin
+    parts += HqSql
+    parts += walkCtesSql("hme0", l => s"hme$l", "hent")
+    parts.mkString(",\n")
+  }
+
+  // -------------------------------------------------------------------
+  // Persisted / incremental index plumbing
+  // -------------------------------------------------------------------
+
+  private def rmOnExit(p: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(p))
+    }))
+
+  /** All layer edge lists as ONE parquet dataset PARTITIONED BY
+    * (lvl, shard): an executor serving shard k at layer ℓ reads only
+    * `edges/lvl=ℓ/shard=k`, and the layout carries any ladder height.
+    */
+  private def writeIndex(p: String, nodes: DataFrame, e0: DataFrame,
+      uppers: Map[Int, DataFrame]): Unit = {
+    nodes.write.mode("overwrite").parquet(s"$p/nodes")
+    (Seq(0 -> e0) ++ uppers.toSeq).map { case (l, e) =>
+      e.select(col("src"), col("dst"), lit(l).as("lvl"), col("shard"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").partitionBy("lvl", "shard").parquet(s"$p/edges")
+  }
+
+  /** Serve a query batch from a stored index: read the node table and the
+    * layer edge lists (partition-pruned per layer; partition-column types
+    * pinned by explicit casts — the sim_range_search inference lesson) and
+    * walk them.
+    */
+  def hnswWalkStored(s: SparkSession, idx: String,
+      entriesOpt: Option[DataFrame] = None): DataFrame = {
+    val nodes = s.read.parquet(s"$idx/nodes")
+    val edges = s.read.parquet(s"$idx/edges")
+      .select(col("src"), col("dst"), col("lvl").cast("int").as("lvl"),
+        col("shard").cast("long").as("shard"))
+    def at(l: Int) = edges.filter(col("lvl") === l).select("shard", "src", "dst")
+    val lvls = activeLevels(nodes)
+    hnswWalk(s, nodes, at(0), lvls.map(l => l -> at(l)).toMap, entriesOpt)
+  }
+
   /** Write-once-per-(dir, JVM) PERSISTED GRAPH INDEX (the ivfIndexDir
-    * discipline for the HNSW family): `nodes/` plus the two layer edge
-    * lists as parquet PARTITIONED BY shard — the long-lived serving form,
-    * where the n²/S build amortizes over every query batch and an
-    * executor serving shard k reads only `edges0/shard=k`. Removed on JVM
-    * exit.
+    * discipline for the HNSW family): nodes plus every layer's edge list,
+    * (lvl, shard)-partitioned — the long-lived serving form, where the
+    * build amortizes over every query batch. Removed on JVM exit.
     */
   private val hnswIndexDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   def hnswIndexDir(s: SparkSession, dir: String): String =
     hnswIndexDirs.getOrElseUpdate(dir, graft.ColdBuilds.timed("sim_hnsw_persist", dir) {
-      import s.implicits._
       val p = java.nio.file.Files
         .createTempDirectory("graft-hnsw-index").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
-        }
-        rm(new java.io.File(p))
-      }))
+      rmOnExit(p)
       val nodes = hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
-      nodes.write.mode("overwrite").parquet(s"$p/nodes")
-      knnEdges(nodes, HnswM0)
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$p/edges0")
-      knnEdges(nodes.filter($"top"), HnswM1)
-        .write.mode("overwrite").partitionBy("shard").parquet(s"$p/edges1")
+      writeIndex(p, nodes, knnEdges(nodes, HnswM0), upperEdgesOf(nodes))
       p
     })
 
+  /** The incremental-insert step over an arbitrary node frame — exposed
+    * for HnswIncrSpec's planted-batch scenario. Per layer: exact base
+    * graph, arrival forward links into the base, reverse links, one
+    * re-rank prune to m. Returns layer → merged edges (0 = base layer).
+    */
+  def incrMergedEdges(s: SparkSession, nodes: DataFrame): Map[Int, DataFrame] = {
+    import s.implicits._
+    val lvls = 0 +: activeLevels(nodes)
+    lvls.map { l =>
+      val m = if (l == 0) HnswM0 else HnswM1
+      val members = nodes.filter($"lvl" >= l)
+      val base = members.filter($"vec_id" % HnswIncrMod =!= HnswIncrRes)
+      val arr = members.filter($"vec_id" % HnswIncrMod === HnswIncrRes)
+      val baseE = knnEdges(base, m)
+      val fwd = knnEdgesBetween(arr, base, m)
+      val rev = fwd.select($"shard", $"dst".as("src"), $"src".as("dst"))
+      l -> rerankEdges(nodes, baseE.union(fwd).union(rev), m).localCheckpoint()
+    }.toMap
+  }
+
+  /** Write-once-per-(dir, JVM) INCREMENTALLY-MAINTAINED graph index: the
+    * base corpus (vec_id % HnswIncrMod ≠ HnswIncrRes) gets the exact
+    * per-layer build; the arrival batch is INSERTED the published-HNSW
+    * way — each arrival links forward to its m nearest base members per
+    * layer it is promoted to, each touched base node's list is re-pruned
+    * to m over {existing ∪ arrival back-links} — so ingest work is
+    * arrival-sized (never a rebuild), and entries stay frozen on the
+    * base. Reverse links make arrivals REACHABLE; forward links let the
+    * walk continue through them: the batch is searchable immediately.
+    */
+  private val hnswIncrDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def hnswIncrIndexDir(s: SparkSession, dir: String): String =
+    hnswIncrDirs.getOrElseUpdate(dir, graft.ColdBuilds.timed("sim_hnsw_incr", dir) {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-hnsw-incr").toString
+      rmOnExit(p)
+      val nodes = hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
+      val merged = incrMergedEdges(s, nodes)
+      writeIndex(p, nodes, merged(0), merged - 0)
+      p
+    })
+
+  /** Entry points frozen on the base corpus (shared by sim_hnsw_incr and
+    * HnswIncrSpec).
+    */
+  def baseEntries(nodes: DataFrame): DataFrame =
+    nodes.filter(col("lvl") >= 1 &&
+        col("vec_id") % HnswIncrMod =!= HnswIncrRes)
+      .groupBy(col("shard")).agg(min(col("vec_id")).as("entry"))
+
   val defs: Seq[QueryDef] = Seq(
 
-    // Graph-ANN top-k: sharded 2-layer NSW build + greedy/beam search +
-    // per-shard visited-set merge, fully replayed by the oracle (see the
+    // Graph-ANN top-k: sharded multi-layer NSW build + greedy/beam search
+    // + per-shard visited-set merge, fully replayed by the oracle (see the
     // object scaladoc for the determinism contract and the scale shape).
+    // This row keeps the FUSED exact build in the measured path — the
+    // honest n²/S build-cost row the NN-descent variant is graded against.
     sqlChecked(
       "sim_hnsw_topk",
       s"""WITH $VnSql,
@@ -332,9 +651,9 @@ object GraphAnn {
     },
 
     // The PERSISTED-index twin (the sim_ivf_persist discipline): the graph
-    // is built ONCE into shard-partitioned parquet; this query serves a
-    // batch by walking the stored edge lists. Same deterministic build ⇒
-    // the same oracle as sim_hnsw_topk must hold verbatim.
+    // is built ONCE into (lvl, shard)-partitioned parquet; this query
+    // serves a batch by walking the stored edge lists. Same deterministic
+    // build ⇒ the same oracle as sim_hnsw_topk must hold verbatim.
     sqlChecked(
       "sim_hnsw_persist",
       s"""WITH $VnSql,
@@ -342,12 +661,51 @@ object GraphAnn {
         |SELECT query_id, cand_id, cos, rk FROM hnsw_topk
         |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val idx = hnswIndexDir(s, dir)
-      val vis = hnswWalk(s,
-        s.read.parquet(s"$idx/nodes"),
-        s.read.parquet(s"$idx/edges0").select("shard", "src", "dst"),
-        s.read.parquet(s"$idx/edges1").select("shard", "src", "dst"))
+      val vis = hnswWalkStored(s, hnswIndexDir(s, dir))
       graft.QueryDef.smallSort(hnswTopkFrom(vis), $"query_id", $"rk")
+    },
+
+    // NN-DESCENT build variant (Dong et al. 2011): the base layer comes
+    // from [[nndEdges]] (iters·n·(2M)² work) instead of the exact n²/S
+    // M-NN join; upper layers and the walk are byte-identical machinery.
+    // The oracle replays ring init + every descent round + the walk.
+    // HnswNndSpec pins search recall within a stated margin of the
+    // exact-build graph at comparable candidate budget.
+    sqlChecked(
+      "sim_hnsw_nnd",
+      s"""WITH $VnSql,
+        |$HnswNndCtesSql
+        |SELECT query_id, cand_id, cos, rk FROM hnsw_topk
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nodes = hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
+      val vis = hnswWalk(s, nodes, nndEdges(s, nodes), upperEdgesOf(nodes))
+      graft.QueryDef.smallSort(hnswTopkFrom(vis), $"query_id", $"rk")
+    },
+
+    // INCREMENTAL graph maintenance (the sim_ivf_incr / dd_minhash_incr
+    // arrival-batch discipline, closing the family — published HNSW's
+    // weak spot is exactly inserts): base corpus built exactly, arrival
+    // batch (vec_id ≡ 3 mod 7, ~14%) inserted via forward links + pruned
+    // back-links, entries frozen on the base, serve from the persisted
+    // merged index. from_arrival marks ingested vectors surfacing in the
+    // top-k — the proof the batch is searchable without a rebuild.
+    sqlChecked(
+      "sim_hnsw_incr",
+      s"""WITH $VnSql,
+        |$HnswIncrCtesSql
+        |SELECT query_id, cand_id, cos, rk,
+        |  (cand_id % $HnswIncrMod = $HnswIncrRes) AS from_arrival
+        |FROM hnsw_topk
+        |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val idx = hnswIncrIndexDir(s, dir)
+      val nodes = s.read.parquet(s"$idx/nodes")
+      val vis = hnswWalkStored(s, idx, Some(baseEntries(nodes)))
+      graft.QueryDef.smallSort(
+        hnswTopkFrom(vis)
+          .withColumn("from_arrival", $"cand_id" % HnswIncrMod === HnswIncrRes),
+        $"query_id", $"rk")
     }
   )
 }
