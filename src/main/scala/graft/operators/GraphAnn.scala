@@ -137,21 +137,36 @@ object GraphAnn {
   }
 
   /** Directed exact M-NN edges from `srcM` members into `dstM` members
-    * WITHIN each shard. The join keys on shard, so the build is
-    * partition-local: every shard's edge list derives from that shard's
-    * vectors only.
+    * WITHIN each shard. Semantically the join keys on shard, so the build
+    * is partition-local: every shard's edge list derives from that
+    * shard's vectors only.
+    *
+    * PLAN SHAPE: a hash join keyed on `shard` alone caps parallelism at
+    * the shard count (measured: 4 tasks grinding 25M pairs each at 20k
+    * vectors — 135 s of a 32-core box running 4-wide). The dst side is
+    * instead BROADCAST (the exact build's standing assumption: it is the
+    * labeled O(n²/S) baseline, only ever run where a shard's members are
+    * model-sized — the at-scale builds are NN-descent and the stored
+    * index), so the pair scan parallelizes over the src side's
+    * partitioning, and the per-src top-M selection runs on the bounded-
+    * heap TopKPerKey operator (one hash exchange, streaming O(n log M)
+    * heaps, no 10⁸-row sort). Same selected set: (cos desc, dst) is a
+    * total order per src.
     */
   def knnEdgesBetween(srcM: DataFrame, dstM: DataFrame, m: Int): DataFrame = {
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-    srcM.as("a")
-      .join(dstM.as("b"),
+    // the pair scan is the O(n·|shard|) hot loop and parallelizes with the
+    // SRC side's partitioning — spread it over every core (the source is
+    // row-group-split parquet, often coarser than the machine)
+    val wide = srcM.repartition(srcM.sparkSession.sparkContext.defaultParallelism)
+    val scored = wide.as("a")
+      .join(broadcast(dstM.as("b")),
         col("a.shard") === col("b.shard") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.shard").as("shard"), col("a.vec_id").as("src"),
         col("b.vec_id").as("dst"),
         round(Exprs.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
           .as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= m)
+    graft.plans.TopKPerKey
+      .perKey(scored, Seq("src"), Seq(("cos", false), ("dst", true)), m)
       .select("shard", "src", "dst")
   }
 
