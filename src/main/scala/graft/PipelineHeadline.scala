@@ -15,7 +15,14 @@ import org.apache.spark.sql.functions._
   *               runs FIRST because it's the cheapest bytes-dropper.
   *   2. DEDUP  — the staged cascade (exact hash → canonical URL →
   *               MinHash-LSH near-dup) over gate survivors only.
-  *   3. PACK   — greedy 512-token sequence packing of the final keeps
+  *   3. SEMDEDUP — embedding-space semantic dedup (SemDeDup, Abbas et al.
+  *               2023) over the cascade survivors that HAVE an embedding
+  *               (vec_id = doc_id; docs without a vector pass through):
+  *               cluster, drop any item with an earlier same-cluster
+  *               neighbor at cosine ≥ 0.3 — the r13 verdict's "full
+  *               modern curation topology" stage, the same
+  *               frame-parameterized core dd_semdedup verifies.
+  *   4. PACK   — greedy 512-token sequence packing of the final keeps
   *               (the training-data delivery format).
   *
   * Every stage is the SAME code the oracle-checked queries run
@@ -104,16 +111,26 @@ object PipelineHeadline {
     }
     val (keepDocs, keepBytes) = bytesAndCount(keeps)
 
-    // ---- stage 3: sequence packing of the final keeps
+    // ---- stage 3: semantic dedup over the embedded cascade survivors
+    val (semKeeps, tSem) = timed {
+      val emb = Tables.embeddings(spark, sfDir)
+        .join(keeps.select($"doc_id".as("vec_id")), "vec_id")
+      val drops = operators.Similarity.semdedupOf(spark, emb)
+        .filter(!$"keep").select($"vec_id".as("doc_id"))
+      keeps.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()
+    }
+    val (semDocs, semBytes) = bytesAndCount(semKeeps)
+
+    // ---- stage 4: sequence packing of the final keeps
     val (packRow, tPack) = timed {
-      operators.TextAnalysis.seqPack(spark, docs.join(keeps, "doc_id"))
+      operators.TextAnalysis.seqPack(spark, docs.join(semKeeps, "doc_id"))
         .agg(coalesce(sum($"n_tokens"), lit(0L)),
           coalesce(sum($"n_packs"), lit(0L)))
         .collect().head
     }
     val (tokensOut, packsOut) = (packRow.getLong(0), packRow.getLong(1))
 
-    val total = tGates + tDedup + tPack
+    val total = tGates + tDedup + tSem + tPack
     val json =
       f"""{"metric":"pipeline_e2e","sf":"$sfDir","total_sec":$total%.2f,""" +
         f""""docs_in":$docsIn,"bytes_in":$bytesIn,""" +
@@ -123,6 +140,7 @@ object PipelineHeadline {
         f""""gates":{"sec":$tGates%.2f,"docs_out":$gateDocs,"bytes_out":$gateBytes,""" +
         s""""pass_per_gate":{${gateCounts.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}},""" +
         f""""dedup":{"sec":$tDedup%.2f,"docs_out":$keepDocs,"bytes_out":$keepBytes},""" +
+        f""""semdedup":{"sec":$tSem%.2f,"docs_out":$semDocs,"bytes_out":$semBytes},""" +
         f""""pack":{"sec":$tPack%.2f,"tokens_out":$tokensOut,"packs_out":$packsOut}}}"""
     println(json)
     spark.stop()

@@ -429,6 +429,47 @@ object Similarity {
       p
     })
 
+  /** SemDeDup over an arbitrary (vec_id, embedding, label) frame — the
+    * frame-parameterized core shared by dd_semdedup and the composed
+    * curation pipeline (PipelineHeadline's semantic stage runs it on the
+    * cascade survivors' embeddings). Output: (vec_id, cluster, keep,
+    * anchor) with keep = no earlier same-cluster item at cosine ≥ 0.3.
+    */
+  def semdedupOf(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = emb
+      .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+      .withColumn("nrm", Exprs.l2norm($"v"))
+    val centroids = emb
+      .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+      .withColumn("cnrm", Exprs.l2norm($"c"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"label".asc)
+    // One assignment pass, materialized once (localCheckpoint) because the
+    // within-cluster self-join consumes it twice — at scale this is the
+    // persisted cluster-assignment table every SemDeDup run writes anyway.
+    val assigned = e.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"label",
+        round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"label".as("cluster"))
+      .localCheckpoint(false)
+    val anchors = assigned.as("a")
+      .join(assigned.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" > $"b.vec_id")
+      .filter(round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6) >= 0.3)
+      .groupBy($"a.vec_id".as("vec_id"))
+      .agg(min($"b.vec_id").as("anchor"))
+    assigned.select($"vec_id", $"cluster")
+      .join(anchors, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", $"anchor".isNull.as("keep"), $"anchor")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     sqlChecked(
@@ -1103,36 +1144,7 @@ object Similarity {
         |FROM asg LEFT JOIN anchors USING (vec_id)
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
-        .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
-        .withColumn("nrm", Exprs.l2norm($"v"))
-      val centroids = Tables.embeddings(s, dir)
-        .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg(round(sum($"v".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
-        .withColumn("cnrm", Exprs.l2norm($"c"))
-      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"label".asc)
-      // One assignment pass, materialized once (localCheckpoint) because the
-      // within-cluster self-join consumes it twice — at scale this is the
-      // persisted cluster-assignment table every SemDeDup run writes anyway.
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select($"vec_id", $"v", $"nrm", $"label",
-          round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" === 1)
-        .select($"vec_id", $"v", $"nrm", $"label".as("cluster"))
-        .localCheckpoint(false)
-      val anchors = assigned.as("a")
-        .join(assigned.as("b"),
-          $"a.cluster" === $"b.cluster" && $"a.vec_id" > $"b.vec_id")
-        .filter(round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6) >= 0.3)
-        .groupBy($"a.vec_id".as("vec_id"))
-        .agg(min($"b.vec_id").as("anchor"))
-      assigned.select($"vec_id", $"cluster")
-        .join(anchors, Seq("vec_id"), "left")
-        .select($"vec_id", $"cluster", $"anchor".isNull.as("keep"), $"anchor")
+      semdedupOf(s, Tables.embeddings(s, dir))
         .transform(d => graft.QueryDef.largeSort(d, $"vec_id"))
     },
 
