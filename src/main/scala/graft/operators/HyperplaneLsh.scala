@@ -95,6 +95,25 @@ object HyperplaneLsh {
 
   private def planeCol(p: Int): Column = array(planes(p).map(lit): _*)
 
+  /** md5-derived plane under an arbitrary salt — consumers outside the LSH
+    * tables (the SemDeDup cluster splitter) draw from the same portable
+    * family without coupling to the table/plane counts here.
+    */
+  def saltedPlaneCol(salt: String, p: Int): Column =
+    array(IndexedSeq.tabulate(Dim)(d =>
+      lit(h60(s"$salt:$p:$d").toDouble / H60Range * 2 - 1)): _*)
+
+  /** DuckDB CTE rebuilding [[saltedPlaneCol]] planes 0..n-1 as `name(p, pv)`. */
+  def saltedPlanesSqlCte(name: String, salt: String, n: Int): String =
+    s"""$name AS (
+       |  SELECT p, list(w ORDER BY d) AS pv FROM (
+       |    SELECT p, d,
+       |      CAST(CAST(('0x' || substr(md5('$salt:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,15)) AS BIGINT) AS DOUBLE)
+       |        / ${H60Range.toLong}.0 * 2 - 1 AS w
+       |    FROM (SELECT unnest(generate_series(0, ${n - 1})) AS p)
+       |    CROSS JOIN (SELECT unnest(generate_series(0, ${Dim - 1})) AS d))
+       |  GROUP BY p)""".stripMargin
+
   /** Bucket id (0..2^b-1) of vector column `v` in table `t`. */
   private def bucketBits(v: Column, t: Int, planesPerTable: Int): Column =
     (0 until planesPerTable)

@@ -429,18 +429,64 @@ object Similarity {
       p
     })
 
+  /** SemDeDup's cluster-granularity valve (the q39 valve-sizing
+    * discipline): the published technique keeps per-cluster size BOUNDED
+    * by growing cluster count with the corpus (Abbas et al. train k-means
+    * with k ∝ n). The label quantizer here is fixed at 10 clusters, so
+    * above [[SemClusterCap]] vectors each label cluster is SPLIT by the
+    * sign bits of [[semBits]] md5-derived hyperplane projections — one
+    * doubling per corpus doubling, so nₖ stays ≈ SemClusterCap/10 and the
+    * within-cluster quadratic never grows past its budget. Pure integer
+    * threshold logic (no float log), mirrored verbatim in the oracle's
+    * CASE chain; both driver correctness scales sit under the cap, and
+    * SemDedupValveSpec pins the split semantics above it.
+    *
+    * Caveat (measured in SemDedupValveSpec): a random hyperplane splits a
+    * cluster evenly only when the cluster's spread is comparable to the
+    * hyperplane scale — a VERY tight cluster lies on one side and keeps
+    * its size (which also means the split never costs recall there). On
+    * corpora where label clusters stay tight at scale, the geometry-aware
+    * form of the same valve is re-quantizing with a larger k (a deeper
+    * centroid tree), trading one more assignment pass for balanced cells.
+    */
+  final val SemClusterCap = 10000
+  final val SemMaxBits = 6
+
+  def semBits(n: Long): Int = {
+    var bits = 0
+    var cap = SemClusterCap.toLong
+    while (bits < SemMaxBits && n > cap) { bits += 1; cap *= 2 }
+    bits
+  }
+
   /** SemDeDup over an arbitrary (vec_id, embedding, label) frame — the
     * frame-parameterized core shared by dd_semdedup and the composed
     * curation pipeline (PipelineHeadline's semantic stage runs it on the
     * cascade survivors' embeddings). Output: (vec_id, cluster, keep,
-    * anchor) with keep = no earlier same-cluster item at cosine ≥ 0.3.
+    * anchor) with keep = no earlier item of the same (cluster, sub-split)
+    * at cosine ≥ 0.3; the reported cluster stays the coarse label cluster.
     */
   def semdedupOf(s: org.apache.spark.sql.SparkSession,
-      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    semdedupWithBits(s, emb, semBits(emb.count()))
+
+  /** The core at an explicit split width — exposed for
+    * SemDedupValveSpec's monotonicity pins.
+    */
+  def semdedupWithBits(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, bits: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    val subCol =
+      if (bits == 0) lit(0L)
+      else (0 until bits).map { j =>
+        when(Exprs.dot($"v",
+          HyperplaneLsh.saltedPlaneCol("semplane", j)) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
     val e = emb
       .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
       .withColumn("nrm", Exprs.l2norm($"v"))
+      .withColumn("sub", subCol)
     val centroids = emb
       .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
@@ -453,21 +499,32 @@ object Similarity {
     // within-cluster self-join consumes it twice — at scale this is the
     // persisted cluster-assignment table every SemDeDup run writes anyway.
     val assigned = e.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"v", $"nrm", $"label",
+      .select($"vec_id", $"v", $"nrm", $"sub", $"label",
         round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
-      .select($"vec_id", $"v", $"nrm", $"label".as("cluster"))
+      .select($"vec_id", $"v", $"nrm", $"sub", $"label".as("cluster"))
       .localCheckpoint(false)
     val anchors = assigned.as("a")
       .join(assigned.as("b"),
-        $"a.cluster" === $"b.cluster" && $"a.vec_id" > $"b.vec_id")
+        $"a.cluster" === $"b.cluster" && $"a.sub" === $"b.sub" &&
+          $"a.vec_id" > $"b.vec_id")
       .filter(round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6) >= 0.3)
       .groupBy($"a.vec_id".as("vec_id"))
       .agg(min($"b.vec_id").as("anchor"))
     assigned.select($"vec_id", $"cluster")
       .join(anchors, Seq("vec_id"), "left")
       .select($"vec_id", $"cluster", $"anchor".isNull.as("keep"), $"anchor")
+  }
+
+  /** The valve's SQL twins: bits from the same integer CASE chain, sub
+    * from the same salted planes (empty when bits = 0 — the LEFT JOIN ON
+    * TRUE keeps every vector with sub 0, exactly the Spark lit(0)).
+    */
+  private def semBitsCaseSql: String = {
+    val whens = (0 until SemMaxBits)
+      .map(b => s"WHEN c <= ${SemClusterCap.toLong << b} THEN $b").mkString(" ")
+    s"CASE $whens ELSE $SemMaxBits END"
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1103,8 +1160,11 @@ object Similarity {
     // cluster reaches the threshold (keep = no such anchor; anchor = the
     // smallest qualifying earlier id, for a deterministic audit trail).
     // Scale: this is the whole point of the technique — the quadratic
-    // compare runs WITHIN clusters only (Σ nₖ² « n², and k grows with the
-    // corpus so nₖ stays bounded), the 10×64 centroid model broadcasts, and
+    // compare runs WITHIN clusters only (Σ nₖ² « n², and the cluster-
+    // granularity VALVE above [[SemClusterCap]] splits each label cluster
+    // by semBits(n) hyperplane sign bits, one doubling per corpus
+    // doubling, so nₖ really stays bounded instead of growing with a
+    // fixed k=10 quantizer), the 10×64 centroid model broadcasts, and
     // the per-cluster join shuffles each vector once on its cluster key.
     // The exact all-pairs twin (dd_embedding_cosine) is the labeled O(n²)
     // baseline this replaces at scale. Threshold 0.3 matches that baseline's
@@ -1114,7 +1174,7 @@ object Similarity {
     // sim_centroid_assign/dd_embedding_cosine arithmetic.
     sqlChecked(
       "dd_semdedup",
-      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v),
         |cent AS (
         |  SELECT label, list(mu ORDER BY pos) AS c FROM (
@@ -1123,6 +1183,14 @@ object Similarity {
         |          FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |                FROM embeddings))
         |    GROUP BY label, pos) GROUP BY label),
+        |${HyperplaneLsh.saltedPlanesSqlCte("semp", "semplane", SemMaxBits)},
+        |sel AS (SELECT $semBitsCaseSql AS bits FROM (SELECT count(*) AS c FROM embeddings)),
+        |semsub AS (
+        |  SELECT n.vec_id,
+        |    COALESCE(SUM(CASE WHEN list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * s.pv[i])) > 0
+        |                 THEN CAST((1 << s.p) AS BIGINT) ELSE 0 END), 0) AS sub
+        |  FROM n LEFT JOIN (SELECT p, pv FROM semp CROSS JOIN sel WHERE p < bits) s ON TRUE
+        |  GROUP BY n.vec_id),
         |scored AS (
         |  SELECT vec_id, label,
         |    round(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i] * c.c[i]))
@@ -1135,6 +1203,8 @@ object Similarity {
         |anchors AS (
         |  SELECT a.vec_id, min(b.vec_id) AS anchor
         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+        |  JOIN semsub sa ON sa.vec_id = a.vec_id
+        |  JOIN semsub sb ON sb.vec_id = b.vec_id AND sb.sub = sa.sub
         |  JOIN n na ON na.vec_id = a.vec_id
         |  JOIN n nb ON nb.vec_id = b.vec_id
         |  WHERE round(list_sum(list_transform(generate_series(1, len(na.v)), i -> na.v[i] * nb.v[i]))
