@@ -111,10 +111,15 @@ object PipelineHeadline {
     }
     val (keepDocs, keepBytes) = bytesAndCount(keeps)
 
-    // ---- stage 3: semantic dedup over the embedded cascade survivors
+    // ---- stage 3: semantic dedup over the embedded cascade survivors.
+    // The survivors ⋈ embeddings frame is materialized ONCE (the core
+    // consumes it for the valve count, the vector scan and the centroid
+    // pass — uncheckpointed it would recompute the join three times
+    // inside the timer, the tGates inflation class all over again)
     val (semKeeps, tSem) = timed {
       val emb = Tables.embeddings(spark, sfDir)
         .join(keeps.select($"doc_id".as("vec_id")), "vec_id")
+        .localCheckpoint()
       val drops = operators.Similarity.semdedupOf(spark, emb)
         .filter(!$"keep").select($"vec_id".as("doc_id"))
       keeps.join(drops, Seq("doc_id"), "left_anti").localCheckpoint()

@@ -52,11 +52,21 @@ object Dedup {
   final val ExactPairsDocCap = 10000
   final val ExactPairsStride = 4
 
+  /** The ONE gate definition, parameterized by table/id column — the doc-
+    * and vec-side baselines must sample by the same methodology, so the
+    * cap/stride contract lives in exactly one place (each engine).
+    */
+  private def exactGateSql(table: String, idCol: String): String =
+    s"((SELECT count(*) FROM $table) <= $ExactPairsDocCap OR $idCol % $ExactPairsStride = 0)"
+
+  private def stratumAbove(df: DataFrame, idCol: String, n: Long): DataFrame =
+    if (n > ExactPairsDocCap) df.filter(col(idCol) % ExactPairsStride === 0)
+    else df
+
   /** SQL twin of the gate in [[exactPairsDocs]] — a WHERE predicate over
     * `documents` rows.
     */
-  private final val ExactDocsGateSql: String =
-    s"((SELECT count(*) FROM documents) <= $ExactPairsDocCap OR doc_id % $ExactPairsStride = 0)"
+  private final val ExactDocsGateSql: String = exactGateSql("documents", "doc_id")
 
   /** The corpus the exact quadratic baselines run on (see
     * [[ExactPairsDocCap]]). The count is a metadata-cheap 1-row action.
@@ -69,12 +79,8 @@ object Dedup {
     * (ADVICE r13 — the count action ran on every invocation, and
     * dd_lsh_eval ran a second independent one to pick its stride).
     */
-  def exactPairsDocs(s: SparkSession, docs: DataFrame, n: Long): DataFrame = {
-    import s.implicits._
-    if (n > ExactPairsDocCap)
-      docs.filter($"doc_id" % ExactPairsStride === 0)
-    else docs
-  }
+  def exactPairsDocs(s: SparkSession, docs: DataFrame, n: Long): DataFrame =
+    stratumAbove(docs, "doc_id", n)
 
   /** Memoized per-(dir, JVM) document count (the ivfIndexDir TrieMap
     * discipline) — the gate's only input, shared by every exact-baseline
@@ -96,18 +102,14 @@ object Dedup {
     * geometry in the fixture generator).
     */
   private[operators] final val ExactVecsGateSql: String =
-    s"((SELECT count(*) FROM embeddings) <= $ExactPairsDocCap OR vec_id % $ExactPairsStride = 0)"
+    exactGateSql("embeddings", "vec_id")
 
   private val vecCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
   def embeddingsCount(s: SparkSession, dir: String): Long =
     vecCounts.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
 
-  def exactPairsVecs(s: SparkSession, emb: DataFrame, n: Long): DataFrame = {
-    import s.implicits._
-    if (n > ExactPairsDocCap)
-      emb.filter($"vec_id" % ExactPairsStride === 0)
-    else emb
-  }
+  def exactPairsVecs(s: SparkSession, emb: DataFrame, n: Long): DataFrame =
+    stratumAbove(emb, "vec_id", n)
 
   /** Sliding-window width (tokens) for exact-substring duplicate-span
     * removal: shared spans ≥ this many tokens are detected and removed.

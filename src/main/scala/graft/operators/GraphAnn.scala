@@ -207,13 +207,17 @@ object GraphAnn {
     * localCheckpointed: chained iterative DataFrame state is exactly the
     * lineage class the 4×-plan-overhead lesson (BASELINE.md r13) covers.
     */
-  def nndEdges(s: SparkSession, nodes: DataFrame): DataFrame = {
+  /** The geometry-blind ring init in id order — one function, consumed by
+    * both nndEdges and HnswNndSpec's monotonicity pin so the spec can
+    * never silently diverge from the init it claims to measure.
+    */
+  private[operators] def nndInit(s: SparkSession, nodes: DataFrame): DataFrame = {
     import s.implicits._
     val wSh = Window.partitionBy($"shard").orderBy($"vec_id")
     val mem = nodes.select($"shard", $"vec_id")
       .withColumn("pos", row_number().over(wSh) - 1)
     val cnts = mem.groupBy($"shard").agg(count(lit(1)).as("cnt"))
-    val init = mem.join(broadcast(cnts), Seq("shard"))
+    mem.join(broadcast(cnts), Seq("shard"))
       .select($"shard", $"vec_id".as("src"), $"pos", $"cnt",
         explode(sequence(lit(1), lit(HnswM0))).as("j"))
       .withColumn("dpos", ($"pos" + $"j") % $"cnt")
@@ -221,7 +225,11 @@ object GraphAnn {
         Seq("shard", "dpos"))
       .filter($"src" =!= $"dst")
       .select($"shard", $"src", $"dst").distinct()
-    var edges = init.localCheckpoint()
+  }
+
+  def nndEdges(s: SparkSession, nodes: DataFrame): DataFrame = {
+    import s.implicits._
+    var edges = nndInit(s, nodes).localCheckpoint()
     for (_ <- 1 to NndIters) {
       val gen = edges
         .union(edges.select($"shard", $"dst".as("src"), $"src".as("dst")))
@@ -573,7 +581,12 @@ object GraphAnn {
       .select(col("src"), col("dst"), col("lvl").cast("int").as("lvl"),
         col("shard").cast("long").as("shard"))
     def at(l: Int) = edges.filter(col("lvl") === l).select("shard", "src", "dst")
-    val lvls = activeLevels(nodes)
+    // the stored layout already encodes the ladder: distinct values of the
+    // lvl PARTITION column come from directory metadata, not a node scan
+    // (re-running the activeLevels aggregation here would tax every serve
+    // with a full-table job — the serve path is what these rows measure)
+    val lvls = edges.select(col("lvl")).distinct()
+      .collect().map(_.getInt(0)).filter(_ > 0).sorted.toSeq
     hnswWalk(s, nodes, at(0), lvls.map(l => l -> at(l)).toMap, entriesOpt)
   }
 
@@ -640,7 +653,13 @@ object GraphAnn {
     })
 
   /** Entry points frozen on the base corpus (shared by sim_hnsw_incr and
-    * HnswIncrSpec).
+    * HnswIncrSpec). CONTRACT: a shard whose only promoted (lvl ≥ 1)
+    * members are arrivals gets NO entry and is never searched — the same
+    * property published HNSW has while an insert batch excludes itself
+    * from the entry-point set; re-freezing entries is part of the next
+    * full rebuild, not the ingest. HnswIncrSpec pins that every shard
+    * keeps a base entry on the fixtures, so the hole cannot open
+    * silently there.
     */
   def baseEntries(nodes: DataFrame): DataFrame =
     nodes.filter(col("lvl") >= 1 &&

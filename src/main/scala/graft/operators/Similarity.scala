@@ -1214,7 +1214,10 @@ object Similarity {
         |FROM asg LEFT JOIN anchors USING (vec_id)
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      semdedupOf(s, Tables.embeddings(s, dir))
+      // valve width from the memoized per-dir count (the exactPairsDocs
+      // discipline) — zero extra scans per run
+      semdedupWithBits(s, Tables.embeddings(s, dir),
+          semBits(Dedup.embeddingsCount(s, dir)))
         .transform(d => graft.QueryDef.largeSort(d, $"vec_id"))
     },
 

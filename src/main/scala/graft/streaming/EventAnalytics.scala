@@ -879,7 +879,7 @@ object EventAnalytics {
 
   private[streaming] def incrStateDir(
       s: org.apache.spark.sql.SparkSession, dir: String, cutoff: String): String =
-    incrStateDirs.getOrElseUpdate(s"$dir|$cutoff", graft.ColdBuilds.timed("ev_incr_rollup_state", dir) {
+    incrStateDirs.getOrElseUpdate(s"$dir|$cutoff", graft.ColdBuilds.timed(s"ev_incr_rollup_state@$cutoff", dir) {
       import s.implicits._
       val p = java.nio.file.Files.createTempDirectory("graft-incr-state").toString
       Tables.events(s, dir)

@@ -46,9 +46,14 @@ class HnswIncrSpec extends SparkSuite with Matchers {
     edges.filter($"lvl" === 0 && $"src" % m =!= r && $"dst" % m === r)
       .count() should be > 0L
     val nodes = spark.read.parquet(s"$idx/nodes")
-    GraphAnn.baseEntries(nodes).collect().foreach { row =>
+    val entries = GraphAnn.baseEntries(nodes).collect()
+    entries.foreach { row =>
       row.getLong(1) % m should not be r.toLong
     }
+    // the frozen-entry contract's hole (a shard whose only promoted
+    // members are arrivals would never be searched) stays closed on the
+    // fixture: every shard keeps a base entry
+    entries.length shouldBe GraphAnn.HnswShards
   }
 
   test("ingest is arrival-sized: base-to-base lists change only by back-link displacement") {

@@ -64,20 +64,9 @@ class HnswNndSpec extends SparkSuite with Matchers {
   test("each descent round only improves the graph (edge quality is monotone)") {
     import spark.implicits._
     val nodes = GraphAnn.hnswNodes(fixture).localCheckpoint()
-    // re-derive the ring init exactly as nndEdges does
-    val wSh = Window.partitionBy($"shard").orderBy($"vec_id")
-    val mem = nodes.select($"shard", $"vec_id")
-      .withColumn("pos", row_number().over(wSh) - 1)
-    val cnts = mem.groupBy($"shard").agg(count(lit(1)).as("cnt"))
-    val init = mem.join(broadcast(cnts), Seq("shard"))
-      .select($"shard", $"vec_id".as("src"), $"pos", $"cnt",
-        explode(sequence(lit(1), lit(GraphAnn.HnswM0))).as("j"))
-      .withColumn("dpos", ($"pos" + $"j") % $"cnt")
-      .join(mem.select($"shard", $"pos".as("dpos"), $"vec_id".as("dst")),
-        Seq("shard", "dpos"))
-      .filter($"src" =!= $"dst")
-      .select($"shard", $"src", $"dst").distinct()
-    val ringCos = meanEdgeCos(nodes, init)
+    // the SAME init function nndEdges starts from (shared, not re-derived,
+    // so the pin can't validate a stale baseline)
+    val ringCos = meanEdgeCos(nodes, GraphAnn.nndInit(spark, nodes))
     val nndCos = meanEdgeCos(nodes, GraphAnn.nndEdges(spark, nodes))
     val exactCos = meanEdgeCos(nodes, GraphAnn.knnEdges(nodes, GraphAnn.HnswM0))
     info(f"mean edge cos: ring=$ringCos%.3f nnd=$nndCos%.3f exact=$exactCos%.3f")
