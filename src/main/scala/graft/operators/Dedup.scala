@@ -85,6 +85,14 @@ object Dedup {
   /** Memoized per-(dir, JVM) document count (the ivfIndexDir TrieMap
     * discipline) — the gate's only input, shared by every exact-baseline
     * call site instead of a fresh count() action each.
+    *
+    * IMMUTABILITY CONTRACT (ADVICE r14): the memo assumes a dir's tables
+    * never change within one JVM — true for the driver's testdata dirs and
+    * the bench/verify/sweep harnesses. A test that rewrites a dir in place
+    * would evaluate the gate with a stale count (and so could diverge from
+    * the oracle around the 10k boundary); planted-fixture specs therefore
+    * pass FRAMES to the frame-parameterized cores (or fresh temp dirs),
+    * never overwrite a memoized dir.
     */
   private val docCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
   def documentsCount(s: SparkSession, dir: String): Long =

@@ -153,13 +153,28 @@ object GraphAnn {
     * heaps, no 10⁸-row sort). Same selected set: (cos desc, dst) is a
     * total order per src.
     */
+  /** Above this dst-side row count the broadcast degrades to the
+    * shard-keyed shuffle join instead of risking a driver/broadcast OOM
+    * (ADVICE r14: the "only ever run on model-sized shards" assumption was
+    * documented but unenforced — a mis-sized exact build should get slow,
+    * not kill the app). 200k × ~600 B/row ≈ 120 MB, the upper edge of a
+    * sane broadcast; the at-scale builds (NN-descent via [[NndBuildCap]],
+    * the stored index) never reach this path with more.
+    */
+  final val ExactBroadcastRowCap = 200000L
+
   def knnEdgesBetween(srcM: DataFrame, dstM: DataFrame, m: Int): DataFrame = {
     // the pair scan is the O(n·|shard|) hot loop and parallelizes with the
     // SRC side's partitioning — spread it over every core (the source is
     // row-group-split parquet, often coarser than the machine)
     val wide = srcM.repartition(srcM.sparkSession.sparkContext.defaultParallelism)
+    // dst frames are localCheckpointed (or filters thereof) by contract, so
+    // the guard count is a cheap scan of materialized rows
+    val dstSide =
+      if (dstM.count() <= ExactBroadcastRowCap) broadcast(dstM.as("b"))
+      else dstM.as("b")
     val scored = wide.as("a")
-      .join(broadcast(dstM.as("b")),
+      .join(dstSide,
         col("a.shard") === col("b.shard") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.shard").as("shard"), col("a.vec_id").as("src"),
         col("b.vec_id").as("dst"),

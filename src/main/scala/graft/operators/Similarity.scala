@@ -470,19 +470,49 @@ object Similarity {
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     semdedupWithBits(s, emb, semBits(emb.count()))
 
+  /** The sub sign-bit column over a `v` double-vector column. Bits are
+    * computed over the first min(len(v), Dim) dimensions — the SAME
+    * len(v)-truncated form the oracle's generate_series(1, len(v)) product
+    * uses (ADVICE r14: with the fixed 64-dim plane passed whole,
+    * DotProduct returns NULL on any length mismatch and every sub bit
+    * silently became 0 for non-64-dim frames while the oracle computed
+    * real bits — the valve's quadratic bound vanished exactly where the
+    * frame-parameterized core was fed foreign-dimension vectors).
+    */
+  private def semSubCol(s: org.apache.spark.sql.SparkSession,
+      bits: Int): org.apache.spark.sql.Column = {
+    import s.implicits._
+    if (bits == 0) lit(0L)
+    else {
+      val d = least(size($"v"), lit(HyperplaneLsh.Dim))
+      (0 until bits).map { j =>
+        when(Exprs.dot(slice($"v", lit(1), d),
+          slice(HyperplaneLsh.saltedPlaneCol("semplane", j), lit(1), d)) > 0,
+          lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+  }
+
+  /** The (vec_id, sub) sign-bit assignment alone — exposed for
+    * SemDedupValveSpec's non-degeneracy pin (the split must actually
+    * produce more than one sub value on a real-dimension corpus).
+    */
+  def semdedupSubs(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, bits: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    emb.select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+      .withColumn("sub", semSubCol(s, bits))
+      .select($"vec_id", $"sub")
+  }
+
   /** The core at an explicit split width — exposed for
     * SemDedupValveSpec's monotonicity pins.
     */
   def semdedupWithBits(s: org.apache.spark.sql.SparkSession,
       emb: org.apache.spark.sql.DataFrame, bits: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val subCol =
-      if (bits == 0) lit(0L)
-      else (0 until bits).map { j =>
-        when(Exprs.dot($"v",
-          HyperplaneLsh.saltedPlaneCol("semplane", j)) > 0, lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+    val subCol = semSubCol(s, bits)
     val e = emb
       .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
       .withColumn("nrm", Exprs.l2norm($"v"))

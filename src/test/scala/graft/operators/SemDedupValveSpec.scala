@@ -25,18 +25,33 @@ class SemDedupValveSpec extends SparkSuite with Matchers {
     Similarity.semBits(1000000000L) shouldBe Similarity.SemMaxBits
   }
 
-  /** 12k corpus: sf0.001-shaped clusters, deterministic, over the cap. */
+  /** 12k corpus: sf0.001-shaped clusters, deterministic, over the cap.
+    * Vectors are full [[HyperplaneLsh.Dim]]-dimensional (ADVICE r14: the
+    * original 16-dim fixture made every hyperplane dot NULL→0, so the
+    * split tests passed vacuously with sub ≡ 0).
+    */
+  private val D = HyperplaneLsh.Dim
   private def corpus: DataFrame = {
     val rnd = new scala.util.Random(11)
-    val centers = Array.fill(10, 16)(rnd.nextGaussian())
+    val centers = Array.fill(10, D)(rnd.nextGaussian())
     val rows = (0L until 12000L).map { id =>
       val lab = (id % 10).toInt
-      val v = Array.tabulate(16)(d =>
+      val v = Array.tabulate(D)(d =>
         (centers(lab)(d) + 0.3 * rnd.nextGaussian()).toFloat)
       (id, v, lab)
     }
     import spark.implicits._
     rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("bits=1 actually splits: the corpus lands on both plane sides") {
+    import spark.implicits._
+    // guards the guard: if the hyperplane machinery ever degenerates to a
+    // constant sub again (the ADVICE r14 dim-mismatch failure mode), this
+    // fails instead of letting the superset/dedup pins pass vacuously
+    val subs = Similarity.semdedupSubs(spark, corpus, 1)
+      .select($"sub").distinct().collect().map(_.getLong(0)).toSet
+    subs shouldBe Set(0L, 1L)
   }
 
   test("splitting only removes comparisons: refined keeps ⊇ coarse keeps") {

@@ -101,15 +101,24 @@ def amplify_parquet(con, out: Path):
     con.execute(f"COPY (SELECT * FROM docs_amp ORDER BY doc_id) TO '{out}/documents.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)")
     print(f"  documents: {len(out_rows)} rows (word-shuffled per copy)")
 
-    # embeddings: disjoint vec_id ranges + one seeded dim-permutation per
-    # copy (see module docstring). Small row groups again: a 20k-row table
-    # in one 122880-row group would scan as ONE Spark task.
+    amplify_embeddings(con, out, COPIES)
+
+
+def amplify_embeddings(con, out: Path, copies: int):
+    """embeddings: disjoint vec_id ranges + one seeded dim-permutation per
+    copy (see module docstring). Small row groups again: a 20k-row table
+    in one 122880-row group would scan as ONE Spark task. Factored out so
+    --vec-copies can build vector-only crossover corpora (e.g. the 80k
+    corpus behind the exact-vs-NN-descent build crossover in BASELINE.md)
+    with the exact same amplification scheme as the sf1 sweep corpus.
+    """
+    out.mkdir(parents=True, exist_ok=True)
     erows = con.execute(
         f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet' ORDER BY vec_id"
     ).fetchall()
     dim = len(erows[0][1])
     eout = []
-    for k in range(COPIES):
+    for k in range(copies):
         perm = list(range(dim))
         if k > 0:
             random.Random(f"emb:{k}").shuffle(perm)
@@ -206,6 +215,17 @@ def amplify_freshkart(out: Path):
 
 
 def main():
+    # --vec-copies N [outdir]: embeddings-only amplification at an arbitrary
+    # multiple — the repeatable recipe for the ANN build-crossover corpora
+    # (VERDICT r14 #3: the 80k-vector measurement used a one-off dir).
+    # Example: python3 tools/make_sf1.py --vec-copies 40 target/vec80k
+    if len(sys.argv) > 1 and sys.argv[1] == "--vec-copies":
+        copies = int(sys.argv[2])
+        outdir = Path(sys.argv[3]) if len(sys.argv) > 3 else Path(f"target/vec{copies * 2}k")
+        con = duckdb.connect()
+        print(f"amplifying {SRC} embeddings x{copies} -> {outdir}")
+        amplify_embeddings(con, outdir, copies)
+        return
     outdir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("target/sf1")
     fkout = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("target/fk10")
     con = duckdb.connect()
