@@ -176,6 +176,26 @@ object Similarity {
       .select($"query_id", $"vec_id".as("cand_id"))
   }
 
+  /** recall@k + measured candidate budget for one ANN method against the
+    * brute-force truth `bf` — the shared grading harness of
+    * sim_recall_eval's four methods.
+    */
+  private def gradeTopk(s: org.apache.spark.sql.SparkSession,
+      bf: org.apache.spark.sql.DataFrame, method: String,
+      topk: org.apache.spark.sql.DataFrame,
+      cands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val hits = bf
+      .join(topk.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("n_hit"))
+    val nc = cands.groupBy($"query_id").agg(count(lit(1)).as("n_cand"))
+    hits.join(nc, Seq("query_id"))
+      .select(lit(method).as("method"), $"query_id", $"k", $"n_cand", $"n_hit",
+        round($"n_hit".cast("double") / $"k".cast("double"), 6)
+          .as("recall_at_k"))
+  }
+
   /** Same quantizer over an arbitrary (label, embedding) frame — the
     * incremental index trains it on the BASE subset only.
     */
@@ -1486,7 +1506,7 @@ object Similarity {
     sqlChecked(
       "sim_recall_eval",
       s"""WITH $IvfPrefixSql,
-        |${GraphAnn.HnswCtesSql},
+        |${GraphAnn.RecallAnnCtesSql},
         |ivf_cand AS (
         |  SELECT p.query_id, a.vec_id AS cand_id
         |  FROM probes p
@@ -1510,8 +1530,12 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk
         |  FROM bf_scored) WHERE rk <= 10),
         |hn_cand AS (SELECT query_id, node AS cand_id FROM hvis WHERE node <> query_id),
+        |nn_cand AS (SELECT query_id, node AS cand_id FROM yvis WHERE node <> query_id),
+        |ic_cand AS (SELECT query_id, node AS cand_id FROM zvis WHERE node <> query_id),
         |ivf_nc AS (SELECT query_id, count(*) AS n_cand FROM ivf_cand GROUP BY query_id),
         |hn_nc AS (SELECT query_id, count(*) AS n_cand FROM hn_cand GROUP BY query_id),
+        |nn_nc AS (SELECT query_id, count(*) AS n_cand FROM nn_cand GROUP BY query_id),
+        |ic_nc AS (SELECT query_id, count(*) AS n_cand FROM ic_cand GROUP BY query_id),
         |ivf_gr AS (
         |  SELECT b.query_id, count(*) AS k, count(i.cand_id) AS n_hit
         |  FROM bf b LEFT JOIN ivf i
@@ -1520,6 +1544,16 @@ object Similarity {
         |hn_gr AS (
         |  SELECT b.query_id, count(*) AS k, count(i.cand_id) AS n_hit
         |  FROM bf b LEFT JOIN hnsw_topk i
+        |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+        |  GROUP BY b.query_id),
+        |nn_gr AS (
+        |  SELECT b.query_id, count(*) AS k, count(i.cand_id) AS n_hit
+        |  FROM bf b LEFT JOIN ytopk i
+        |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+        |  GROUP BY b.query_id),
+        |ic_gr AS (
+        |  SELECT b.query_id, count(*) AS k, count(i.cand_id) AS n_hit
+        |  FROM bf b LEFT JOIN ztopk i
         |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
         |  GROUP BY b.query_id)
         |SELECT method, query_id, CAST(k AS BIGINT) AS k,
@@ -1530,7 +1564,13 @@ object Similarity {
         |  FROM hn_gr g JOIN hn_nc c USING (query_id)
         |  UNION ALL
         |  SELECT 'ivf' AS method, g.query_id, g.k, c.n_cand, g.n_hit
-        |  FROM ivf_gr g JOIN ivf_nc c USING (query_id))
+        |  FROM ivf_gr g JOIN ivf_nc c USING (query_id)
+        |  UNION ALL
+        |  SELECT 'nnd' AS method, g.query_id, g.k, c.n_cand, g.n_hit
+        |  FROM nn_gr g JOIN nn_nc c USING (query_id)
+        |  UNION ALL
+        |  SELECT 'incr' AS method, g.query_id, g.k, c.n_cand, g.n_hit
+        |  FROM ic_gr g JOIN ic_nc c USING (query_id))
         |ORDER BY method, query_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val bf = graft.SparkEntry.queries("sim_topk_bruteforce")(s, dir)
@@ -1540,34 +1580,36 @@ object Similarity {
       // scored candidates, i.e. distance computations paid) — the
       // ann-benchmarks recall-per-budget framing, so "hnsw beats ivf" is a
       // statement at a measured budget, not an absolute
-      def grade(method: String, topk: org.apache.spark.sql.DataFrame,
-          cands: org.apache.spark.sql.DataFrame) = {
-        val hits = bf
-          .join(topk.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"), "left")
-          .groupBy($"query_id")
-          .agg(count(lit(1)).as("k"), sum(coalesce($"hit", lit(0L))).as("n_hit"))
-        val nc = cands.groupBy($"query_id").agg(count(lit(1)).as("n_cand"))
-        hits.join(nc, Seq("query_id"))
-          .select(lit(method).as("method"), $"query_id", $"k", $"n_cand",
-            $"n_hit",
-            round($"n_hit".cast("double") / $"k".cast("double"), 6)
-              .as("recall_at_k"))
+      def grade(method: String, vis: org.apache.spark.sql.DataFrame) = {
+        val topk = GraphAnn.hnswTopkFrom(vis).select($"query_id", $"cand_id")
+        val cands = vis.filter($"node" =!= $"query_id")
+          .select($"query_id", $"node".as("cand_id"))
+        gradeTopk(s, bf, method, topk, cands)
       }
       val ivfTop = graft.SparkEntry.queries("sim_ivf_topk")(s, dir)
         .select($"query_id", $"cand_id")
-      // ONE search pays for both the top-k and the budget count; it walks
-      // the PERSISTED index (the identical deterministic build — the
-      // oracle replays it from scratch either way) so the eval grades the
-      // serve path instead of paying the exact n²/S build a second time
-      // per run. sim_hnsw_topk keeps the fused build as the honest
-      // build-cost row.
+      // ONE search per graph method pays for both the top-k and the budget
+      // count. ALL FOUR methods are graded in this oracle-checked row
+      // (VERDICT r14 #2 — nnd/incr recall was spec-only before):
+      //  - hnsw: the persisted MODE-VALVED index's serve path (below
+      //    NndBuildCap this equals the exact build; above it, NN-descent —
+      //    the oracle's gated branches replay whichever ran);
+      //  - nnd: the fused NN-descent build+walk at ANY scale (the valve
+      //    can't starve it of coverage below the cap);
+      //  - incr: the incrementally-maintained index, base-frozen entries;
+      //  - ivf: the inverted-list probe at nprobe=3.
       val vis = GraphAnn.hnswWalkStored(s, GraphAnn.hnswIndexDir(s, dir))
-      val hnTop = GraphAnn.hnswTopkFrom(vis).select($"query_id", $"cand_id")
-      val hnCands = vis
-        .filter($"node" =!= $"query_id")
-        .select($"query_id", $"node".as("cand_id"))
-      grade("hnsw", hnTop, hnCands)
-        .union(grade("ivf", ivfTop, ivfCandidatePairs(s, dir)))
+      val nodes = GraphAnn.hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
+      val nndVis = GraphAnn.hnswWalk(s, nodes,
+        GraphAnn.nndEdges(s, nodes), GraphAnn.upperEdgesOf(nodes))
+      val incrIdx = GraphAnn.hnswIncrIndexDir(s, dir)
+      val incrNodes = s.read.parquet(s"$incrIdx/nodes")
+      val incrVis = GraphAnn.hnswWalkStored(s, incrIdx,
+        Some(GraphAnn.baseEntries(incrNodes)))
+      grade("hnsw", vis)
+        .union(gradeTopk(s, bf, "ivf", ivfTop, ivfCandidatePairs(s, dir)))
+        .union(grade("nnd", nndVis))
+        .union(grade("incr", incrVis))
         .transform(d => QueryDef.smallSort(d, $"method", $"query_id"))
     },
 

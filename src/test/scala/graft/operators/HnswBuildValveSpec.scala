@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSuite
+
+/** Pins for the BUILD-MODE VALVE on the long-lived graph indexes
+  * (VERDICT r14 #1: `hnswIndexDir` / `hnswIncrIndexDir` built with the
+  * exact O(n²/S) join unconditionally — the one place the
+  * measured-infeasible build was still mandatory). The valve: exact M-NN
+  * at-or-under [[GraphAnn.NndBuildCap]] vectors, NN-descent above, the
+  * semBits / exact-pairs-gate discipline with the cap parameterized so
+  * the spec exercises BOTH modes and the boundary on a planted corpus.
+  *
+  * The at-scale claims pinned here:
+  *  - the flip point is exactly `n > cap` (shared by the Spark builds and
+  *    the oracle SQL's count(*) gates — one definition, [[GraphAnn.nndBuildMode]]);
+  *  - at the boundary (n == cap) the valved build is BYTE-IDENTICAL to
+  *    the exact build, and one vector past it the valved build is
+  *    byte-identical to the NN-descent build — no third behavior exists;
+  *  - the SERVE path is mode-agnostic machinery: walking a stored index
+  *    built in either mode equals walking the equivalent in-memory edge
+  *    lists (so flipping the valve can never change what a query batch
+  *    pays at serve time, only what the build paid);
+  *  - the incremental index's base layer obeys the same valve while its
+  *    arrival insert stays exact (arrival-sized, never the quadratic
+  *    term).
+  */
+class HnswBuildValveSpec extends SparkSuite with Matchers {
+
+  private val C = 21
+  private val M = 12
+  private val D = 64
+
+  /** The HnswRecallSpec / HnswNndSpec clustered fixture (same constants,
+    * same seed): tight gaussian clusters, ids interleaved across shards.
+    */
+  private def fixture: DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(C, D)(rnd.nextGaussian())
+    val rows = for (j <- 0 until C; m <- 0 until M) yield {
+      val id = (m * C + j).toLong
+      val v = Array.tabulate(D)(d => (centers(j)(d) + 0.15 * rnd.nextGaussian()).toFloat)
+      (id, v, id / C % 10)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def edgeSet(e: DataFrame): Set[(Long, Long, Long)] =
+    e.select("shard", "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("flip point: exact at the cap, descent one vector past it") {
+    GraphAnn.nndBuildMode(GraphAnn.NndBuildCap) shouldBe false
+    GraphAnn.nndBuildMode(GraphAnn.NndBuildCap + 1) shouldBe true
+    // parameterized form (what the spec's planted corpora use)
+    GraphAnn.nndBuildMode(100, cap = 100) shouldBe false
+    GraphAnn.nndBuildMode(101, cap = 100) shouldBe true
+  }
+
+  test("valved base edges: exact at the boundary, descent past it, nothing else") {
+    val nodes = GraphAnn.hnswNodes(fixture).localCheckpoint()
+    val n = nodes.count()
+    val exact = edgeSet(GraphAnn.knnEdges(nodes, GraphAnn.HnswM0))
+    val descent = edgeSet(GraphAnn.nndEdges(spark, nodes))
+    // boundary: n == cap stays exact; n == cap + 1 flips to descent
+    edgeSet(GraphAnn.valvedBaseEdges(spark, nodes, n, cap = n)) shouldBe exact
+    edgeSet(GraphAnn.valvedBaseEdges(spark, nodes, n, cap = n - 1)) shouldBe descent
+    // non-degeneracy: the two modes build genuinely different graphs on
+    // this corpus, so the equalities above are not vacuous
+    exact should not be descent
+  }
+
+  test("persisted path: both modes build through writeHnswIndex, serve is mode-agnostic") {
+    import spark.implicits._
+    val emb = fixture.cache()
+    val nodes = GraphAnn.hnswNodes(emb).localCheckpoint()
+    val n = nodes.count()
+    val uppers = GraphAnn.upperEdgesOf(nodes)
+
+    def storedTopk(cap: Long): (Boolean, Seq[org.apache.spark.sql.Row]) = {
+      val p = java.nio.file.Files.createTempDirectory("graft-valve-spec").toString
+      val mode = GraphAnn.writeHnswIndex(spark, emb, p, cap)
+      val top = GraphAnn.hnswTopkFrom(GraphAnn.hnswWalkStored(spark, p))
+        .orderBy($"query_id", $"rk").collect().toSeq
+      (mode, top)
+    }
+    def memTopk(base: DataFrame): Seq[org.apache.spark.sql.Row] =
+      GraphAnn.hnswTopkFrom(GraphAnn.hnswWalk(spark, nodes, base, uppers))
+        .orderBy($"query_id", $"rk").collect().toSeq
+
+    val (modeExact, servedExact) = storedTopk(cap = n)
+    val (modeNnd, servedNnd) = storedTopk(cap = n - 1)
+    modeExact shouldBe false
+    modeNnd shouldBe true
+    // serve-equality: the stored walk reproduces the in-memory walk over
+    // the same mode's edge lists — the walk machinery never branches on
+    // how the lists were built
+    servedExact shouldBe memTopk(GraphAnn.knnEdges(nodes, GraphAnn.HnswM0))
+    servedNnd shouldBe memTopk(GraphAnn.nndEdges(spark, nodes))
+  }
+
+  test("incremental index: base layer valved, merged lists stay degree-bounded in descent mode") {
+    import spark.implicits._
+    val nodes = GraphAnn.hnswNodes(fixture).localCheckpoint()
+    val mod = GraphAnn.HnswIncrMod; val res = GraphAnn.HnswIncrRes
+    val base = nodes.filter($"vec_id" % mod =!= res)
+    val nBase = base.count()
+    // cap below the base count ⇒ the base graph comes from NN-descent
+    val merged = GraphAnn.incrMergedEdges(spark, nodes, cap = nBase - 1)
+    val m0 = merged(0)
+    // replay: descent base ∪ exact forward links ∪ back-links, re-pruned —
+    // exactly what the valved build must have merged
+    val arr = nodes.filter($"vec_id" % mod === res)
+    val fwd = GraphAnn.knnEdgesBetween(arr, base, GraphAnn.HnswM0)
+    val rev = fwd.select($"shard", $"dst".as("src"), $"src".as("dst"))
+    val want = GraphAnn.rerankEdges(nodes,
+      GraphAnn.nndEdges(spark, base).union(fwd).union(rev), GraphAnn.HnswM0)
+    edgeSet(m0) shouldBe edgeSet(want)
+    // degree/partition invariants hold in descent mode too
+    m0.filter($"src" % GraphAnn.HnswShards =!= $"dst" % GraphAnn.HnswShards)
+      .count() shouldBe 0L
+    m0.groupBy($"src").count()
+      .filter($"count" > GraphAnn.HnswM0).count() shouldBe 0L
+  }
+}
