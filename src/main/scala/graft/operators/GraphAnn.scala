@@ -35,10 +35,11 @@ import graft.functions.Exprs
   *  - incremental neighbor selection → the exact M-NN graph per layer
   *    (directed, 6-dp-rounded cosine, ties by id) for the labeled exact
   *    build, or deterministic NN-DESCENT (Dong et al., WWW 2011) for the
-  *    at-scale base-layer build (sim_hnsw_nnd): ring init in id order,
+  *    at-scale base-layer build (sim_hnsw_nnd): md5-hash-random init,
   *    [[NndIters]] fixed rounds of neighbors-of-neighbors (forward ∪
-  *    reverse) candidate generation, top-M re-selection — O(n·(2M)²) per
-  *    round against the exact build's O(n²/S).
+  *    reverse) candidate generation at build degree [[NndBuildM]], final
+  *    prune to M0 — O(n·(2·NndBuildM)²) per round against the exact
+  *    build's O(n²/S).
   *  - unbounded best-first search → a FIXED unroll: HnswGreedyHops greedy
   *    steps per upper layer (highest active layer first), then
   *    HnswBeamHops beam steps (width HnswBeam) on the base layer. Fixed
@@ -87,6 +88,7 @@ object GraphAnn {
   final val HnswQueryMax = 5
   final val HnswK = 10
   final val NndIters = 3
+  final val NndBuildM = 12
   final val HnswIncrMod = 7
   final val HnswIncrRes = 3
 
@@ -238,19 +240,30 @@ object GraphAnn {
   }
 
   /** Deterministic NN-DESCENT base-layer build (Dong et al., WWW 2011):
-    * start from a geometry-blind ring over the shard's id order (the
-    * deterministic twin of the paper's random init), then for a FIXED
-    * [[NndIters]] rounds let every node propose its general neighbors'
-    * general neighbors (general = forward ∪ reverse edges — the paper's
-    * key step) and keep the best M by cosine. Per round the candidate
-    * volume is ≤ n·(2M)² against the exact build's n²/S — the at-scale
-    * replacement the serve path is agnostic to. Each round is
+    * start from a geometry-blind HASH-RANDOM graph (md5-derived positions
+    * — the deterministic twin of the paper's random init; the repo's
+    * salted-plane discipline), then for a FIXED [[NndIters]] rounds let
+    * every node propose its general neighbors' general neighbors (general
+    * = forward ∪ reverse edges — the paper's key step), keep the best
+    * [[NndBuildM]] by cosine per round, and finally prune to [[HnswM0]] so
+    * the serve graph has the exact build's degree. Per round the candidate
+    * volume is ≤ n·(2·NndBuildM)² against the exact build's n²/S — the
+    * at-scale replacement the serve path is agnostic to. Each round is
     * localCheckpointed: chained iterative DataFrame state is exactly the
     * lineage class the 4×-plan-overhead lesson (BASELINE.md r13) covers.
+    *
+    * WHY hash init + a wider build degree (measured, r15): a ring init's
+    * neighbors-of-neighbors reach grows from ±M consecutive positions —
+    * at 500+ members/shard 3 rounds never mix globally, and serve recall
+    * collapsed (0.08 vs exact 0.40 at sf0.1). Hash init gives the random
+    * graph's one-round global mixing (Dong et al.'s actual init), and
+    * descending at NndBuildM=12 then pruning to M0 closes the rest: serve
+    * recall 0.40 == exact at sf0.1, edge quality 0.309 vs exact 0.315,
+    * same build cost class (candidates stay linear in n).
     */
-  /** The geometry-blind ring init in id order — one function, consumed by
-    * both nndEdges and HnswNndSpec's monotonicity pin so the spec can
-    * never silently diverge from the init it claims to measure.
+  /** The hash-random init — one function, consumed by both nndEdges and
+    * HnswNndSpec's monotonicity pin so the spec can never silently
+    * diverge from the init it claims to measure.
     */
   private[operators] def nndInit(s: SparkSession, nodes: DataFrame): DataFrame = {
     import s.implicits._
@@ -260,8 +273,10 @@ object GraphAnn {
     val cnts = mem.groupBy($"shard").agg(count(lit(1)).as("cnt"))
     mem.join(broadcast(cnts), Seq("shard"))
       .select($"shard", $"vec_id".as("src"), $"pos", $"cnt",
-        explode(sequence(lit(1), lit(HnswM0))).as("j"))
-      .withColumn("dpos", ($"pos" + $"j") % $"cnt")
+        explode(sequence(lit(1), lit(NndBuildM))).as("j"))
+      .withColumn("dpos",
+        Exprs.hash60(concat(lit("nnd:"), $"src".cast("string"), lit(":"),
+          $"j".cast("string"))) % $"cnt")
       .join(mem.select($"shard", $"pos".as("dpos"), $"vec_id".as("dst")),
         Seq("shard", "dpos"))
       .filter($"src" =!= $"dst")
@@ -281,9 +296,13 @@ object GraphAnn {
             $"g1.src" =!= $"g2.dst")
         .select($"g1.shard".as("shard"), $"g1.src".as("src"), $"g2.dst".as("dst"))
         .union(gen)
-      edges = rerankEdges(nodes, cand, HnswM0).localCheckpoint()
+      edges = rerankEdges(nodes, cand, NndBuildM).localCheckpoint()
     }
-    edges
+    // final prune: the serve graph keeps the exact build's degree (M0) so
+    // the walk pays identical per-hop cost in both modes; descending at
+    // the wider NndBuildM is what closes the recall gap (measured at
+    // sf0.1: serve recall 0.40 == exact vs 0.26 when descending at M0)
+    rerankEdges(nodes, edges, HnswM0).localCheckpoint()
   }
 
   /** Exact edge lists for every potentially-active upper layer (keyed by
@@ -514,12 +533,13 @@ object GraphAnn {
     walkCtesSql("he0", l => s"he$l", "hent")
   ).mkString(",\n")
 
-  /** The deterministic NN-descent chain as CTEs: ring init in id order
+  /** The deterministic NN-descent chain as CTEs: md5-hash-random init
     * over the members of `hn` satisfying `memberPred`, [[NndIters]]
-    * rerank rounds; ends in `${pfx}d$NndIters`. `gate` (a scalar-subquery
-    * boolean) empties the init — and therefore every round — when the
-    * build-mode valve picks the exact branch: the inactive chain costs
-    * one O(n) member scan, never a descent round.
+    * rerank rounds at [[NndBuildM]], final prune to [[HnswM0]]; ends in
+    * `${pfx}p`. `gate` (a scalar-subquery boolean) empties the init — and
+    * therefore every round — when the build-mode valve picks the exact
+    * branch: the inactive chain costs one O(n) member scan, never a
+    * descent round.
     */
   private def nndChainSql(pfx: String, memberPred: String = "TRUE",
       gate: String = "TRUE"): String = {
@@ -528,8 +548,9 @@ object GraphAnn {
       |  row_number() OVER (PARTITION BY shard ORDER BY vec_id) - 1 AS pos,
       |  count(*) OVER (PARTITION BY shard) AS cnt FROM hn WHERE $memberPred)""".stripMargin
     parts += s"""${pfx}d0 AS (SELECT DISTINCT a.shard, a.vec_id AS src, b.vec_id AS dst
-      |  FROM ${pfx}m a CROSS JOIN (SELECT unnest(generate_series(1, $HnswM0)) AS j) js
-      |  JOIN ${pfx}m b ON b.shard = a.shard AND b.pos = (a.pos + js.j) % a.cnt
+      |  FROM ${pfx}m a CROSS JOIN (SELECT unnest(generate_series(1, $NndBuildM)) AS j) js
+      |  JOIN ${pfx}m b ON b.shard = a.shard
+      |    AND b.pos = CAST(('0x' || substr(md5('nnd:' || a.vec_id || ':' || js.j), 1, 15)) AS BIGINT) % a.cnt
       |  WHERE b.vec_id <> a.vec_id AND $gate)""".stripMargin
     for (t <- 1 to NndIters) {
       val pe = s"${pfx}d${t - 1}"
@@ -544,8 +565,14 @@ object GraphAnn {
         |    row_number() OVER (PARTITION BY c.src
         |      ORDER BY ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} DESC, c.dst) AS rk
         |  FROM ${pfx}c$t c JOIN hn x ON x.vec_id = c.src JOIN hn y ON y.vec_id = c.dst)
-        |  WHERE rk <= $HnswM0)""".stripMargin
+        |  WHERE rk <= $NndBuildM)""".stripMargin
     }
+    parts += s"""${pfx}p AS MATERIALIZED (SELECT shard, src, dst FROM (
+      |  SELECT c.shard, c.src, c.dst,
+      |    row_number() OVER (PARTITION BY c.src
+      |      ORDER BY ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} DESC, c.dst) AS rk
+      |  FROM ${pfx}d$NndIters c JOIN hn x ON x.vec_id = c.src JOIN hn y ON y.vec_id = c.dst)
+      |  WHERE rk <= $HnswM0)""".stripMargin
     parts.mkString(",\n")
   }
 
@@ -559,7 +586,7 @@ object GraphAnn {
     parts += nndChainSql("n")
     parts += HentSql
     parts += HqSql
-    parts += walkCtesSql(s"nd$NndIters", l => s"he$l", "hent")
+    parts += walkCtesSql("np", l => s"he$l", "hent")
     parts.mkString(",\n")
   }
 
@@ -589,7 +616,7 @@ object GraphAnn {
     knnCteSql("hex0", 0, HnswM0, _ => s"$CorpusCountSql <= $NndBuildCap"),
     nndChainSql("vn", gate = s"$CorpusCountSql > $NndBuildCap"),
     s"""vbe0 AS (SELECT shard, src, dst FROM hex0
-      |  UNION ALL SELECT shard, src, dst FROM vnd$NndIters)""".stripMargin
+      |  UNION ALL SELECT shard, src, dst FROM vnp)""".stripMargin
   ).mkString(",\n")
 
   /** Incremental build + walk: exact per-layer graphs over the BASE
@@ -627,7 +654,7 @@ object GraphAnn {
     parts += nndChainSql("ib", memberPred = baseP("hn"),
       gate = s"$BaseCountSql > $NndBuildCap")
     parts += s"""hbe0 AS (SELECT shard, src, dst FROM hbx0
-      |  UNION ALL SELECT shard, src, dst FROM ibd$NndIters)""".stripMargin
+      |  UNION ALL SELECT shard, src, dst FROM ibp)""".stripMargin
     for (l <- 0 to HnswMaxLevels) {
       val m = if (l == 0) HnswM0 else HnswM1
       if (l > 0) parts += knnCteSql(s"hbe$l", l, m, baseP)
@@ -666,7 +693,7 @@ object GraphAnn {
     HentSql, HqSql,
     walkCtesSql("vbe0", l => s"he$l", "hent"),
     nndChainSql("n"),
-    walkCtesSql(s"nd$NndIters", l => s"he$l", "hent", "y", "yvis", "ytopk"),
+    walkCtesSql("np", l => s"he$l", "hent", "y", "yvis", "ytopk"),
     IncrLayerCtesSql,
     incrEntSql("zent"),
     walkCtesSql("hme0", l => s"hme$l", "zent", "z", "zvis", "ztopk")
@@ -861,7 +888,7 @@ object GraphAnn {
     // NN-DESCENT build variant (Dong et al. 2011): the base layer comes
     // from [[nndEdges]] (iters·n·(2M)² work) instead of the exact n²/S
     // M-NN join; upper layers and the walk are byte-identical machinery.
-    // The oracle replays ring init + every descent round + the walk.
+    // The oracle replays the hash init + every descent round + the final prune + the walk.
     // HnswNndSpec pins search recall within a stated margin of the
     // exact-build graph at comparable candidate budget.
     sqlChecked(

@@ -67,9 +67,32 @@ class HnswBuildValveSpec extends SparkSuite with Matchers {
     // boundary: n == cap stays exact; n == cap + 1 flips to descent
     edgeSet(GraphAnn.valvedBaseEdges(spark, nodes, n, cap = n)) shouldBe exact
     edgeSet(GraphAnn.valvedBaseEdges(spark, nodes, n, cap = n - 1)) shouldBe descent
-    // non-degeneracy: the two modes build genuinely different graphs on
-    // this corpus, so the equalities above are not vacuous
+    // (on this 63-member-per-shard fixture descent CONVERGES to the exact
+    // graph — 3 rounds of (2·NndBuildM)² candidates cover every shard, so
+    // exact == descent here is correct, not vacuous; the modes-differ
+    // non-degeneracy pin lives in the next test at a shard size the
+    // rounds cannot cover)
+  }
+
+  test("non-degeneracy: at uncoverable shard sizes the two modes build different graphs") {
+    import spark.implicits._
+    // 2 000 weakly-clustered vectors → 500/shard: 3 descent rounds see a
+    // bounded candidate neighborhood, not the whole shard, so the descent
+    // graph approximates (not equals) the exact M-NN graph — the regime
+    // the valve exists for
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat), i % 10L)
+    }.toDF("vec_id", "embedding", "label")
+    val nodes = GraphAnn.hnswNodes(emb).localCheckpoint()
+    val exact = edgeSet(GraphAnn.knnEdges(nodes, GraphAnn.HnswM0))
+    val descent = edgeSet(GraphAnn.nndEdges(spark, nodes))
     exact should not be descent
+    // ...but descent still finds most of the true graph (the hash-init
+    // convergence claim at the scale where it matters)
+    val overlap = (exact & descent).size.toDouble / exact.size
+    info(f"edge overlap at 500/shard: $overlap%.3f")
+    overlap should be >= 0.5
   }
 
   test("persisted path: both modes build through writeHnswIndex, serve is mode-agnostic") {
