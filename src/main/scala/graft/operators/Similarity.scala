@@ -1287,7 +1287,11 @@ object Similarity {
     // codebook entry (integer micro-distances, so the 4-term per-candidate
     // sum is order-independent and bit-stable cross-engine); a candidate's
     // approximate distance is then 8 table LOOKUPS + 7 integer adds — no
-    // float math touches the candidate side at all. Scale shape: the
+    // float math touches the candidate side at all. TRAINING IS SAMPLED
+    // above the exact-pairs cap (Jégou §V: codebooks train on a learning
+    // set, not the database): the deterministic vec_id stratum trains, the
+    // encode covers every vector, and the oracle replays the same gate —
+    // so the sf1 row is encode-bound, not train-bound (VERDICT r14 #6). Scale shape: the
     // codebook (4 KiB) and each query's distance table (128 rows) broadcast;
     // the scan reads 4 BYTES per candidate vector instead of 256 (the whole
     // point at 100 TB — ADC scan cost is storage-bandwidth-bound); the only
@@ -1305,13 +1309,15 @@ object Similarity {
          |cb0 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
          |    SELECT sub, CAST(vec_id % $PqCodes AS INT) AS code, pos,
          |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
-         |    FROM (SELECT vec_id, sub, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x FROM subs)
+         |    FROM (SELECT vec_id, sub, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x
+         |          FROM subs WHERE ${Dedup.ExactVecsGateSql})
          |    GROUP BY sub, code, pos) GROUP BY sub, code),
          |a1 AS (SELECT vec_id, sub, code FROM (
          |    SELECT s.vec_id, s.sub, c.code,
          |      row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
          |        CAST(round(list_sum(list_transform(generate_series(1, $PqSubDim), i -> (s.sv[i] - c.c[i]) * (s.sv[i] - c.c[i]))) * 1000000) AS BIGINT), c.code) AS rk
-         |    FROM subs s JOIN cb0 c ON s.sub = c.sub) WHERE rk = 1),
+         |    FROM subs s JOIN cb0 c ON s.sub = c.sub
+         |    WHERE ${Dedup.ExactVecsGateSql}) WHERE rk = 1),
          |cb1 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
          |    SELECT sub, code, pos,
          |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
@@ -1338,7 +1344,7 @@ object Similarity {
          |  FROM adc)
          |SELECT query_id, cand_id, adc_micro, rk FROM ranked WHERE rk <= $PqTopK
          |ORDER BY query_id, rk""".stripMargin) { (s, dir) =>
-      pqAdc(s, Tables.embeddings(s, dir))
+      pqAdc(s, Tables.embeddings(s, dir), Dedup.embeddingsCount(s, dir))
     },
 
     // IVF + residual PQ + asymmetric distance — the COMPOSED serving
@@ -1809,17 +1815,24 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("code"))
 
   /** Deterministic PQ training (init = vec_id % PqCodes, ONE Lloyd step)
-    * + encode over a (vec_id, sub, sv) subvector table → (codebook, codes).
-    * The codebook comes back CACHED — it feeds both the encode pass and the
-    * query distance tables (the ta_collocations two-consumer lesson);
+    * over the TRAINING subvector table + encode over the FULL one →
+    * (codebook, codes). Published practice trains codebooks on a sample
+    * and encodes everything (Jégou et al. 2011 §V train on learning sets
+    * far smaller than the database); sim_pq_adc passes the exact-pairs
+    * stratum above the cap so the O(n·codes) training passes are
+    * sample-sized while the encode stays corpus-sized — the sf1
+    * train-dominated row drops toward encode-bound (VERDICT r14 #6).
+    * The codebook comes back CACHED — it feeds both the encode pass and
+    * the query distance tables (the ta_collocations two-consumer lesson);
     * 128 rows.
     */
-  private def pqTrain(subs: org.apache.spark.sql.DataFrame)
+  private def pqTrain(train: org.apache.spark.sql.DataFrame,
+      all: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val init = subs.select(col("vec_id"), col("sub"),
+    val init = train.select(col("vec_id"), col("sub"),
       (col("vec_id") % PqCodes).cast("int").as("code"))
-    val cb1 = pqCodebook(subs, pqNearest(subs, pqCodebook(subs, init))).cache()
-    (cb1, pqNearest(subs, cb1))
+    val cb1 = pqCodebook(train, pqNearest(train, pqCodebook(train, init))).cache()
+    (cb1, pqNearest(all, cb1))
   }
 
   /** The PqSubs × PqSubDim subvectors of a (vec_id, <vcol>) vector table. */
@@ -1834,13 +1847,24 @@ object Similarity {
   }
 
   def pqAdc(s: org.apache.spark.sql.SparkSession,
-      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    pqAdc(s, emb, emb.count())
+
+  /** Overload threading a pre-computed corpus count (the exactPairsDocs
+    * discipline — the query closure passes the memoized per-dir count so
+    * the training-stratum gate costs zero extra scans per run). Above
+    * [[Dedup.ExactPairsDocCap]] vectors the codebooks train on the
+    * deterministic `vec_id % ExactPairsStride = 0` stratum; the encode
+    * covers every vector either way.
+    */
+  def pqAdc(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, n: Long): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val e = emb.select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
     // (vec_id, sub, sv): the PqSubs × PqSubDim subvectors of every vector
     val subs = pqSubvectors(e, "v", "vec_id")
     val d2m = pqD2
-    val (cb1, codes) = pqTrain(subs)
+    val (cb1, codes) = pqTrain(Dedup.exactPairsVecs(s, subs, n), subs)
     val dtab = subs.filter($"vec_id" < PqQueryMax)
       .select($"vec_id".as("query_id"), $"sub", $"sv")
       .join(broadcast(cb1), Seq("sub"))
@@ -1884,7 +1908,10 @@ object Similarity {
       .join(broadcast(centroids.select($"label".as("cluster"), $"c")), Seq("cluster"))
       .select($"vec_id", zip_with($"v", $"c", (a, b) => a - b).as("rv"))
     val rsubs = pqSubvectors(res, "rv", "vec_id")
-    val (cb1, codes) = pqTrain(rsubs)
+    // residual codebooks train on the full corpus: the residual table is
+    // already cell-partitioned work and this row is not train-dominated
+    // (the sampled-training discipline lives in sim_pq_adc)
+    val (cb1, codes) = pqTrain(rsubs, rsubs)
     // probe: each query → its nprobe=3 nearest coarse cells
     val probes = e.filter($"vec_id" < PqQueryMax).crossJoin(broadcast(centroids))
       .select($"vec_id".as("query_id"), $"label",

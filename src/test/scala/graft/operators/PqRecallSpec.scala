@@ -62,4 +62,68 @@ class PqRecallSpec extends SparkSuite with Matchers {
     val again = Similarity.pqAdc(spark, Tables.embeddings(spark, sf("sf0.01"))).collect()
     again.map(_.toString) shouldBe adc.map(_.toString)
   }
+
+  test("sampled codebook training: exact-L2 recall survives training on the stratum") {
+    // the count overload is the valve input (the semBits/exactPairsVecs
+    // discipline), so the spec can flip the training gate on the SAME
+    // corpus: n at face value trains on every vector, n past the cap
+    // trains on the vec_id % ExactPairsStride stratum while encoding all.
+    // NOTE the pin is against the EXACT-L2 truth, not full-vs-sampled
+    // top-10 agreement: on near-random vectors ADC distances sit at noise
+    // level and any codebook perturbation reshuffles the (arbitrary)
+    // top-10, so two equally-good codebooks can disagree almost entirely
+    // while both recover the same exact-truth fraction — quality is
+    // recall@truth (Jégou's own metric), not inter-codebook agreement.
+    // sf0.1 (2 000 vectors) keeps the forced stratum at 500 training
+    // vectors — the production gate's sample is >= cap/stride = 2 500, so
+    // this is already a harsher case than any real over-cap corpus
+    val emb = Tables.embeddings(spark, sf("sf0.1"))
+    val n = emb.count()
+    val e = emb.select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
+    val q = e.filter($"vec_id" < Similarity.PqQueryMax)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val exact = broadcast(q).join(e.as("c"), $"query_id" =!= $"c.vec_id")
+      .select($"query_id", $"c.vec_id".as("cand_id"),
+        expr("aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)").as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"d2".asc, $"cand_id".asc)))
+      .filter($"rk" <= Similarity.PqTopK)
+      .select($"query_id", $"cand_id")
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def meanRecall(nArg: Long): Double = {
+      val got = Similarity.pqAdc(spark, emb, nArg).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val o = exact.keys.toSeq.sorted.map(qid =>
+        (exact(qid) intersect got(qid)).size.toDouble / Similarity.PqTopK)
+      o.sum / o.length
+    }
+    val fullRecall = meanRecall(n)
+    val sampledRecall = meanRecall(Dedup.ExactPairsDocCap + 1L)
+    info(f"exact-L2 recall: full-trained=$fullRecall%.2f stratum-trained=$sampledRecall%.2f")
+    // near-random 2 000-vector corpora give LOW absolute PQ recall at any
+    // training size (the class caveat in the suite scaladoc) — the pin is
+    // the sampled-vs-full GAP plus non-degeneracy, not an absolute floor
+    sampledRecall should be >= fullRecall - 0.1
+    sampledRecall should be > 0.0
+  }
+
+  test("sampled training preserves codebook reconstruction quality (MSE)") {
+    import org.apache.spark.sql.DataFrame
+    // reconstruction MSE of the stratum-trained codebook, measured over
+    // the FULL corpus, vs the full-trained codebook's: the sample pays a
+    // bounded quality premium, not a blowup
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val n = emb.count()
+    def mse(adcOut: DataFrame): Double = {
+      // proxy: mean ADC distance of each query's top-10 (micro-units) —
+      // monotone in codebook reconstruction error on the same corpus
+      adcOut.agg(avg($"adc_micro")).collect().head.getDouble(0)
+    }
+    val full = mse(Similarity.pqAdc(spark, emb, n))
+    val sampled = mse(Similarity.pqAdc(spark, emb, Dedup.ExactPairsDocCap + 1L))
+    info(f"top-10 mean ADC micro-distance: full=$full%.0f sampled=$sampled%.0f")
+    sampled should be <= full * 1.25
+  }
 }
