@@ -480,15 +480,20 @@ object Similarity {
   }
 
   /** SemDeDup over an arbitrary (vec_id, embedding, label) frame — the
-    * frame-parameterized core shared by dd_semdedup and the composed
-    * curation pipeline (PipelineHeadline's semantic stage runs it on the
-    * cascade survivors' embeddings). Output: (vec_id, cluster, keep,
-    * anchor) with keep = no earlier item of the same (cluster, sub-split)
-    * at cosine ≥ 0.3; the reported cluster stays the coarse label cluster.
+    * frame-parameterized core shared by the composed curation pipelines
+    * (PipelineHeadline's semantic stage runs it on the cascade survivors'
+    * embeddings). Output: (vec_id, cluster, keep, anchor) with keep = no
+    * earlier item of the same (cluster, sub-split) at cosine ≥ 0.3; the
+    * reported cluster stays the coarse label cluster. This is the
+    * BALANCED form: the hyperplane valve PLUS the geometry-aware deep
+    * re-quantize of cells the hyperplanes fail to split (VERDICT r14 #5)
+    * — below the cap, and whenever no cell overflows, it is row-identical
+    * to [[semdedupWithBits]] (pinned by SemDedupValveSpec), which is what
+    * the dd_semdedup oracle row verifies.
     */
   def semdedupOf(s: org.apache.spark.sql.SparkSession,
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    semdedupWithBits(s, emb, semBits(emb.count()))
+    semdedupBalanced(s, emb, semBits(emb.count()))
 
   /** The sub sign-bit column over a `v` double-vector column. Bits are
     * computed over the first min(len(v), Dim) dimensions — the SAME
@@ -526,17 +531,19 @@ object Similarity {
       .select($"vec_id", $"sub")
   }
 
-  /** The core at an explicit split width — exposed for
-    * SemDedupValveSpec's monotonicity pins.
+  /** The cluster + sub-split assignment (vec_id, v, nrm, sub, cluster),
+    * materialized once (localCheckpoint) — the within-cluster self-join
+    * AND the balanced form's cell-size pass consume it; at scale this is
+    * the persisted cluster-assignment table every SemDeDup run writes
+    * anyway.
     */
-  def semdedupWithBits(s: org.apache.spark.sql.SparkSession,
+  private def semAssigned(s: org.apache.spark.sql.SparkSession,
       emb: org.apache.spark.sql.DataFrame, bits: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val subCol = semSubCol(s, bits)
     val e = emb
       .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
       .withColumn("nrm", Exprs.l2norm($"v"))
-      .withColumn("sub", subCol)
+      .withColumn("sub", semSubCol(s, bits))
     val centroids = emb
       .select($"label", posexplode(Exprs.vecAsDouble($"embedding")).as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
@@ -545,26 +552,110 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
       .withColumn("cnrm", Exprs.l2norm($"c"))
     val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"label".asc)
-    // One assignment pass, materialized once (localCheckpoint) because the
-    // within-cluster self-join consumes it twice — at scale this is the
-    // persisted cluster-assignment table every SemDeDup run writes anyway.
-    val assigned = e.crossJoin(broadcast(centroids))
+    e.crossJoin(broadcast(centroids))
       .select($"vec_id", $"v", $"nrm", $"sub", $"label",
         round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
       .select($"vec_id", $"v", $"nrm", $"sub", $"label".as("cluster"))
       .localCheckpoint(false)
+  }
+
+  /** The earlier-anchor join over an assignment whose compare cell is the
+    * `cell` column: keep = no earlier same-cell item at cosine ≥ 0.3.
+    */
+  private def semAnchorsOut(
+      assigned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = col("a.vec_id"); val b = col("b.vec_id")
     val anchors = assigned.as("a")
       .join(assigned.as("b"),
-        $"a.cluster" === $"b.cluster" && $"a.sub" === $"b.sub" &&
-          $"a.vec_id" > $"b.vec_id")
-      .filter(round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6) >= 0.3)
-      .groupBy($"a.vec_id".as("vec_id"))
-      .agg(min($"b.vec_id").as("anchor"))
-    assigned.select($"vec_id", $"cluster")
+        col("a.cluster") === col("b.cluster") && col("a.cell") === col("b.cell") &&
+          a > b)
+      .filter(round(Exprs.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6) >= 0.3)
+      .groupBy(a.as("vec_id"))
+      .agg(min(b).as("anchor"))
+    assigned.select(col("vec_id"), col("cluster"))
       .join(anchors, Seq("vec_id"), "left")
-      .select($"vec_id", $"cluster", $"anchor".isNull.as("keep"), $"anchor")
+      .select(col("vec_id"), col("cluster"), col("anchor").isNull.as("keep"),
+        col("anchor"))
+  }
+
+  /** The core at an explicit split width — exposed for
+    * SemDedupValveSpec's monotonicity pins. This is the oracle-checked
+    * form (dd_semdedup): hyperplane sub-split only.
+    */
+  def semdedupWithBits(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, bits: Int): org.apache.spark.sql.DataFrame =
+    semAnchorsOut(semAssigned(s, emb, bits).withColumn("cell", col("sub")))
+
+  /** Children per over-cap cell in the geometry-aware fallback. */
+  final val SemDeepK = 8
+
+  /** The BALANCED core (VERDICT r14 #5 — the documented tight-cluster
+    * caveat, closed): after the hyperplane sub-split, any (cluster, sub)
+    * cell still holding more than `cap` vectors is RE-QUANTIZED with a
+    * deeper centroid tree — the published k-∝-n discipline (Abbas et al.
+    * train k-means with k growing with the corpus) applied only where the
+    * data needs it. The deep split is geometry-AWARE where hyperplanes
+    * are geometry-blind: child centroids are decimal means of the cell's
+    * own members (init groups vec_id % SemDeepK — the PQ cb0 discipline),
+    * so a tight cluster splits along its internal directions, at the cost
+    * of exactly one more assignment pass over the over-cap members.
+    * Cells at-or-under the cap keep their hyperplane cell untouched, so
+    * when nothing overflows the result is row-identical to
+    * [[semdedupWithBits]] (the fallback no-ops — pinned).
+    *
+    * Scale shape: cell sizes are one agg over the checkpointed assignment
+    * (a model-sized frame: ≤ 10·2^bits rows, broadcast); child centroids
+    * derive only from over-cap members; the within-cell quadratic then
+    * runs on cells bounded by ~cap/SemDeepK wherever geometry permits
+    * (identical vectors are unsplittable by ANY geometry — and are
+    * exactly the rows the dedup drops).
+    */
+  def semdedupBalanced(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, bits: Int,
+      cap: Long = SemClusterCap): org.apache.spark.sql.DataFrame =
+    semAnchorsOut(semBalancedCells(s, emb, bits, cap))
+
+  /** The balanced (vec_id, v, nrm, cluster, cell) assignment alone —
+    * package-exposed so SemDedupValveSpec can pin the cell-size bound the
+    * fallback exists to provide.
+    */
+  private[operators] def semBalancedCells(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, bits: Int,
+      cap: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val assigned = semAssigned(s, emb, bits)
+    // (cluster, sub) cell sizes: model-sized (≤ 10·2^bits rows), broadcast
+    val overCells = assigned.groupBy($"cluster", $"sub")
+      .agg(count(lit(1)).as("cell_n"))
+      .filter($"cell_n" > cap)
+      .select($"cluster", $"sub")
+    val overM = assigned.join(broadcast(overCells), Seq("cluster", "sub"))
+    // deep re-quantize: per-cell child centroids from init groups
+    // vec_id % SemDeepK (decimal means, 6-dp — the established arithmetic)
+    val childCent = overM
+      .select($"cluster", $"sub", ($"vec_id" % SemDeepK).as("g"),
+        posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"cluster", $"sub", $"g", $"pos")
+      .agg(round(sum($"x".cast("decimal(20,8)")).cast("double") / count(lit(1)), 6).as("mu"))
+      .groupBy($"cluster", $"sub", $"g")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"mu"))), x => x("mu")).as("c"))
+      .withColumn("cnrm", Exprs.l2norm($"c"))
+    val wg = Window.partitionBy($"vec_id").orderBy($"gcos".desc, $"g".asc)
+    val deepAssigned = overM.join(broadcast(childCent), Seq("cluster", "sub"))
+      .select($"vec_id", $"v", $"nrm", $"sub", $"cluster", $"g",
+        round(Exprs.dot($"v", $"c") / ($"nrm" * $"cnrm"), 6).as("gcos"))
+      .withColumn("rk", row_number().over(wg))
+      .filter($"rk" === 1)
+      .select($"vec_id", $"v", $"nrm", $"sub", $"cluster", $"g")
+    // disjoint cell ids: unsplit cells land on child slot 0, split cells
+    // spread over [sub·K, sub·K + K)
+    val keep0 = assigned.join(broadcast(overCells), Seq("cluster", "sub"), "left_anti")
+      .withColumn("cell", $"sub" * SemDeepK)
+    val split = deepAssigned.withColumn("cell", $"sub" * SemDeepK + $"g")
+    keep0.select($"vec_id", $"v", $"nrm", $"cluster", $"cell")
+      .union(split.select($"vec_id", $"v", $"nrm", $"cluster", $"cell"))
   }
 
   /** The valve's SQL twins: bits from the same integer CASE chain, sub
