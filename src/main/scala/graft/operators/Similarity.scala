@@ -504,7 +504,7 @@ object Similarity {
     * real bits — the valve's quadratic bound vanished exactly where the
     * frame-parameterized core was fed foreign-dimension vectors).
     */
-  private def semSubCol(s: org.apache.spark.sql.SparkSession,
+  private[operators] def semSubCol(s: org.apache.spark.sql.SparkSession,
       bits: Int): org.apache.spark.sql.Column = {
     import s.implicits._
     if (bits == 0) lit(0L)
