@@ -54,8 +54,10 @@ import graft.functions.Exprs
   * every shard's graph, merge the per-shard visited sets, take the global
   * top-k — the published distributed-HNSW serving pattern (per-shard
   * Faiss-HNSW + result merge). The exact build costs n²/S per shard; the
-  * NN-descent build replaces that with iters·n·(2M)² while the serve path
-  * is UNCHANGED (the same walk over whichever edge lists were built).
+  * NN-descent build replaces that with iters·n·(2·NndBuildM)² while the
+  * serve path is UNCHANGED (the same walk over whichever edge lists were
+  * built) — and the LONG-LIVED indexes pick between them by the
+  * [[NndBuildCap]] mode valve, oracle-gated on the same count(*).
   * Incremental maintenance (sim_hnsw_incr) follows published HNSW insert:
   * an arrival batch links forward to its M nearest BASE members per layer
   * and back-links prune each touched base list to M — arrival-sized
@@ -63,14 +65,16 @@ import graft.functions.Exprs
   * to graphs.
   *
   * Searching re-uses the repo's ANN eval discipline: sim_recall_eval
-  * grades hnsw and ivf side-by-side against the brute-force truth AND
-  * reports each method's measured candidate budget (n_cand = distinct
-  * scored nodes), so the recall-per-candidate trade is a measured number,
-  * not a claim. HnswRecallSpec pins the structural invariants and the
-  * drift scenario where graphs beat IVF at equal budget; HnswLevelsSpec
-  * pins the data-driven ladder; HnswNndSpec pins descent recall against
-  * the exact build; HnswIncrSpec pins insert semantics on a planted
-  * skewed arrival batch.
+  * grades ALL FOUR methods (persisted-valved hnsw, ivf, fused NN-descent,
+  * incremental) against the brute-force truth AND reports each method's
+  * measured candidate budget (n_cand = distinct scored nodes), so the
+  * recall-per-candidate trade is a measured number, not a claim.
+  * HnswRecallSpec pins the structural invariants and the drift scenario
+  * where graphs beat IVF at equal budget; HnswLevelsSpec pins the
+  * data-driven ladder; HnswNndSpec pins descent recall against the exact
+  * build; HnswIncrSpec pins insert semantics on a planted skewed arrival
+  * batch; HnswBuildValveSpec pins the mode valve's flip point, boundary
+  * byte-identity, and serve mode-agnosticism.
   */
 object GraphAnn {
 
