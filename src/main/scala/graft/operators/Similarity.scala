@@ -1691,14 +1691,22 @@ object Similarity {
       //  - hnsw: the persisted MODE-VALVED index's serve path (below
       //    NndBuildCap this equals the exact build; above it, NN-descent —
       //    the oracle's gated branches replay whichever ran);
-      //  - nnd: the fused NN-descent build+walk at ANY scale (the valve
-      //    can't starve it of coverage below the cap);
+      //  - nnd: the NN-descent graph. ABOVE the valve cap the persisted
+      //    index IS that graph (same deterministic build — the ungated
+      //    oracle chain and the valved one produce identical edges
+      //    there), so the eval serves from it instead of re-paying the
+      //    descent build; below the cap the fused build+walk runs so the
+      //    valve can't starve the method of coverage;
       //  - incr: the incrementally-maintained index, base-frozen entries;
       //  - ivf: the inverted-list probe at nprobe=3.
       val vis = GraphAnn.hnswWalkStored(s, GraphAnn.hnswIndexDir(s, dir))
-      val nodes = GraphAnn.hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
-      val nndVis = GraphAnn.hnswWalk(s, nodes,
-        GraphAnn.nndEdges(s, nodes), GraphAnn.upperEdgesOf(nodes))
+      val nndVis =
+        if (GraphAnn.nndBuildMode(Dedup.embeddingsCount(s, dir))) vis
+        else {
+          val nodes = GraphAnn.hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
+          GraphAnn.hnswWalk(s, nodes,
+            GraphAnn.nndEdges(s, nodes), GraphAnn.upperEdgesOf(nodes))
+        }
       val incrIdx = GraphAnn.hnswIncrIndexDir(s, dir)
       val incrNodes = s.read.parquet(s"$incrIdx/nodes")
       val incrVis = GraphAnn.hnswWalkStored(s, incrIdx,
