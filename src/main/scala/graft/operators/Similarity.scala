@@ -1695,18 +1695,15 @@ object Similarity {
       //    index IS that graph (same deterministic build — the ungated
       //    oracle chain and the valved one produce identical edges
       //    there), so the eval serves from it instead of re-paying the
-      //    descent build; below the cap the fused build+walk runs so the
-      //    valve can't starve the method of coverage;
+      //    descent build; below the cap a memoized descent index serves
+      //    (build itemized in cold_build) so the valve can't starve the
+      //    method of coverage and the row prices serves, not rebuilds;
       //  - incr: the incrementally-maintained index, base-frozen entries;
       //  - ivf: the inverted-list probe at nprobe=3.
       val vis = GraphAnn.hnswWalkStored(s, GraphAnn.hnswIndexDir(s, dir))
       val nndVis =
         if (GraphAnn.nndBuildMode(Dedup.embeddingsCount(s, dir))) vis
-        else {
-          val nodes = GraphAnn.hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
-          GraphAnn.hnswWalk(s, nodes,
-            GraphAnn.nndEdges(s, nodes), GraphAnn.upperEdgesOf(nodes))
-        }
+        else GraphAnn.hnswWalkStored(s, GraphAnn.nndIndexDir(s, dir))
       val incrIdx = GraphAnn.hnswIncrIndexDir(s, dir)
       val incrNodes = s.read.parquet(s"$incrIdx/nodes")
       val incrVis = GraphAnn.hnswWalkStored(s, incrIdx,
