@@ -1370,7 +1370,8 @@ object Similarity {
     // each subvector to its nearest entry in a 16-entry per-subspace
     // codebook (Jégou, Douze & Schmid 2011, TPAMI — "Product quantization
     // for nearest neighbor search"). Codebooks are trained DETERMINISTICALLY
-    // so the whole operator is oracle-checkable: init groups = vec_id % 16,
+    // so the whole operator is oracle-checkable: init groups =
+    // (vec_id div 4) % 16 (stratum-dense — see pqTrain's scaladoc),
     // decimal-mean centroids, ONE Lloyd refinement step (the sim_kmeans_step
     // discipline — rounded-integer distance comparisons, code tie-break),
     // final means re-rounded. Query scoring is ASYMMETRIC: the query keeps
@@ -1398,7 +1399,7 @@ object Similarity {
          |subs AS (SELECT vec_id, sub, list_transform(generate_series(1, $PqSubDim), i -> v[sub * $PqSubDim + i]) AS sv
          |         FROM v CROSS JOIN idx),
          |cb0 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
-         |    SELECT sub, CAST(vec_id % $PqCodes AS INT) AS code, pos,
+         |    SELECT sub, CAST((vec_id // ${Dedup.ExactPairsStride}) % $PqCodes AS INT) AS code, pos,
          |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
          |    FROM (SELECT vec_id, sub, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x
          |          FROM subs WHERE ${Dedup.ExactVecsGateSql})
@@ -1468,7 +1469,7 @@ object Similarity {
          |rsubs AS (SELECT vec_id, sub, list_transform(generate_series(1, $PqSubDim), i -> rv[sub * $PqSubDim + i]) AS sv
          |          FROM res CROSS JOIN idx),
          |cb0 AS (SELECT sub, code, list(mu ORDER BY pos) AS c FROM (
-         |    SELECT sub, CAST(vec_id % $PqCodes AS INT) AS code, pos,
+         |    SELECT sub, CAST((vec_id // ${Dedup.ExactPairsStride}) % $PqCodes AS INT) AS code, pos,
          |      round(CAST(SUM(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6) AS mu
          |    FROM (SELECT vec_id, sub, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x FROM rsubs)
          |    GROUP BY sub, code, pos) GROUP BY sub, code),
@@ -1910,7 +1911,8 @@ object Similarity {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
 
-  /** Deterministic PQ training (init = vec_id % PqCodes, ONE Lloyd step)
+  /** Deterministic PQ training (init = (vec_id div ExactPairsStride)
+    * % PqCodes, ONE Lloyd step)
     * over the TRAINING subvector table + encode over the FULL one →
     * (codebook, codes). Published practice trains codebooks on a sample
     * and encodes everything (Jégou et al. 2011 §V train on learning sets
@@ -1921,14 +1923,36 @@ object Similarity {
     * The codebook comes back CACHED — it feeds both the encode pass and
     * the query distance tables (the ta_collocations two-consumer lesson);
     * 128 rows.
+    *
+    * WHY the init divides by [[Dedup.ExactPairsStride]] first (ADVICE
+    * r15): a plain `vec_id % PqCodes` init over the sampled stratum
+    * (vec_id ≡ 0 mod stride) only populates codes that are multiples of
+    * gcd(stride, PqCodes) = 4, collapsing each sub-quantizer from 16 to 4
+    * live centroids at exactly the scale the sampling targets. Dividing
+    * by the stride first makes the init STRATUM-DENSE: over the stratum
+    * the quotient walks every residue class, and over the full corpus it
+    * assigns blocks of `stride` consecutive ids per code — all PqCodes
+    * cells receive init members in BOTH modes, so no gate is needed and
+    * the same expression mirrors verbatim into both SQL twins.
     */
   private def pqTrain(train: org.apache.spark.sql.DataFrame,
       all: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val init = train.select(col("vec_id"), col("sub"),
-      (col("vec_id") % PqCodes).cast("int").as("code"))
+      expr(s"CAST((vec_id DIV ${Dedup.ExactPairsStride}) % $PqCodes AS INT)").as("code"))
     val cb1 = pqCodebook(train, pqNearest(train, pqCodebook(train, init))).cache()
     (cb1, pqNearest(all, cb1))
+  }
+
+  /** The trained codebook alone (sub, code, c) at an explicit corpus
+    * count — PqRecallSpec's codebook-cardinality pin (all PqCodes cells
+    * live in both full and stratum-sampled modes).
+    */
+  def pqCodebookOf(s: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.DataFrame, n: Long): org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), Exprs.vecAsDouble(col("embedding")).as("v"))
+    val subs = pqSubvectors(e, "v", "vec_id")
+    pqTrain(Dedup.exactPairsVecs(s, subs, n), subs)._1
   }
 
   /** The PqSubs × PqSubDim subvectors of a (vec_id, <vcol>) vector table. */

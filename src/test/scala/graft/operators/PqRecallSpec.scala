@@ -109,6 +109,30 @@ class PqRecallSpec extends SparkSuite with Matchers {
     sampledRecall should be > 0.0
   }
 
+  test("trained codebook keeps all PqCodes cells live in full AND sampled modes") {
+    // ADVICE r15: the old `vec_id % PqCodes` init over the stride-4
+    // stratum only populated codes ≡ 0 mod 4, silently collapsing each
+    // sub-quantizer from 16 to 4 centroids above the cap — and the
+    // recall pin alone (near-noise absolute recall) could not see it.
+    // This pins the cardinality directly in both modes. The one Lloyd
+    // refinement step can legitimately kill an occasional cell (a code
+    // whose init members all reassign elsewhere — ordinary k-means cell
+    // death, observed: 15/16 on one sub at sf0.1), so the pin allows a
+    // 2-cell margin; the init-collapse failure mode it guards against
+    // sits at 4/16, far below it.
+    val emb = Tables.embeddings(spark, sf("sf0.1"))
+    val n = emb.count()
+    for ((mode, nArg) <- Seq("full" -> n, "sampled" -> (Dedup.ExactPairsDocCap + 1L))) {
+      val perSub = Similarity.pqCodebookOf(spark, emb, nArg)
+        .groupBy($"sub").agg(countDistinct($"code").as("k"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      withClue(s"$mode-trained codebook cells per sub: $perSub") {
+        perSub.keySet shouldBe (0 until Similarity.PqSubs).toSet
+        perSub.values.foreach(_ should be >= (Similarity.PqCodes - 2).toLong)
+      }
+    }
+  }
+
   test("sampled training preserves codebook reconstruction quality (MSE)") {
     import org.apache.spark.sql.DataFrame
     // reconstruction MSE of the stratum-trained codebook, measured over
