@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   *               (vec_id = doc_id; docs without a vector pass through):
   *               cluster, drop any item with an earlier same-cluster
   *               neighbor at cosine ≥ 0.3 — the r13 verdict's "full
-  *               modern curation topology" stage, the same
-  *               frame-parameterized core dd_semdedup verifies.
+  *               modern curation topology" stage. The core is the
+  *               BALANCED form (semdedupBalanced): below the split valve
+  *               it is exactly the frame-parameterized core dd_semdedup
+  *               verifies; when a cell overflows the cap, the
+  *               geometry-aware deep re-quantize kicks in, whose behavior
+  *               is pinned by SemDedupValveSpec (spec-verified, not
+  *               oracle-checked — the overflow path has no SQL twin).
   *   4. PACK   — greedy 512-token sequence packing of the final keeps
   *               (the training-data delivery format).
   *

@@ -40,10 +40,16 @@ object PipelineIncr {
   def isArrival(docId: Column): Column =
     docId % Dedup.IncrMod === Dedup.IncrRem
 
-  /** Base docs precede every arrival; within a class, doc_id order. */
-  final val OrdOffset = 1L << 40
+  /** Base docs precede every arrival; within a class, doc_id order.
+    * A composite (arrival-flag, doc_id) struct — Spark orders structs
+    * lexicographically by field, and min/over/comparison all accept them
+    * — so the "base precedes every arrival" invariant holds for ANY
+    * doc_id domain (ADVICE r15: the previous additive `doc_id + 2^40`
+    * offset silently interleaved the classes for doc_id ≥ 2^40, and the
+    * reconciliation gate would only catch it at runtime).
+    */
   def ordOf(docId: Column): Column =
-    when(isArrival(docId), docId + OrdOffset).otherwise(docId)
+    struct(when(isArrival(docId), 1).otherwise(0).as("cls"), docId.as("id"))
 
   /** The four quality gates' survivor ids — per-doc work, the same cores
     * PipelineHeadline's stage 1 runs (gate semantics are stateless, so
