@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   * gates → cascade-vs-state → frozen-quantizer SemDeDup → pack-append,
   * RE-RUNS the arrival-ordered batch recompute on the union, and emits
   * both walls plus the RECONCILIATION GATE (ingest keep set ≡ recompute's
-  * arrival keeps AND base keeps invariant) as one JSON line. A run whose
-  * equality gate is false exits non-zero — the speed number is only worth
-  * reporting when the incremental path provably computed the same answer.
+  * arrival keeps AND base keeps invariant) as one JSON line. The ANN
+  * SERVING INDEX rides the same contract (VERDICT r15 #6): the arrival
+  * keeps' embeddings are INSERTED into the persisted base index
+  * (arrival-proportional work) and the result is equality-gated against
+  * the rebuild-from-union insert semantics on both the edge sets and the
+  * served top-k. A run whose gates are false exits non-zero — the speed
+  * number is only worth reporting when the incremental path provably
+  * computed the same answer.
   *
   * Run: SPARK_GRAFT_SF_DIR=<dir> sbt "runMain graft.PipelineIncremental"
   * Artifact: PIPELINE_INCR_r{N}.json.
@@ -84,6 +89,49 @@ object PipelineIncremental {
     val equal = ingestSet == recomputeArr
     val baseInvariant = recomputeBase == ids(state.keeps)
 
+    // ---- ANN-SERVING FACE (VERDICT r15 #6): the curated corpus's serving
+    // index rides the same incremental contract — base index on the base
+    // keeps' embeddings (a state-build cost), arrival keep embeddings
+    // INSERTED arrival-proportionally, and the result equality-gated
+    // against the rebuild-from-union insert semantics on BOTH the edge
+    // sets and the served top-k (frozen base entries, same serve budget).
+    import graft.operators.GraphAnn
+    val baseIdxP = java.nio.file.Files
+      .createTempDirectory("graft-incr-ann-base").toString
+    val (_, tAnnBase) = timed(
+      PipelineIncr.buildAnnIndex(spark, emb, state.keeps, baseIdxP))
+    val updIdxP = java.nio.file.Files
+      .createTempDirectory("graft-incr-ann-upd").toString
+    val (_, tAnnIngest) = timed(
+      PipelineIncr.ingestAnnArrivals(spark, baseIdxP, emb, ingestKeeps, updIdxP))
+    val unionKeeps = state.keeps.select("doc_id")
+      .union(ingestKeeps.select("doc_id"))
+    val unionNodes = GraphAnn.hnswNodes(
+      emb.join(unionKeeps.select($"doc_id".as("vec_id")), "vec_id"))
+      .localCheckpoint()
+    val refMerged = GraphAnn.incrMergedEdges(spark, unionNodes,
+      isArr = PipelineIncr.isArrival)
+    val refEdges = refMerged.toSeq.map { case (l, e) =>
+      e.select($"shard", $"src", $"dst", lit(l).as("lvl"))
+    }.reduce(_ union _).localCheckpoint()
+    val updEdges = spark.read.parquet(s"$updIdxP/edges")
+      .select($"shard".cast("long").as("shard"), $"src", $"dst",
+        $"lvl".cast("int").as("lvl")).localCheckpoint()
+    val edgeGate = updEdges.except(refEdges).count() == 0 &&
+      refEdges.except(updEdges).count() == 0
+    val entries = GraphAnn.baseEntries(unionNodes, PipelineIncr.isArrival)
+      .localCheckpoint()
+    val servedUpd = GraphAnn.hnswTopkFrom(
+      GraphAnn.hnswWalkStored(spark, updIdxP, Some(entries)))
+      .select($"query_id", $"cand_id", $"rk").localCheckpoint()
+    val servedRef = GraphAnn.hnswTopkFrom(
+      GraphAnn.hnswWalk(spark, unionNodes, refMerged(0), refMerged - 0,
+        Some(entries), Some(unionNodes.count())))
+      .select($"query_id", $"cand_id", $"rk").localCheckpoint()
+    val serveGate = servedUpd.except(servedRef).count() == 0 &&
+      servedRef.except(servedUpd).count() == 0
+    val (annEdges, serveRows) = (updEdges.count(), servedUpd.count())
+
     val json =
       f"""{"metric":"pipeline_incr","sf":"$sfDir",""" +
         f""""base_docs":$nBase,"arrival_docs":$nArr,"arrival_bytes":$arrBytes,""" +
@@ -97,9 +145,12 @@ object PipelineIncremental {
         f""""ingest_speedup_vs_full_rerun":${tFullRerun / tIngest}%.2f,""" +
         f""""arrival_keeps":${ingestSet.size},""" +
         f""""tokens_out":${packRow.getLong(0)},"packs_out":${packRow.getLong(1)},""" +
-        f""""equality_gate":$equal,"base_invariant":$baseInvariant}"""
+        f""""equality_gate":$equal,"base_invariant":$baseInvariant,""" +
+        f""""ann":{"base_build_sec":$tAnnBase%.2f,"ingest_sec":$tAnnIngest%.2f,""" +
+        f""""edges":$annEdges,"serve_rows":$serveRows,""" +
+        f""""edge_gate":$edgeGate,"serve_gate":$serveGate}}"""
     println(json)
     spark.stop()
-    if (!equal || !baseInvariant) sys.exit(1)
+    if (!equal || !baseInvariant || !edgeGate || !serveGate) sys.exit(1)
   }
 }

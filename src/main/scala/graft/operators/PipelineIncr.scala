@@ -243,6 +243,35 @@ object PipelineIncr {
     a3.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** THE ANN-SERVING FACE of the incremental pipeline (VERDICT r15 #6):
+    * the curated corpus a production pipeline ships is SERVED through an
+    * ANN index, so the index must ride the same incremental contract as
+    * the keep set — base index built once on the base keeps' embeddings,
+    * each arrival batch's keep embeddings INSERTED arrival-proportionally
+    * ([[GraphAnn.insertIntoStoredIndex]]: forward links + touched-list
+    * re-prunes + verbatim pass-through of untouched lists), never a
+    * rebuild. PipelineIncremental equality-gates the inserted index
+    * against the rebuild-from-union insert semantics
+    * ([[GraphAnn.incrMergedEdges]] with this pipeline's [[isArrival]])
+    * on BOTH the edge sets and the served top-k — the same
+    * ingest ≡ recompute discipline the keep set rides.
+    */
+  def buildAnnIndex(s: SparkSession, emb: DataFrame, keeps: DataFrame,
+      path: String): Unit = {
+    import s.implicits._
+    GraphAnn.writeHnswIndex(s,
+      emb.join(keeps.select($"doc_id".as("vec_id")), "vec_id"), path)
+  }
+
+  /** Insert one arrival batch's keep embeddings into the stored index. */
+  def ingestAnnArrivals(s: SparkSession, baseIdx: String, emb: DataFrame,
+      arrKeeps: DataFrame, outPath: String): Unit = {
+    import s.implicits._
+    val arrEmb = emb.join(arrKeeps.select($"doc_id".as("vec_id")), "vec_id")
+    GraphAnn.insertIntoStoredIndex(s, baseIdx,
+      GraphAnn.hnswNodes(arrEmb).localCheckpoint(), outPath)
+  }
+
   /** The ARRIVAL-ORDERED batch recompute on the union — the ingest's
     * equality reference. Same stage cores, ord = [[ordOf]], quantizer
     * frozen on the base portion's cascade survivors (which the order

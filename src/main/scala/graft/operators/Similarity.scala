@@ -1341,11 +1341,17 @@ object Similarity {
         |  SELECT vec_id, label AS cluster FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label) AS rk
         |    FROM scored) WHERE rk = 1),
+        |cellm AS (SELECT asg.vec_id, cluster, sub FROM asg JOIN semsub USING (vec_id)),
         |anchors AS (
+        |  -- the pair join keys on the COMPOSITE (cluster, sub) cell, the
+        |  -- Spark core's topology: keying on cluster alone and filtering
+        |  -- by sub afterwards builds a label-sized pair intermediate
+        |  -- (20M pairs with 64-float vectors attached at 20k vectors)
+        |  -- that exceeds a DuckDB session's memory; the cell-keyed join
+        |  -- is sum-of-cell-sized — same pair set, same result
         |  SELECT a.vec_id, min(b.vec_id) AS anchor
-        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
-        |  JOIN semsub sa ON sa.vec_id = a.vec_id
-        |  JOIN semsub sb ON sb.vec_id = b.vec_id AND sb.sub = sa.sub
+        |  FROM cellm a JOIN cellm b
+        |    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id > b.vec_id
         |  JOIN n na ON na.vec_id = a.vec_id
         |  JOIN n nb ON nb.vec_id = b.vec_id
         |  WHERE round(list_sum(list_transform(generate_series(1, len(na.v)), i -> na.v[i] * nb.v[i]))

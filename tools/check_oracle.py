@@ -5,8 +5,15 @@ this script replays each oracle SQL in DuckDB over the same testdata parquet
 tables and diffs values (columns sorted by name, exact compare).
 
 Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
+
+Env (for above-sweep-scale corpora, where DuckDB's in-memory session hits
+its default cap — the recall_eval / dd_semdedup sf1 lesson):
+  DUCK_MEMORY_LIMIT   e.g. "96GB" -> SET memory_limit
+  DUCK_TEMP_DIR       e.g. "/tmp/duckspill" -> SET temp_directory (enables
+                      out-of-core spilling for the big CTE chains)
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -18,6 +25,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main(sfdir: str, outdir: str) -> int:
     con = duckdb.connect()
+    if os.environ.get("DUCK_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCK_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCK_TEMP_DIR"):
+        Path(os.environ["DUCK_TEMP_DIR"]).mkdir(parents=True, exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['DUCK_TEMP_DIR']}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
