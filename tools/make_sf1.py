@@ -226,6 +226,36 @@ def main():
         print(f"amplifying {SRC} embeddings x{copies} -> {outdir}")
         amplify_embeddings(con, outdir, copies)
         return
+    # --vec-clustered N [outdir]: a PLANTED-CLUSTER embeddings-only corpus
+    # (N/100 gaussian clusters x 100 members, 64-dim, sigma 0.3, seed 42)
+    # — the NAVIGABLE geometry ANN indexes exist for. The amplified
+    # testdata vectors are near-isotropic: distances concentrate, the true
+    # top-k is noise-scattered, and recall on them is budget-fraction-
+    # bound for ANY sublinear index (the repo's documented RP/planted-
+    # fixture position, measured in BUDGET_CURVE_r16). Recall claims about
+    # the serving index are made on this corpus; build-cost claims hold on
+    # both. Example: python3 tools/make_sf1.py --vec-clustered 80000 target/vecc80k
+    if len(sys.argv) > 1 and sys.argv[1] == "--vec-clustered":
+        total = int(sys.argv[2])
+        outdir = Path(sys.argv[3]) if len(sys.argv) > 3 else Path(f"target/vecc{total // 1000}k")
+        outdir.mkdir(parents=True, exist_ok=True)
+        n_clusters, members, dim = total // 100, 100, 64
+        rng = random.Random(42)
+        # one gauss stream, consumed in a fixed order — fully deterministic
+        centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+        rows = []
+        for j in range(n_clusters):
+            for m in range(members):
+                vid = m * n_clusters + j
+                v = [centers[j][d] + 0.3 * rng.gauss(0, 1) for d in range(dim)]
+                rows.append((vid, [float(f"{x:.6f}") for x in v], vid % 10))
+        rows.sort(key=lambda r: r[0])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+        con.executemany("INSERT INTO emb VALUES (?, ?, ?)", rows)
+        con.execute(f"COPY (SELECT * FROM emb ORDER BY vec_id) TO '{outdir}/embeddings.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)")
+        print(f"  clustered embeddings: {total} rows ({n_clusters} clusters x {members}) -> {outdir}")
+        return
     outdir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("target/sf1")
     fkout = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("target/fk10")
     con = duckdb.connect()
