@@ -47,7 +47,10 @@ import graft.functions.Exprs
   *    active layer first), then `beamHopsOf(n)` beam steps at width
   *    `beamOf(n)` on the base layer; every hop expands the UNDIRECTED
   *    edge set (out-edges ∪ in-edges — published NSW search semantics;
-  *    measured +0.06-0.16 recall at equal tier, see hnswWalk). All three grow one step per
+  *    measured +0.06-0.16 recall at equal tier, see hnswWalk), and the
+  *    descent keeps [[descentKeepOf]] basins per shard (1 at tier 0 —
+  *    the published ef=1 — +1 per tier; see its doc for why a keep-1
+  *    descent traps on clustered geometry). All budget terms grow per
   *    DOUBLING of the corpus over [[ServeRefN]] (the published ef-grows-
   *    with-n practice, in the activeLevels ladder-height discipline), so
   *    the candidate budget tracks log n while staying a finite CTE chain:
@@ -131,6 +134,21 @@ object GraphAnn {
   def greedyHopsOf(n: Long): Int = HnswGreedyHops + serveTiers(n)
   def beamHopsOf(n: Long): Int = HnswBeamHops + serveTiers(n)
   def beamOf(n: Long): Int = HnswBeam + ServeBeamStep * serveTiers(n)
+
+  /** Greedy-descent keep width — grows one slot per tier from the
+    * published ef=1 (keep the single best per shard, the historical walk,
+    * exact at both driver correctness scales where tiers = 0). HNSW
+    * tolerates ef=1 descent because its insertion heuristic plants
+    * long-range links; our exact/descent M-NN layers have none, so on
+    * clustered geometry a keep-1 descent gets TRAPPED in a neighboring
+    * cluster whenever the query's own cluster has no nearby upper-layer
+    * member (measured: 1 of 5 planted-cluster queries served 0/10 with
+    * every budget tier — the 0.80 recall plateau in BUDGET_CURVE_r16).
+    * Tracking 1+tiers basins per shard is the kNN-graph-family
+    * compensation (NSG/NSSG search keeps a candidate pool for the same
+    * reason).
+    */
+  def descentKeepOf(n: Long): Int = 1 + serveTiers(n)
 
   /** HnswPromote^l as a Long for SQL interpolation. */
   private def p8(l: Int): Long = {
@@ -498,9 +516,10 @@ object GraphAnn {
         .withColumn("rk", row_number().over(wSel)).filter($"rk" <= keep)
         .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
     }
-    // greedy descent (beam 1), highest active layer first
+    // greedy descent (keep descentKeepOf(n) — 1 at tier 0, +1 per tier),
+    // highest active layer first
     for (l <- HnswMaxLevels to 1 by -1; el <- uppers.get(l); _ <- 1 to greedyHopsOf(n))
-      step(el, 1)
+      step(el, descentKeepOf(n))
     // beam search on the base layer: expand all beam members' neighbors,
     // keep the beamOf(n) best of {beam} ∪ {expansion}
     for (_ <- 1 to beamHopsOf(n))
@@ -571,22 +590,40 @@ object GraphAnn {
     val cases = (HnswMaxLevels to 1 by -1)
       .map(l => s"WHEN (vec_id // $HnswShards) % ${p8(l)} = 0 THEN $l")
       .mkString(" ")
-    s"""hn AS (SELECT vec_id, v, nrm, vec_id % $HnswShards AS shard,
+    s"""hn AS MATERIALIZED (SELECT vec_id, v, nrm, vec_id % $HnswShards AS shard,
       |  CASE $cases ELSE 0 END AS lvl FROM n)""".stripMargin
   }
 
   /** Exact M-NN edges among level-≥-`lvlMin` members satisfying `pred`
     * (an alias → predicate template), per shard.
     */
+  // MATERIALIZED: the walk references each edge CTE once per hop per
+  // DIRECTION (the undirected expansion doubled the reference count);
+  // un-materialized, DuckDB re-inlines the O(n²/S) pair join per
+  // reference — measured: the 20k sim_hnsw_topk replay exhausted an 80 GB
+  // spill volume. Materialized, the pair join runs once and the CTE's
+  // OUTPUT (M·n edge rows) is what multi-references share.
+  // The score is computed in an INNER projection and the window sorts
+  // (shard, src, dst, s) only — ordering by the score expression inline
+  // makes the window's sort input carry BOTH 64-dim vector columns
+  // through the O(n²/S) join (measured: 80 GB spill on the 20k replay;
+  // pre-projected, the same sort is ~30 bytes/row).
+  // The level/gate predicates filter EACH SIDE before the join (not the
+  // JOIN ON clause): a scalar-subquery gate inside ON makes DuckDB drop
+  // equi-join extraction and plan a CROSS_PRODUCT — measured 594 s
+  // streaming 400M pairs through a filter for a gated-OFF branch at 20k.
+  // Side-filtered, a FALSE gate empties both inputs and the branch costs
+  // one table scan; active branches hash-join on shard.
   private def knnCteSql(name: String, lvlMin: Int, m: Int,
       pred: String => String = _ => "TRUE"): String =
-    s"""$name AS (SELECT shard, src, dst FROM (
-      |  SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
-      |    row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rk
-      |  FROM hn a JOIN hn b ON a.shard = b.shard AND a.vec_id <> b.vec_id
-      |    AND a.lvl >= $lvlMin AND b.lvl >= $lvlMin
-      |    AND ${pred("a")} AND ${pred("b")})
+    s"""$name AS MATERIALIZED (SELECT shard, src, dst FROM (
+      |  SELECT shard, src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY s DESC, dst) AS rk FROM (
+      |    SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
+      |      ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} AS s
+      |    FROM (SELECT * FROM hn WHERE lvl >= $lvlMin AND ${pred("hn")}) a
+      |    JOIN (SELECT * FROM hn WHERE lvl >= $lvlMin AND ${pred("hn")}) b
+      |      ON a.shard = b.shard AND a.vec_id <> b.vec_id))
       |  WHERE rk <= $m)""".stripMargin
 
   /** The serve-budget scalars as ONE CTE over hn — the SQL twin of
@@ -601,7 +638,8 @@ object GraphAnn {
     s"""bud AS (SELECT
       |  $HnswGreedyHops + ($tiers) AS ghops,
       |  $HnswBeamHops + ($tiers) AS bhops,
-      |  $HnswBeam + $ServeBeamStep * ($tiers) AS beam FROM hn)""".stripMargin
+      |  $HnswBeam + $ServeBeamStep * ($tiers) AS beam,
+      |  1 + ($tiers) AS dkeep FROM hn)""".stripMargin
   }
 
   /** The budget-gated unrolled walk + global top-k: greedy descent over
@@ -643,7 +681,8 @@ object GraphAnn {
       parts += s"""${pfx}g$id AS MATERIALIZED (SELECT query_id, shard, node, cos FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id, shard
         |    ORDER BY cos DESC, node) AS rk
-        |  FROM (SELECT * FROM $state UNION SELECT * FROM ${pfx}c$id)) WHERE rk = 1)""".stripMargin
+        |  FROM (SELECT * FROM $state UNION SELECT * FROM ${pfx}c$id))
+        |  WHERE rk <= (SELECT dkeep FROM bud))""".stripMargin
       scored += s"${pfx}c$id"; state = s"${pfx}g$id"
     }
     parts += s"${pfx}b0 AS (SELECT * FROM $state)"
@@ -708,11 +747,18 @@ object GraphAnn {
     parts += s"""${pfx}m AS (SELECT vec_id, shard,
       |  row_number() OVER (PARTITION BY shard ORDER BY vec_id) - 1 AS pos,
       |  count(*) OVER (PARTITION BY shard) AS cnt FROM hn WHERE $memberPred)""".stripMargin
-    parts += s"""${pfx}d0 AS (SELECT DISTINCT a.shard, a.vec_id AS src, b.vec_id AS dst
-      |  FROM ${pfx}m a CROSS JOIN (SELECT unnest(generate_series(1, $buildM)) AS j) js
-      |  JOIN ${pfx}m b ON b.shard = a.shard
-      |    AND b.pos = CAST(('0x' || substr(md5('nnd:' || a.vec_id || ':' || js.j), 1, 15)) AS BIGINT) % a.cnt
-      |  WHERE b.vec_id <> a.vec_id AND $gate)""".stripMargin
+    // the md5 target position is PRE-PROJECTED so the join is a plain
+    // (shard, pos) equi-join — joining on the md5 EXPRESSION makes DuckDB
+    // fall back to a shard-only hash join with the md5 in a residual
+    // filter, buffering |m|·buildM × n/S rows (measured: 86 GB RSS and
+    // 2-thread md5 grinding at 20k before this rewrite)
+    parts += s"""${pfx}d0 AS (SELECT DISTINCT t.shard, t.src, b.vec_id AS dst
+      |  FROM (SELECT a.shard, a.vec_id AS src,
+      |      CAST(('0x' || substr(md5('nnd:' || a.vec_id || ':' || js.j), 1, 15)) AS BIGINT) % a.cnt AS tpos
+      |    FROM ${pfx}m a CROSS JOIN (SELECT unnest(generate_series(1, $buildM)) AS j) js
+      |    WHERE $gate) t
+      |  JOIN ${pfx}m b ON b.shard = t.shard AND b.pos = t.tpos
+      |  WHERE b.vec_id <> t.src)""".stripMargin
     for (t <- 1 to NndIters) {
       val pe = s"${pfx}d${t - 1}"
       parts += s"""${pfx}g$t AS MATERIALIZED (SELECT shard, src, dst FROM $pe
@@ -722,17 +768,19 @@ object GraphAnn {
         |    ON g1.shard = g2.shard AND g1.dst = g2.src AND g1.src <> g2.dst
         |  UNION SELECT shard, src, dst FROM ${pfx}g$t))""".stripMargin
       parts += s"""${pfx}d$t AS MATERIALIZED (SELECT shard, src, dst FROM (
-        |  SELECT c.shard, c.src, c.dst,
-        |    row_number() OVER (PARTITION BY c.src
-        |      ORDER BY ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} DESC, c.dst) AS rk
-        |  FROM ${pfx}c$t c JOIN hn x ON x.vec_id = c.src JOIN hn y ON y.vec_id = c.dst)
+        |  SELECT shard, src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY s DESC, dst) AS rk FROM (
+        |    SELECT c.shard, c.src, c.dst,
+        |      ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} AS s
+        |    FROM ${pfx}c$t c JOIN hn x ON x.vec_id = c.src JOIN hn y ON y.vec_id = c.dst))
         |  WHERE rk <= $buildM)""".stripMargin
     }
     parts += s"""${pfx}p AS MATERIALIZED (SELECT shard, src, dst FROM (
-      |  SELECT c.shard, c.src, c.dst,
-      |    row_number() OVER (PARTITION BY c.src
-      |      ORDER BY ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} DESC, c.dst) AS rk
-      |  FROM ${pfx}d$NndIters c JOIN hn x ON x.vec_id = c.src JOIN hn y ON y.vec_id = c.dst)
+      |  SELECT shard, src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY s DESC, dst) AS rk FROM (
+      |    SELECT c.shard, c.src, c.dst,
+      |      ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} AS s
+      |    FROM ${pfx}d$NndIters c JOIN hn x ON x.vec_id = c.src JOIN hn y ON y.vec_id = c.dst))
       |  WHERE rk <= $m)""".stripMargin
     parts.mkString(",\n")
   }
@@ -844,21 +892,23 @@ object GraphAnn {
       val m = if (l == 0) HnswM0 else HnswM1
       parts += valvedLayerCtesSql(s"hbe$l", s"iu$l", l, m, baseP)
       parts += s"""hfw$l AS (SELECT shard, src, dst FROM (
-        |  SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} DESC, b.vec_id) AS rk
-        |  FROM hn a JOIN hn b ON a.shard = b.shard
-        |    AND a.lvl >= $l AND b.lvl >= $l
-        |    AND a.vec_id % $HnswIncrMod = $HnswIncrRes AND ${baseP("b")})
+        |  SELECT shard, src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY s DESC, dst) AS rk FROM (
+        |    SELECT a.shard AS shard, a.vec_id AS src, b.vec_id AS dst,
+        |      ${scoreSql("a.v", "b.v", "a.nrm", "b.nrm")} AS s
+        |    FROM hn a JOIN hn b ON a.shard = b.shard
+        |      AND a.lvl >= $l AND b.lvl >= $l
+        |      AND a.vec_id % $HnswIncrMod = $HnswIncrRes AND ${baseP("b")}))
         |  WHERE rk <= $m)""".stripMargin
       parts += s"""hme$l AS MATERIALIZED (SELECT shard, src, dst FROM (
-        |  SELECT u.shard, u.src, u.dst,
-        |    row_number() OVER (PARTITION BY u.src
-        |      ORDER BY ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} DESC, u.dst) AS rk
-        |  FROM (SELECT shard, src, dst FROM hbe$l
-        |        UNION SELECT shard, src, dst FROM hfw$l
-        |        UNION SELECT shard, dst, src FROM hfw$l) u
-        |  JOIN hn x ON x.vec_id = u.src JOIN hn y ON y.vec_id = u.dst)
+        |  SELECT shard, src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY s DESC, dst) AS rk FROM (
+        |    SELECT u.shard, u.src, u.dst,
+        |      ${scoreSql("x.v", "y.v", "x.nrm", "y.nrm")} AS s
+        |    FROM (SELECT shard, src, dst FROM hbe$l
+        |          UNION SELECT shard, src, dst FROM hfw$l
+        |          UNION SELECT shard, dst, src FROM hfw$l) u
+        |    JOIN hn x ON x.vec_id = u.src JOIN hn y ON y.vec_id = u.dst))
         |  WHERE rk <= $m)""".stripMargin
     }
     parts.mkString(",\n")
