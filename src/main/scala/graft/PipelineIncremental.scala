@@ -96,12 +96,16 @@ object PipelineIncremental {
     // against the rebuild-from-union insert semantics on BOTH the edge
     // sets and the served top-k (frozen base entries, same serve budget).
     import graft.operators.GraphAnn
+    // both index trees are run-scoped scratch — registered for shutdown
+    // cleanup like every GraphAnn-managed index dir (ADVICE r16)
     val baseIdxP = java.nio.file.Files
       .createTempDirectory("graft-incr-ann-base").toString
+    GraphAnn.rmOnExit(baseIdxP)
     val (_, tAnnBase) = timed(
       PipelineIncr.buildAnnIndex(spark, emb, state.keeps, baseIdxP))
     val updIdxP = java.nio.file.Files
       .createTempDirectory("graft-incr-ann-upd").toString
+    GraphAnn.rmOnExit(updIdxP)
     val (_, tAnnIngest) = timed(
       PipelineIncr.ingestAnnArrivals(spark, baseIdxP, emb, ingestKeeps, updIdxP))
     val unionKeeps = state.keeps.select("doc_id")
@@ -119,14 +123,16 @@ object PipelineIncremental {
         $"lvl".cast("int").as("lvl")).localCheckpoint()
     val edgeGate = updEdges.except(refEdges).count() == 0 &&
       refEdges.except(updEdges).count() == 0
-    val entries = GraphAnn.baseEntries(unionNodes, PipelineIncr.isArrival)
-      .localCheckpoint()
+    // entry eligibility (frozen entries AND RP seeds) restricted to the
+    // base corpus in BOTH serves — the incremental frozen-entry discipline
+    val entryMembers = unionNodes
+      .filter(!PipelineIncr.isArrival($"vec_id")).localCheckpoint()
     val servedUpd = GraphAnn.hnswTopkFrom(
-      GraphAnn.hnswWalkStored(spark, updIdxP, Some(entries)))
+      GraphAnn.hnswWalkStored(spark, updIdxP, Some(entryMembers)))
       .select($"query_id", $"cand_id", $"rk").localCheckpoint()
     val servedRef = GraphAnn.hnswTopkFrom(
       GraphAnn.hnswWalk(spark, unionNodes, refMerged(0), refMerged - 0,
-        Some(entries), Some(unionNodes.count())))
+        Some(entryMembers), Some(unionNodes.count())))
       .select($"query_id", $"cand_id", $"rk").localCheckpoint()
     val serveGate = servedUpd.except(servedRef).count() == 0 &&
       servedRef.except(servedUpd).count() == 0

@@ -72,7 +72,7 @@ object ServeBudgetCurve {
       val budget = vis.filter($"node" =!= $"query_id").count()
       f"""{"tier":$t,"beam":${GraphAnn.HnswBeam + GraphAnn.ServeBeamStep * t},""" +
         f""""recall_at_10":${hits / tN}%.3f,"n_cand":$budget,""" +
-        f""""visited_frac":${budget / 5.0 / st.n}%.4f}"""
+        f""""visited_frac":${budget / GraphAnn.HnswQueryMax.toDouble / st.n}%.4f}"""
     }
     val active = GraphAnn.serveTiers(st.n)
     println(

@@ -1714,7 +1714,7 @@ object Similarity {
       val incrIdx = GraphAnn.hnswIncrIndexDir(s, dir)
       val incrNodes = s.read.parquet(s"$incrIdx/nodes")
       val incrVis = GraphAnn.hnswWalkStored(s, incrIdx,
-        Some(GraphAnn.baseEntries(incrNodes)))
+        Some(incrNodes.filter(!GraphAnn.incrArrival($"vec_id"))))
       grade("hnsw", vis)
         .union(gradeTopk(s, bf, "ivf", ivfTop, ivfCandidatePairs(s, dir)))
         .union(grade("nnd", nndVis))
