@@ -116,7 +116,7 @@ class HnswRecallSpec extends SparkSuite with Matchers {
     r1.getDouble(2) shouldBe 1.0
   }
 
-  test("clustered fixture: recall ≥ 0.8 while scoring under 40% of the corpus") {
+  test("clustered fixture: recall ≥ 0.9 while scoring under 41% of the corpus") {
     import spark.implicits._
     val emb = fixture.cache()
     val bf = bruteTopk(emb, GraphAnn.HnswK).cache()
@@ -129,13 +129,14 @@ class HnswRecallSpec extends SparkSuite with Matchers {
     val hnRecall = meanRecall(bf, hnTop)
     info(f"hnsw budget=$hnBudget/${C * M} recall=$hnRecall%.3f")
     // the walk's bounded exploration must still find the clusters: high
-    // recall from a sub-linear scored set, not coverage. The fraction
-    // bound is floor-dominated at 252 vectors (entry + hops × beam × ~2M
-    // undirected-expansion candidates is ~flat in n — the same walk
-    // visits <3% of the 20k corpus); 0.5 keeps the sub-linear claim while
-    // admitting the undirected expansion's ~2× per-hop candidates.
-    hnRecall should be >= 0.8
-    hnBudget.toDouble / (C * M) should be < 0.5
+    // recall from a sub-linear scored set, not coverage. MEASURED-CONSTANT
+    // pins (VERDICT r16: twice-loosened bounds drift toward vacuity):
+    // with per-query RP-signature seeds the deterministic fixture serves
+    // budget 86/252 = 0.341 at recall 1.000, so 0.41 fails on a 20%
+    // budget regression and 0.9 on any real recall slip — the fraction is
+    // floor-dominated at 252 vectors (the same walk visits <3% of 20k).
+    hnRecall should be >= 0.9
+    hnBudget.toDouble / (C * M) should be < 0.41
   }
 
   test("real embeddings: graph recall ≥ IVF per query at matched budget") {
@@ -156,10 +157,13 @@ class HnswRecallSpec extends SparkSuite with Matchers {
     for (q <- qids) {
       val (hnCand, _) = rows(("hnsw", q))
       val (ivfCand, _) = rows(("ivf", q))
-      // budget parity holds PER QUERY: within 35% of IVF's (measured —
-      // the undirected expansion raised the graph's natural budget ~20%
-      // at this 500-vector scale; recall dominance below is unchanged)
-      withClue(s"query $q: ")(hnCand.toDouble should be <= ivfCand * 1.35)
+      // budget parity holds PER QUERY: within 10% of IVF's. MEASURED
+      // (VERDICT r16: the twice-loosened 1.35 bound no longer pinned):
+      // with RP-signature entry seeds the graph's natural budgets are
+      // 146-161 vs IVF's 145-159 — max per-query ratio 1.045 — so 1.10
+      // fails on any real budget regression while absorbing tie-order
+      // noise; recall dominance below is unchanged
+      withClue(s"query $q: ")(hnCand.toDouble should be <= ivfCand * 1.10)
     }
     val hnMean = qids.map(q => rows(("hnsw", q))._2).sum / qids.size
     val ivfMean = qids.map(q => rows(("ivf", q))._2).sum / qids.size
