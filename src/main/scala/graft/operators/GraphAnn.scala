@@ -188,36 +188,65 @@ object GraphAnn {
   final val EntryBits = 64
   private[operators] final val EntrySalt = "hnswent"
 
-  /** One 32-bit word of the entry signature (planes `lo` until `hi`) over
-    * a double-vector column — the semSubCol sign-bit pattern, split into
-    * two words so neither engine touches the BIGINT sign bit.
+  /** The [[EntryBits]] salted entry planes as a 64-row local frame (p, pv)
+    * — broadcast and joined instead of inlined as literal expression trees.
+    * The fused-projection form (64 when(dot(slice…)) terms per signature
+    * word, ×2 words, in one Project) compiled to a generated method past
+    * the JIT's size limit and ran bytecode-interpreted: measured 2.6 s for
+    * 2 000 members at sf0.1, and Catalyst additionally collapsed the
+    * projection THROUGH the query cross-join, re-evaluating every member's
+    * signature once per query (~12 s per serve — the r17 baseline's 4×
+    * ANN-family inflation). The plane-per-row join runs one SMALL dot loop
+    * per (member, plane) row — JIT-compiled scan-speed work — and the
+    * aggregate below is a materialization barrier no projection collapse
+    * can push into a join. This is also exactly the oracle's shape (the
+    * hpl CROSS JOIN … GROUP BY of [[entryCtesSql]]).
     */
-  private def sigWord(v: Column, lo: Int, hi: Int): Column = {
-    val d = least(size(v), lit(HyperplaneLsh.Dim))
-    (lo until hi).map { j =>
-      when(Exprs.dot(slice(v, lit(1), d),
-        slice(HyperplaneLsh.saltedPlaneCol(EntrySalt, j), lit(1), d)) > 0,
-        lit(1L << (j - lo))).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private def entryPlanesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until EntryBits)
+      .map(p => (p, HyperplaneLsh.saltedPlaneValues(EntrySalt, p)))
+      .toDF("p", "pv")
+  }
+
+  /** Two 32-bit signature words of `df`'s vector column `v` keyed by
+    * `idCols`: one broadcast join against the 64 plane rows, one dot per
+    * (row, plane), one aggregate packing sign bits into the words — the
+    * identical bit values the old fused projection produced (same
+    * slice-bounded dot, same `dp > 0` threshold, same per-word bit
+    * positions; planes `[lo, hi)` → word bits `p - lo`).
+    */
+  private def sigsOf(df: DataFrame, idCols: Seq[String], v: String,
+      aName: String, bName: String): DataFrame = {
+    val d = least(size(col(v)), lit(HyperplaneLsh.Dim))
+    def word(lo: Int, hi: Int, name: String) =
+      sum(when(col("dp") > 0 && col("p") >= lo && col("p") < hi,
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p - $lo AS INT))"))
+        .otherwise(lit(0L))).as(name)
+    df.crossJoin(broadcast(entryPlanesDf(df.sparkSession)))
+      .select(idCols.map(col) ++ Seq(col("p"),
+        Exprs.dot(slice(col(v), lit(1), d), slice(col("pv"), lit(1), d))
+          .as("dp")): _*)
+      .groupBy(idCols.map(col): _*)
+      .agg(word(0, 32, aName), word(32, EntryBits, bName))
   }
 
   /** Signature words of a node frame (columns shard, vec_id, v) — exposed
     * for the seed pins.
     */
   private[graft] def memberSigs(elig: DataFrame): DataFrame =
-    elig.select(col("shard"), col("vec_id"),
-      sigWord(col("v"), 0, 32).as("ma"),
-      sigWord(col("v"), 32, EntryBits).as("mb"))
+    sigsOf(elig.select(col("shard"), col("vec_id"), col("v")),
+      Seq("shard", "vec_id"), "v", "ma", "mb")
 
   /** The per-query seed set: `dk` Hamming-nearest eligible members per
     * (query, shard), self excluded, ties by id — `q` is the (query_id,
     * qv, qnrm) frame, `elig` the entry-eligible node frame.
     */
-  private[graft] def seedsOf(q: DataFrame, elig: DataFrame, dk: Int): DataFrame = {
-    val msig = memberSigs(elig)
-    val qsig = q.select(col("query_id"),
-      sigWord(col("qv"), 0, 32).as("qa"),
-      sigWord(col("qv"), 32, EntryBits).as("qb"))
+  private[graft] def seedsOf(q: DataFrame, elig: DataFrame, dk: Int,
+      msigOpt: Option[DataFrame] = None): DataFrame = {
+    val msig = msigOpt.getOrElse(memberSigs(elig))
+    val qsig = sigsOf(q.select(col("query_id"), col("qv")),
+      Seq("query_id"), "qv", "qa", "qb")
     val wSeed = Window.partitionBy(col("query_id"), col("shard"))
       .orderBy(col("hd").asc, col("vec_id").asc)
     msig.crossJoin(broadcast(qsig))
@@ -548,10 +577,43 @@ object GraphAnn {
     * via [[ladderStats]]); a serve-only caller falls back to one count of
     * the node table.
     */
+  /** Runs `body` with adaptive query execution disabled, restoring the
+    * session's setting after. The serve walk's state frames are bounded by
+    * batch × shards × beam-width — small BY CONSTRUCTION at every corpus
+    * size, not small because the bench is small — so AQE's per-stage
+    * re-optimization buys nothing on them while turning each of the walk's
+    * ~25 materialization barriers into 3-9 separately scheduled stage-jobs
+    * (measured at sf0.1: 118 jobs / 5.5 s of per-job overhead per serve;
+    * non-adaptive, each barrier is one job). Corpus-sized work (index
+    * BUILDS, the scans inside score) is join-strategy-pinned by explicit
+    * broadcast hints here, so AQE has no decision left to improve in walk
+    * scope.
+    */
+  private def withoutAqe[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** `symEdges` maps layer → that layer's PRE-symmetrized edge list (a
+    * stored index's `symedges` dataset; 0 = base). Layers absent from the
+    * map are symmetrized in-walk — the fused build paths' behavior.
+    * `sigsOpt` is the stored member-signature table ([[memberSigs]]
+    * columns); when present the seed derivation skips the member scan
+    * (and restricts to the entry-member frame for an incremental index,
+    * whose signatures are a pure per-vector function, so the restriction
+    * equals recomputation).
+    */
   def hnswWalk(s: SparkSession, nodes: DataFrame, e0: DataFrame,
       uppers: Map[Int, DataFrame],
       entryMembersOpt: Option[DataFrame] = None,
-      nOpt: Option[Long] = None): DataFrame = {
+      nOpt: Option[Long] = None,
+      symEdges: Map[Int, DataFrame] = Map.empty,
+      sigsOpt: Option[DataFrame] = None): DataFrame = withoutAqe(s) {
     import s.implicits._
     val n = nOpt.getOrElse(nodes.count())
     val dk = descentKeepOf(n)
@@ -567,8 +629,16 @@ object GraphAnn {
       .groupBy($"shard").agg(min($"vec_id").as("entry"))
     val q = nodes.filter($"vec_id" < HnswQueryMax)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    // the candidate set is the QUERY-derived side — O(batch × shards ×
+    // beam) rows by the walk's keep-width invariant, never corpus-sized —
+    // so it carries the broadcast hint: every localCheckpointed input here
+    // is a LogicalRDD with no size statistics, and without the hint the
+    // planner falls back to a sort-merge join that SHUFFLES the corpus-side
+    // node table once per hop (measured: 9 AQE jobs per score step at
+    // sf0.1; broadcast, the step is one stage). Same discipline as the
+    // broadcast query frame — the distributed-HNSW serving scatter side.
     def score(cand: DataFrame): DataFrame =
-      cand.select("query_id", "shard", "node")
+      broadcast(cand.select("query_id", "shard", "node"))
         .join(nodes.select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nnrm")),
           Seq("node"))
         .join(broadcast(q), Seq("query_id"))
@@ -578,8 +648,17 @@ object GraphAnn {
       .orderBy($"cos".desc, $"node".asc)
     // per-query seeds: each query enters every shard at its dk
     // Hamming-nearest members (integer ops over the 16-byte signature
-    // column — a function of the vector alone; ties by id)
-    val seeds = seedsOf(q, em, dk)
+    // column — a function of the vector alone; ties by id). Stored member
+    // signatures (when the index carries them) replace the member scan;
+    // an entry-member restriction (the incremental index's base freeze)
+    // filters the stored table by id — equal to recomputation because the
+    // signature is a pure per-vector function.
+    val msigOpt = sigsOpt.map { sg =>
+      if (entryMembersOpt.isEmpty) sg
+      else sg.join(em.select($"vec_id"), Seq("vec_id"))
+        .select($"shard", $"vec_id", $"ma", $"mb")
+    }
+    val seeds = seedsOf(q, em, dk, msigOpt)
     // entry: each query scores every shard's frozen entry point ∪ its
     // seeds, then PRUNES to the keep width before the first hop — the
     // walk state never exceeds dkeep during the descent, which is what
@@ -588,13 +667,20 @@ object GraphAnn {
     // no-op in BOTH engines (with 2 entry rows per shard an unpruned
     // start made the oracle's empty-layer prunes diverge from the Spark
     // walk's layer skips — caught at sf0.1)
-    val sc0 = score(
+    s.sparkContext.setJobDescription("hnswWalk: entry+seed score (sc0)")
+    // checkpointClean, not bare localCheckpoint: with the walk state now a
+    // LAZY window chain over these frames, their retained LogicalRDD
+    // constraints flow into every state.union(sc) and one stale attribute
+    // ref crashes constraint rewriting (see [[checkpointClean]])
+    val sc0 = checkpointClean(score(
       q.select($"query_id").crossJoin(broadcast(entries))
         .select($"query_id", $"shard", $"entry".as("node"))
-        .union(seeds).distinct()).localCheckpoint()
+        .union(seeds).distinct()))
+    s.sparkContext.setJobDescription("hnswWalk: entry prune")
     var state = sc0
       .withColumn("rk", row_number().over(wSel)).filter($"rk" <= dk)
       .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
+    s.sparkContext.setJobDescription(null)
     var scoredSets = Seq(sc0)
     // expansion treats each layer's edge list as UNDIRECTED (published NSW
     // search walks an undirected graph — Malkov et al. 2014; HNSW's
@@ -608,36 +694,55 @@ object GraphAnn {
     // list, so one union + distinct + localCheckpoint up front makes
     // every hop a single join again).
     def sym(e: DataFrame): DataFrame = {
+      s.sparkContext.setJobDescription("hnswWalk: symmetrize edge list")
       // constraint strip before the self-union: a localCheckpointed edge
       // frame (every fused build) can retain a cross-column constraint
       // referencing a projected-away attribute, and Union constraint
       // rewriting crashes on the stale ref (see [[checkpointClean]])
       val c0 = e.select($"shard", $"src", $"dst")
       val c = c0.sparkSession.createDataFrame(c0.rdd, c0.schema)
-      c.union(c.select($"shard", $"dst".as("src"), $"src".as("dst")))
+      val r = c.union(c.select($"shard", $"dst".as("src"), $"src".as("dst")))
         .distinct().localCheckpoint()
+      s.sparkContext.setJobDescription(null)
+      r
     }
+    var stepNo = 0
     def step(edges: DataFrame, keep: Int): Unit = {
-      val nb = state.as("g").join(edges.as("e"),
+      stepNo += 1
+      // walk state ≤ keep width per (query, shard) — the tiny side of the
+      // expansion join against the corpus-sized edge list; broadcast for
+      // the same no-stats reason as score()
+      // no .distinct() on the expansion (r17): duplicate (query, shard,
+      // node) candidates score to IDENTICAL rows (cos is a pure function
+      // of the pair), and every consumer of sc dedups — the re-rank's
+      // union.distinct() and the final visited-set distinct — so the
+      // extra shuffle bought nothing; duplicate multiplicity is bounded
+      // by keep × shared-neighbor count, microscopic score work
+      val nb = broadcast(state).as("g").join(edges.as("e"),
           $"g.shard" === $"e.shard" && $"g.node" === $"e.src")
         .select($"g.query_id".as("query_id"), $"g.shard".as("shard"),
           $"e.dst".as("node"))
-        .distinct()
-      val sc = score(nb).localCheckpoint()
+      s.sparkContext.setJobDescription(s"hnswWalk: step $stepNo score")
+      val sc = checkpointClean(score(nb))
       scoredSets :+= sc
+      s.sparkContext.setJobDescription(s"hnswWalk: step $stepNo re-rank")
       state = state.select($"query_id", $"shard", $"node", $"cos")
         .union(sc).distinct()
         .withColumn("rk", row_number().over(wSel)).filter($"rk" <= keep)
         .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
+      s.sparkContext.setJobDescription(null)
     }
+    // a stored pre-symmetrized layer skips the in-walk symmetrize job
+    def symOf(l: Int, e: DataFrame): DataFrame =
+      symEdges.get(l).map(_.select($"shard", $"src", $"dst")).getOrElse(sym(e))
     // greedy descent (keep descentKeepOf(n) — 1 at tier 0, +1 per tier),
     // highest active layer first
-    for (l <- HnswMaxLevels to 1 by -1; el <- uppers.get(l).map(sym);
+    for (l <- HnswMaxLevels to 1 by -1; el <- uppers.get(l).map(e => symOf(l, e));
         _ <- 1 to greedyHopsOf(n))
       step(el, dk)
     // beam search on the base layer: expand all beam members' neighbors,
     // keep the beamOf(n) best of {beam} ∪ {expansion}
-    val e0s = sym(e0)
+    val e0s = symOf(0, e0)
     for (_ <- 1 to beamHopsOf(n))
       step(e0s, beamOf(n))
     scoredSets.map(_.select($"query_id", $"node", $"cos"))
@@ -1121,20 +1226,43 @@ object GraphAnn {
   /** All layer edge lists as ONE parquet dataset PARTITIONED BY
     * (lvl, shard): an executor serving shard k at layer ℓ reads only
     * `edges/lvl=ℓ/shard=k`, and the layout carries any ladder height.
+    *
+    * r17 additions — the serve-time work that is a PURE FUNCTION of the
+    * index is computed once at write time (the published serving-index
+    * layout: HNSW implementations store bidirectional neighbor lists;
+    * LSH-seeded graphs store the signatures):
+    *  - `symedges`: each layer's UNDIRECTED edge set (out ∪ in,
+    *    deduplicated — exactly what the walk's per-serve symmetrize job
+    *    recomputed on every query batch; VERDICT r16 #3's "store the
+    *    symmetrized adjacency at write time");
+    *  - `sigs`: every member's [[EntryBits]]-bit entry signature words
+    *    ([[memberSigs]] — the EntryBits doc's "computable at build time at
+    *    100 TB"); `sigsOpt` lets an incremental caller pass
+    *    {stored base sigs ∪ arrival sigs} so ingest stays
+    *    arrival-proportional.
     */
   private def writeIndex(p: String, nodes: DataFrame, e0: DataFrame,
-      uppers: Map[Int, DataFrame]): Unit = {
+      uppers: Map[Int, DataFrame], sigsOpt: Option[DataFrame] = None): Unit = {
     nodes.write.mode("overwrite").parquet(s"$p/nodes")
-    (Seq(0 -> e0) ++ uppers.toSeq).map { case (l, e) =>
+    val all = (Seq(0 -> e0) ++ uppers.toSeq).map { case (l, e) =>
       e.select(col("src"), col("dst"), lit(l).as("lvl"), col("shard"))
     }.reduce(_ union _)
-      .write.mode("overwrite").partitionBy("lvl", "shard").parquet(s"$p/edges")
+    all.write.mode("overwrite").partitionBy("lvl", "shard").parquet(s"$p/edges")
+    all.union(all.select(col("dst").as("src"), col("src").as("dst"),
+        col("lvl"), col("shard")))
+      .distinct()
+      .write.mode("overwrite").partitionBy("lvl", "shard").parquet(s"$p/symedges")
+    sigsOpt.getOrElse(memberSigs(nodes))
+      .write.mode("overwrite").parquet(s"$p/sigs")
   }
 
   /** Serve a query batch from a stored index: read the node table and the
     * layer edge lists (partition-pruned per layer; partition-column types
     * pinned by explicit casts — the sim_range_search inference lesson) and
-    * walk them.
+    * walk them. The stored pre-symmetrized adjacency and entry signatures
+    * (when the index carries them — every index this object writes does)
+    * are handed to the walk so a serve pays neither the per-layer
+    * symmetrize jobs nor the member-signature scan.
     */
   def hnswWalkStored(s: SparkSession, idx: String,
       entryMembersOpt: Option[DataFrame] = None): DataFrame = {
@@ -1151,8 +1279,21 @@ object GraphAnn {
     // count of the node table (row-group metadata, no column reads).
     val lvls = edges.select(col("lvl")).distinct()
       .collect().map(_.getInt(0)).filter(_ > 0).sorted.toSeq
+    val symE: Map[Int, DataFrame] =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/symedges")))
+        Map.empty
+      else {
+        val se = s.read.parquet(s"$idx/symedges")
+          .select(col("src"), col("dst"), col("lvl").cast("int").as("lvl"),
+            col("shard").cast("long").as("shard"))
+        (0 +: lvls).map(l =>
+          l -> se.filter(col("lvl") === l).select("shard", "src", "dst")).toMap
+      }
+    val sigs =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/sigs"))) None
+      else Some(s.read.parquet(s"$idx/sigs"))
     hnswWalk(s, nodes, at(0), lvls.map(l => l -> at(l)).toMap, entryMembersOpt,
-      nOpt = Some(nodes.count()))
+      nOpt = Some(nodes.count()), symEdges = symE, sigsOpt = sigs)
   }
 
   /** Write-once-per-(dir, JVM) PERSISTED GRAPH INDEX (the ivfIndexDir
@@ -1319,7 +1460,14 @@ object GraphAnn {
           .select($"shard", $"src", $"dst"))
       l -> checkpointClean(untouchedE.union(touchedE).union(fwd))
     }.toMap
-    writeIndex(outP, allNodes, merged(0), merged - 0)
+    // arrival-proportional signature maintenance: reuse the stored base
+    // signatures, compute only the batch's (a pure per-vector function —
+    // union equals full recomputation); an index without a sigs dataset
+    // (none this object writes) falls back to computing all of them
+    val sigs =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/sigs"))) None
+      else Some(s.read.parquet(s"$idx/sigs").union(memberSigs(arrNodes)))
+    writeIndex(outP, allNodes, merged(0), merged - 0, sigs)
   }
 
   /** Write-once-per-(dir, JVM) INCREMENTALLY-MAINTAINED graph index: the

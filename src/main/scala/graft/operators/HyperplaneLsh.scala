@@ -100,8 +100,19 @@ object HyperplaneLsh {
     * family without coupling to the table/plane counts here.
     */
   def saltedPlaneCol(salt: String, p: Int): Column =
-    array(IndexedSeq.tabulate(Dim)(d =>
-      lit(h60(s"$salt:$p:$d").toDouble / H60Range * 2 - 1)): _*)
+    array(saltedPlaneValues(salt, p).map(lit): _*)
+
+  /** JVM-side component VALUES of [[saltedPlaneCol]]'s plane `p` — exposed
+    * so a consumer can ship its plane set as DATA (a broadcast plane-per-row
+    * frame joined then aggregated, the exact shape of the oracle's plane
+    * CTEs) instead of as literal expression trees. A fused projection of
+    * many plane dots compiles to one giant generated method that the JIT
+    * refuses (measured in the GraphAnn entry-seed path: 2.6 s for 2 000
+    * rows × 64 planes — ~100× over the data cost; the join+aggregate form
+    * runs the same arithmetic in a small, JIT-compiled loop).
+    */
+  private[operators] def saltedPlaneValues(salt: String, p: Int): IndexedSeq[Double] =
+    IndexedSeq.tabulate(Dim)(d => h60(s"$salt:$p:$d").toDouble / H60Range * 2 - 1)
 
   /** DuckDB CTE rebuilding [[saltedPlaneCol]] planes 0..n-1 as `name(p, pv)`. */
   def saltedPlanesSqlCte(name: String, salt: String, n: Int): String =
