@@ -1130,7 +1130,13 @@ object Dedup {
       val e = exactPairsVecs(s, Tables.embeddings(s, dir), embeddingsCount(s, dir))
         .select($"vec_id", Exprs.vecAsDouble($"embedding").as("v"))
         .withColumn("nrm", Exprs.l2norm($"v"))
-      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      // the stream side of the broadcast-nested-loop pair scan is widened
+      // to every core (r17, the knnEdgesBetween "wide" discipline): the
+      // embeddings table is a single small parquet file, so the scan is
+      // 1-2 input splits and the O(n²) dot loop was running near-serial
+      // on a 32-core box
+      e.repartition(s.sparkContext.defaultParallelism).as("a")
+        .join(e.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
           round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
         .filter($"cos" >= 0.3)

@@ -204,35 +204,80 @@ object Graph {
         .distinct())
     })
 
+  /** Above this edge count the oriented edge list stops being broadcast
+    * and the wedge/closing joins fall back to shuffles (r17): 2M (x, y)
+    * long pairs build a ~150 MB hash relation — the upper edge of a sane
+    * broadcast (the ExactBroadcastRowCap discipline). Under the cap the
+    * whole count is ONE exchange-free stage: the Σ outdeg² wedge stream is
+    * generated AND closed against in-memory hash maps, never shuffled —
+    * the published hash-probe formulation of oriented triangle counting.
+    */
+  final val TriangleBroadcastEdgeCap = 2000000L
+
   /** Triangle profile of an undirected edge list (u < v, distinct) —
     * exposed for TriangleSpec's hand-computable graphs.
     */
   def triangleProfile(s: SparkSession, edges: DataFrame): DataFrame = {
     import s.implicits._
     val co = edges.cache() // feeds degrees, orientation, and profile counts
+    // profile counts run FIRST (r17): they materialize both caches before
+    // the expensive joins are planned, and nEdges is the broadcast valve's
+    // input — the old order planned the wedge join against an unmaterialized
+    // cache with no usable statistics
+    val nEdges = co.count()
     val deg = co.select($"u".as("node")).union(co.select($"v"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
-    val withDeg = co
-      .join(deg.as("du"), $"u" === $"du.node")
-      .join(deg.as("dv"), $"v" === $"dv.node")
-    val ori = withDeg.select(
-        when(struct($"du.d", $"u") < struct($"dv.d", $"v"), $"u").otherwise($"v").as("x"),
-        when(struct($"du.d", $"u") < struct($"dv.d", $"v"), $"v").otherwise($"u").as("y"))
-      .cache() // both wedge-join sides + the closing-edge probe
-    // the middle vertex is not needed for counting — dropping it cuts the
-    // wedge shuffle width by a third (the wedge volume Σ outdeg² is the
-    // irreducible cost of the exact count; DuckDB pays ~the same wall on
-    // the identical computation at sf0.1: ~10 s both engines)
-    val wedges = ori.as("e1").join(ori.as("e2"), $"e1.y" === $"e2.x")
-      .select($"e1.x".as("a"), $"e2.y".as("c"))
-    val nTri = wedges.join(ori.as("e3"), $"a" === $"e3.x" && $"c" === $"e3.y").count()
-    val nEdges = co.count()
+    val ori = orientedEdges(s, co, deg)
+      .cache() // wedge stream + both hash sides
     val nNodes = deg.count()
     val maxOut = ori.groupBy($"x").agg(count(lit(1)).as("c"))
       .agg(max($"c")).collect().head.getLong(0)
+    // the middle vertex is not needed for counting — dropping it cuts the
+    // wedge width by a third (the wedge volume Σ outdeg² is the
+    // irreducible cost of the exact count). Under the broadcast cap both
+    // the wedge join's build side and the closing-edge probe are the SAME
+    // broadcast hash relation, so the wedge stream flows build→probe→count
+    // inside one stage with zero Exchange operators (measured at sf0.1:
+    // the wedge+closing job fell 11.5 s → one ~2 s stage); the stream side
+    // is widened to every core because the cached 8-partition layout would
+    // otherwise cap the probe stage's parallelism at 8 tasks on a 32-core
+    // box. Above the cap: the previous shuffle plan, unchanged.
+    val nTri = triangleClosures(s, ori, nEdges).count()
     val bound = math.ceil(math.sqrt(2.0 * nEdges)).toLong + 1
     Seq((nNodes, nEdges, nTri, maxOut, maxOut <= bound))
       .toDF("n_nodes", "n_edges", "n_triangles", "max_outdeg", "outdeg_bounded")
+  }
+
+  /** Degree-ordered orientation of the undirected edge list (see the
+    * pr_triangles comment) — factored out so the plan-evidence harness can
+    * rebuild the exact counting frame.
+    */
+  private[graft] def orientedEdges(s: SparkSession, co: DataFrame,
+      deg: DataFrame): DataFrame = {
+    import s.implicits._
+    co.join(deg.as("du"), $"u" === $"du.node")
+      .join(deg.as("dv"), $"v" === $"dv.node")
+      .select(
+        when(struct($"du.d", $"u") < struct($"dv.d", $"v"), $"u").otherwise($"v").as("x"),
+        when(struct($"du.d", $"u") < struct($"dv.d", $"v"), $"v").otherwise($"u").as("y"))
+  }
+
+  /** One row per closed wedge (triangle) over the oriented edge list —
+    * the frame whose count is n_triangles, exposed so the plan shape is
+    * dumpable (plans/r17). See [[TriangleBroadcastEdgeCap]] for the valve.
+    */
+  private[graft] def triangleClosures(s: SparkSession, ori: DataFrame,
+      nEdges: Long): DataFrame = {
+    import s.implicits._
+    val oriB =
+      if (nEdges <= TriangleBroadcastEdgeCap) broadcast(ori) else ori
+    val stream =
+      if (nEdges <= TriangleBroadcastEdgeCap)
+        ori.repartition(s.sparkContext.defaultParallelism)
+      else ori
+    stream.as("e1").join(oriB.as("e2"), $"e1.y" === $"e2.x")
+      .select($"e1.x".as("a"), $"e2.y".as("c"))
+      .join(oriB.as("e3"), $"a" === $"e3.x" && $"c" === $"e3.y")
   }
 
   /** Five fixed-point PageRank iterations over the undirected closure of

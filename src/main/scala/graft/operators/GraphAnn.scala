@@ -349,6 +349,12 @@ object GraphAnn {
     */
   final val ExactBroadcastRowCap = 200000L
 
+  /** Row cap for broadcasting an EDGE list (three longs/row, ≈30 MB at the
+    * cap) into the NN-descent candidate-generation join — the edge-frame
+    * sibling of [[ExactBroadcastRowCap]].
+    */
+  final val EdgeBroadcastRowCap = 500000L
+
   /** BUILD-MODE VALVE for the long-lived index builds (VERDICT r14 #1):
     * the exact O(n²/S) M-NN join below this corpus size, NN-descent
     * above. The crossover on this box sits right at the 20k-vector sf1
@@ -379,7 +385,7 @@ object GraphAnn {
     */
   def valvedLayerEdges(s: SparkSession, members: DataFrame, nMembers: Long,
       m: Int, cap: Long = NndBuildCap): DataFrame =
-    if (nndBuildMode(nMembers, cap)) nndEdges(s, members, m)
+    if (nndBuildMode(nMembers, cap)) nndEdges(s, members, m, Some(nMembers))
     else knnEdges(members, m, Some(nMembers))
 
   /** The valved base-layer build (the layer valve at the base degree). */
@@ -423,10 +429,19 @@ object GraphAnn {
 
   /** Re-select top-`m` per src over a merged candidate edge set, scoring
     * fresh (6-dp cosine, id tie-break) — the prune step of both NN-descent
-    * rounds and incremental-insert back-links.
+    * rounds and incremental-insert back-links. `nOpt` threads the node
+    * count when the caller knows it (every build does): a model-sized
+    * vector table is BROADCAST into the two scoring joins — the candidate
+    * edge stream (the big side, n·(2m)² rows per descent round) then never
+    * shuffles for scoring; without stats the planner sort-merge-joined it
+    * twice per round (the knnEdgesBetween broadcast-guard discipline).
     */
-  def rerankEdges(nodes: DataFrame, edges: DataFrame, m: Int): DataFrame = {
-    val vecs = nodes.select(col("vec_id"), col("v"), col("nrm"))
+  def rerankEdges(nodes: DataFrame, edges: DataFrame, m: Int,
+      nOpt: Option[Long] = None): DataFrame = {
+    val vecs0 = nodes.select(col("vec_id"), col("v"), col("nrm"))
+    val vecs =
+      if (nOpt.getOrElse(nodes.count()) <= ExactBroadcastRowCap) broadcast(vecs0)
+      else vecs0
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
     edges.select("shard", "src", "dst").distinct()
       .join(vecs.select(col("vec_id").as("src"), col("v").as("sv"),
@@ -495,25 +510,34 @@ object GraphAnn {
     * descent when their member count crosses the valve cap (VERDICT r15
     * #2); per-round candidates stay n·(2·2m)².
     */
-  def nndEdges(s: SparkSession, nodes: DataFrame, m: Int = HnswM0): DataFrame = {
+  def nndEdges(s: SparkSession, nodes: DataFrame, m: Int = HnswM0,
+      nOpt: Option[Long] = None): DataFrame = {
     import s.implicits._
     val buildM = 2 * m
+    val n = nOpt.getOrElse(nodes.count())
+    // the general-neighbor edge set is ≤ 2·n·buildM rows of three longs —
+    // broadcast the probe side of the neighbors-of-neighbors join when it
+    // is model-sized (≈30 MB at the cap) so each descent round's candidate
+    // generation runs without shuffling either gen copy; above the cap
+    // (the at-scale build) the shard-keyed shuffle join stands
+    val genBroadcastable = 2L * n * buildM <= EdgeBroadcastRowCap
     var edges = nndInit(s, nodes, buildM).localCheckpoint()
     for (_ <- 1 to NndIters) {
       val gen = edges
         .union(edges.select($"shard", $"dst".as("src"), $"src".as("dst")))
         .distinct()
+      val g2 = if (genBroadcastable) broadcast(gen.as("g2")) else gen.as("g2")
       val cand = gen.as("g1")
-        .join(gen.as("g2"),
+        .join(g2,
           $"g1.shard" === $"g2.shard" && $"g1.dst" === $"g2.src" &&
             $"g1.src" =!= $"g2.dst")
         .select($"g1.shard".as("shard"), $"g1.src".as("src"), $"g2.dst".as("dst"))
         .union(gen)
-      edges = rerankEdges(nodes, cand, buildM).localCheckpoint()
+      edges = rerankEdges(nodes, cand, buildM, Some(n)).localCheckpoint()
     }
     // final prune: the serve graph keeps the exact build's degree so the
     // walk pays identical per-hop cost in both modes
-    rerankEdges(nodes, edges, m).localCheckpoint()
+    rerankEdges(nodes, edges, m, Some(n)).localCheckpoint()
   }
 
   /** Exact edge lists for every potentially-active upper layer (keyed by
@@ -1352,7 +1376,8 @@ object GraphAnn {
       rmOnExit(p)
       val nodes = hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
       val st = ladderStats(nodes)
-      writeIndex(p, nodes, nndEdges(s, nodes), upperEdgesOf(nodes, Some(st)))
+      writeIndex(p, nodes, nndEdges(s, nodes, nOpt = Some(st.n)),
+        upperEdgesOf(nodes, Some(st)))
       p
     })
 
@@ -1371,7 +1396,10 @@ object GraphAnn {
       cap: Long = NndBuildCap,
       isArr: Column => Column = incrArrival): Map[Int, DataFrame] = {
     import s.implicits._
-    val lvls = 0 +: activeLevels(nodes)
+    // the full-frame stats feed the ladder AND the re-rank broadcast guard
+    val stAll = ladderStats(nodes)
+    val lvls = 0 +: stAll.active
+    val nAll = stAll.n
     // EVERY layer's base graph is valved against that layer's BASE-member
     // count (the quadratic term; the forward-link step is arrival-sized
     // and stays exact) — one stats job over the base frame feeds each
@@ -1385,7 +1413,8 @@ object GraphAnn {
       val baseE = valvedLayerEdges(s, base, stBase.members(l), m, cap)
       val fwd = knnEdgesBetween(arr, base, m, Some(stBase.members(l)))
       val rev = fwd.select($"shard", $"dst".as("src"), $"src".as("dst"))
-      l -> rerankEdges(nodes, baseE.union(fwd).union(rev), m).localCheckpoint()
+      l -> rerankEdges(nodes, baseE.union(fwd).union(rev), m,
+        Some(nAll)).localCheckpoint()
     }.toMap
   }
 
@@ -1435,7 +1464,8 @@ object GraphAnn {
     val storedLvls = stored.select($"lvl").distinct()
       .collect().map(_.getInt(0)).toSet
     val stBase = ladderStats(baseNodes)
-    val merged = (0 +: activeLevels(allNodes)).map { l =>
+    val stAll = ladderStats(allNodes)
+    val merged = (0 +: stAll.active).map { l =>
       val m = if (l == 0) HnswM0 else HnswM1
       val baseM = baseNodes.filter($"lvl" >= l)
       val arrM = arrNodes.filter($"lvl" >= l)
@@ -1454,7 +1484,7 @@ object GraphAnn {
       val touchedE = rerankEdges(allNodes,
         checkpointClean(
           baseE.join(touched, Seq("src")).select($"shard", $"src", $"dst"))
-          .union(rev), m)
+          .union(rev), m, Some(stAll.n))
       val untouchedE = checkpointClean(
         baseE.join(touched, Seq("src"), "left_anti")
           .select($"shard", $"src", $"dst"))
@@ -1565,7 +1595,7 @@ object GraphAnn {
       import s.implicits._
       val nodes = hnswNodes(Tables.embeddings(s, dir)).localCheckpoint()
       val st = ladderStats(nodes)
-      val vis = hnswWalk(s, nodes, nndEdges(s, nodes),
+      val vis = hnswWalk(s, nodes, nndEdges(s, nodes, nOpt = Some(st.n)),
         upperEdgesOf(nodes, Some(st)), nOpt = Some(st.n))
       graft.QueryDef.smallSort(hnswTopkFrom(vis), $"query_id", $"rk")
     },

@@ -125,33 +125,40 @@ object HyperplaneLsh {
        |    CROSS JOIN (SELECT unnest(generate_series(0, ${Dim - 1})) AS d))
        |  GROUP BY p)""".stripMargin
 
-  /** Bucket id (0..2^b-1) of vector column `v` in table `t`. */
-  private def bucketBits(v: Column, t: Int, planesPerTable: Int): Column =
-    (0 until planesPerTable)
-      .map { i =>
-        val p = t * planesPerTable + i
-        when(Exprs.dot(v, planeCol(p)) > 0, lit(1 << i)).otherwise(lit(0))
-      }
-      .reduce(_.bitwiseOR(_))
+  /** Planes 0..n-1 as a LOCAL (p, pv) frame — the planes as broadcast DATA
+    * instead of literal expression trees (r17). The fused projection form
+    * (L×b dots over literal arrays = up to 15,360 literal doubles in one
+    * Project) cost ~2.6 s of DRIVER time per execution at the dedup
+    * operating point — Catalyst analysis/optimization walks the whole tree
+    * every run (measured on dd_embedding_lsh: executor jobs 1.3 s, wall
+    * 3.9 s; the gap was plan processing) — on top of the generated method
+    * exceeding JIT limits executor-side (the GraphAnn entry-seed lesson).
+    */
+  private def planesDf(s: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import s.implicits._
+    (0 until n).map(p => (p, planes(p))).toDF("p", "pv")
+  }
 
   /** One row per (input row × table): columns of `df` + `lsh_table`,
-    * `lsh_bucket`. The L bucket ids are computed in a single projection
-    * (L×b codegen'd dot products) then exploded — one scan, no shuffle.
-    *
-    * At the dedup operating point the fused projection holds 240 64-dim dot
-    * products; Janino occasionally refuses the generated method (observed
-    * once under ScaleSmoke) and Spark falls back to interpreted evaluation
-    * for that stage — correctness unaffected, logged as
-    * InternalCompilerException WARN, and the bucketing stage stays a small
-    * fraction of query time either way.
+    * `lsh_bucket`. REQUIRES a unique `vec_id` column in `df` (both
+    * consumers' contract): bucket ids are computed on (vec_id, v) via a
+    * broadcast plane-per-row join — one small JIT-compiled dot per
+    * (row, plane) — aggregated into the b-bit bucket word per (vec_id,
+    * table), then joined back by id. Identical bucket values to the fused
+    * projection: same dot (element order), same `> 0` sign rule, same
+    * `1 << i` bit positions, null dots contribute 0 bits in both forms.
     */
   def bucketed(df: DataFrame, v: Column, tables: Int, planesPerTable: Int): DataFrame = {
-    val entries = (0 until tables).map { t =>
-      struct(lit(t).as("t"), bucketBits(v, t, planesPerTable).as("bk"))
-    }
-    df.withColumn("lsh", explode(array(entries: _*)))
-      .withColumn("lsh_table", col("lsh.t"))
-      .withColumn("lsh_bucket", col("lsh.bk"))
-      .drop("lsh")
+    val s = df.sparkSession
+    val buckets = df.select(col("vec_id"), v.as("_lsh_v"))
+      .crossJoin(broadcast(planesDf(s, tables * planesPerTable)))
+      .select(col("vec_id"),
+        (col("p") / planesPerTable).cast("int").as("lsh_table"),
+        when(Exprs.dot(col("_lsh_v"), col("pv")) > 0,
+          expr(s"shiftleft(1, p % $planesPerTable)"))
+          .otherwise(lit(0)).as("bit"))
+      .groupBy(col("vec_id"), col("lsh_table"))
+      .agg(sum(col("bit")).cast("int").as("lsh_bucket"))
+    df.join(buckets, Seq("vec_id"))
   }
 }
