@@ -442,8 +442,18 @@ object GraphAnn {
     val vecs =
       if (nOpt.getOrElse(nodes.count()) <= ExactBroadcastRowCap) broadcast(vecs0)
       else vecs0
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-    edges.select("shard", "src", "dst").distinct()
+    // ONE exchange for the whole re-rank (r18, guide §2.4): the candidate
+    // stream is hash-repartitioned on `src` up front, so the dedup
+    // aggregate (its keys are a superset of {src}), both broadcast scoring
+    // joins, and the per-src top-m all reuse that partitioning — the r17
+    // form paid a (shard, src, dst) distinct exchange AND a window
+    // exchange back to src. The top-m itself runs on the bounded-heap
+    // TopKPerKey operator (the knnEdgesBetween discipline): streaming
+    // O(rows log m) heaps instead of a per-partition sort, same selected
+    // set ((cos desc, dst asc) is a total order per src after the dedup).
+    val scored = edges.select("shard", "src", "dst")
+      .repartition(col("src"))
+      .distinct()
       .join(vecs.select(col("vec_id").as("src"), col("v").as("sv"),
         col("nrm").as("snrm")), Seq("src"))
       .join(vecs.select(col("vec_id").as("dst"), col("v").as("dv"),
@@ -451,8 +461,8 @@ object GraphAnn {
       .select(col("shard"), col("src"), col("dst"),
         round(Exprs.dot(col("sv"), col("dv")) / (col("snrm") * col("dnrm")), 6)
           .as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= m)
+    graft.plans.TopKPerKey
+      .perKey(scored, Seq("src"), Seq(("cos", false), ("dst", true)), m)
       .select("shard", "src", "dst")
   }
 
@@ -482,7 +492,7 @@ object GraphAnn {
     * HnswNndSpec's monotonicity pin so the spec can never silently
     * diverge from the init it claims to measure.
     */
-  private[operators] def nndInit(s: SparkSession, nodes: DataFrame,
+  private[graft] def nndInit(s: SparkSession, nodes: DataFrame,
       buildM: Int = NndBuildM): DataFrame = {
     import s.implicits._
     val wSh = Window.partitionBy($"shard").orderBy($"vec_id")
@@ -523,16 +533,25 @@ object GraphAnn {
     val genBroadcastable = 2L * n * buildM <= EdgeBroadcastRowCap
     var edges = nndInit(s, nodes, buildM).localCheckpoint()
     for (_ <- 1 to NndIters) {
-      val gen = edges
+      val genAll = edges
         .union(edges.select($"shard", $"dst".as("src"), $"src".as("dst")))
-        .distinct()
-      val g2 = if (genBroadcastable) broadcast(gen.as("g2")) else gen.as("g2")
-      val cand = gen.as("g1")
+      val gen = genAll.distinct()
+      // under the broadcast valve the STREAM side skips the dedup exchange
+      // (r18, guide §2.4): duplicate general edges (an edge present in both
+      // directions) only duplicate candidate rows, and rerankEdges dedups
+      // before scoring — so the distinct is needed only where it bounds a
+      // SHUFFLE join input (the at-scale branch) or the broadcast build.
+      // The dup multiplicity is ≤ 2, microscopic join fan-out for one
+      // full exchange of the general edge set saved per round.
+      val (g1, g2) =
+        if (genBroadcastable) (genAll.as("g1"), broadcast(gen.as("g2")))
+        else (gen.as("g1"), gen.as("g2"))
+      val cand = g1
         .join(g2,
           $"g1.shard" === $"g2.shard" && $"g1.dst" === $"g2.src" &&
             $"g1.src" =!= $"g2.dst")
         .select($"g1.shard".as("shard"), $"g1.src".as("src"), $"g2.dst".as("dst"))
-        .union(gen)
+        .union(genAll)
       edges = rerankEdges(nodes, cand, buildM, Some(n)).localCheckpoint()
     }
     // final prune: the serve graph keeps the exact build's degree so the
@@ -623,6 +642,22 @@ object GraphAnn {
     }
   }
 
+  /** Collect a BOUNDED frame into a LocalRelation (r18). For the walk's
+    * frontier frames — O(batch × shards × keep × degree) rows of five
+    * scalars by the keep-width invariant, at every corpus size — this is
+    * the coordinator side of the published distributed-ANN scatter-gather
+    * serve. Joins against a LocalRelation fold under
+    * ConvertToLocalRelation, so broadcasting one builds driver-side with
+    * no Spark job (the point: the r17 walk's per-hop cost was job-count
+    * overhead, ~5 scheduled jobs per hop). NEVER use on corpus-sized
+    * frames — that is the §5 driver-data-work anti-pattern this helper's
+    * bound exists to exclude.
+    */
+  private def localFrame(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** `symEdges` maps layer → that layer's PRE-symmetrized edge list (a
     * stored index's `symedges` dataset; 0 = base). Layers absent from the
     * map are symmetrized in-walk — the fused build paths' behavior.
@@ -651,8 +686,17 @@ object GraphAnn {
     val em = entryMembersOpt.getOrElse(nodes)
     val entries = em.filter($"lvl" >= 1)
       .groupBy($"shard").agg(min($"vec_id").as("entry"))
-    val q = nodes.filter($"vec_id" < HnswQueryMax)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    // The QUERY BATCH as a LOCAL relation (r18): one bounded collect
+    // (HnswQueryMax rows) per serve. Every hop's score joins the batch
+    // back in, and a broadcast whose child is a LocalTableScan is built
+    // DRIVER-SIDE with no Spark job — the old distributed q frame cost one
+    // broadcast-build job per hop (~10 such jobs per serve of ~30 ms pure
+    // scheduling overhead each; guide §1.2 order-of-operations: the serve
+    // path's cost at bench scale IS job-count overhead). The collect is
+    // the repo's model-collect class: the batch is k-bounded by contract,
+    // never corpus-sized.
+    val q = localFrame(s, nodes.filter($"vec_id" < HnswQueryMax)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm")))
     // the candidate set is the QUERY-derived side — O(batch × shards ×
     // beam) rows by the walk's keep-width invariant, never corpus-sized —
     // so it carries the broadcast hint: every localCheckpointed input here
@@ -692,20 +736,33 @@ object GraphAnn {
     // start made the oracle's empty-layer prunes diverge from the Spark
     // walk's layer skips — caught at sf0.1)
     s.sparkContext.setJobDescription("hnswWalk: entry+seed score (sc0)")
-    // checkpointClean, not bare localCheckpoint: with the walk state now a
-    // LAZY window chain over these frames, their retained LogicalRDD
-    // constraints flow into every state.union(sc) and one stale attribute
-    // ref crashes constraint rewriting (see [[checkpointClean]])
-    val sc0 = checkpointClean(score(
+    // ONE materialization per hop (r18, guide §1.2/§2.4): each hop's frame
+    // is the RANKED union (state ∪ newly-scored), collected to a LOCAL
+    // relation. The walk state is O(batch × shards × keep-width ×
+    // out-degree) rows of five scalars — bounded by the walk invariant at
+    // EVERY corpus size (the same bound the r17 broadcast hints rely on),
+    // so holding the frontier on the coordinator is the published
+    // distributed-ANN serving topology (scatter to shards, merge on the
+    // coordinator), not driver data work. What it buys at bench scale:
+    // the r17 walk ran ~5 jobs per hop (score-side broadcast builds of
+    // state/cand/q + the sc checkpoint + the re-rank checkpoint); a local
+    // frontier folds to a LocalRelation under ConvertToLocalRelation, so
+    // its broadcasts build driver-side with NO job, and the hop is 2 jobs
+    // (expansion broadcast + the ranked-union collect). state_t =
+    // top_keep(state_{t-1} ∪ sc_t) = rank-filter of the ranked union
+    // (row_number idempotence over a total order), and the visited set
+    // ∪_t(state_{t-1} ∪ sc_t) = ∪_t sc_t since state ⊆ earlier sc —
+    // byte-identical results, every ANN oracle re-checked.
+    var all = localFrame(s, score(
       q.select($"query_id").crossJoin(broadcast(entries))
         .select($"query_id", $"shard", $"entry".as("node"))
-        .union(seeds).distinct()))
-    s.sparkContext.setJobDescription("hnswWalk: entry prune")
-    var state = sc0
-      .withColumn("rk", row_number().over(wSel)).filter($"rk" <= dk)
-      .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
+        .union(seeds).distinct())
+      .withColumn("rk", row_number().over(wSel)))
+    // the keep width that prunes `all` when the NEXT hop reads it (the
+    // entry prune: dk before the first hop)
+    var lastKeep = dk
     s.sparkContext.setJobDescription(null)
-    var scoredSets = Seq(sc0)
+    var scoredSets = Seq(all.select($"query_id", $"shard", $"node", $"cos"))
     // expansion treats each layer's edge list as UNDIRECTED (published NSW
     // search walks an undirected graph — Malkov et al. 2014; HNSW's
     // neighbor lists are bidirectional by construction): measured on
@@ -734,26 +791,25 @@ object GraphAnn {
     def step(edges: DataFrame, keep: Int): Unit = {
       stepNo += 1
       // walk state ≤ keep width per (query, shard) — the tiny side of the
-      // expansion join against the corpus-sized edge list; broadcast for
-      // the same no-stats reason as score()
+      // expansion join against the corpus-sized edge list; a LOCAL frame,
+      // so its broadcast builds without a job
       // no .distinct() on the expansion (r17): duplicate (query, shard,
       // node) candidates score to IDENTICAL rows (cos is a pure function
-      // of the pair), and every consumer of sc dedups — the re-rank's
-      // union.distinct() and the final visited-set distinct — so the
-      // extra shuffle bought nothing; duplicate multiplicity is bounded
-      // by keep × shared-neighbor count, microscopic score work
-      val nb = broadcast(state).as("g").join(edges.as("e"),
+      // of the pair), and the ranked union dedups — so the extra shuffle
+      // bought nothing; duplicate multiplicity is bounded by keep ×
+      // shared-neighbor count, microscopic score work
+      val state = all.filter($"rk" <= lastKeep)
+        .select($"query_id", $"shard", $"node", $"cos")
+      val nb = broadcast(state.select($"query_id", $"shard", $"node")).as("g")
+        .join(edges.as("e"),
           $"g.shard" === $"e.shard" && $"g.node" === $"e.src")
         .select($"g.query_id".as("query_id"), $"g.shard".as("shard"),
           $"e.dst".as("node"))
-      s.sparkContext.setJobDescription(s"hnswWalk: step $stepNo score")
-      val sc = checkpointClean(score(nb))
-      scoredSets :+= sc
-      s.sparkContext.setJobDescription(s"hnswWalk: step $stepNo re-rank")
-      state = state.select($"query_id", $"shard", $"node", $"cos")
-        .union(sc).distinct()
-        .withColumn("rk", row_number().over(wSel)).filter($"rk" <= keep)
-        .select($"query_id", $"shard", $"node", $"cos").localCheckpoint()
+      s.sparkContext.setJobDescription(s"hnswWalk: step $stepNo")
+      all = localFrame(s, state.union(score(nb)).distinct()
+        .withColumn("rk", row_number().over(wSel)))
+      lastKeep = keep
+      scoredSets :+= all.select($"query_id", $"shard", $"node", $"cos")
       s.sparkContext.setJobDescription(null)
     }
     // a stored pre-symmetrized layer skips the in-walk symmetrize job
@@ -769,8 +825,18 @@ object GraphAnn {
     val e0s = symOf(0, e0)
     for (_ <- 1 to beamHopsOf(n))
       step(e0s, beamOf(n))
-    scoredSets.map(_.select($"query_id", $"node", $"cos"))
-      .reduce(_ union _).distinct()
+    // the merged visited set IS the serve's measured candidate budget
+    // (sim_recall_eval's n_cand) — bounded by the walk budget at every
+    // corpus size, so it comes back as a LOCAL relation too (the
+    // scatter-gather merge the coordinator holds anyway): the per-hop
+    // frames are already local, and every consumer (global top-k window,
+    // the eval's grading joins) then plans against a LocalRelation
+    // instead of re-evaluating a 10-frame union-distinct per reference.
+    s.sparkContext.setJobDescription("hnswWalk: visited-set merge")
+    val vis = localFrame(s, scoredSets.map(_.select($"query_id", $"node", $"cos"))
+      .reduce(_ union _).distinct())
+    s.sparkContext.setJobDescription(null)
+    vis
   }
 
   /** Global top-k merge over an already-computed visited set — exposed so

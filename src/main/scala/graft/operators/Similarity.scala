@@ -1677,8 +1677,49 @@ object Similarity {
         |  FROM ic_gr g JOIN ic_nc c USING (query_id))
         |ORDER BY method, query_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val bf = graft.SparkEntry.queries("sim_topk_bruteforce")(s, dir)
+      // the k-bounded brute-force truth (50 rows) is referenced by all
+      // FOUR grading joins — materialized once into a LocalRelation (r18)
+      // instead of re-running the scan+pair-scan+window subtree per grade
+      // (guide §1.2: don't compute things four times)
+      // Rebuild a bounded frame's rows as a LocalRelation ON THE CALLING
+      // SESSION — collect() of an already-local visited set runs no job.
+      def rebuild(df: org.apache.spark.sql.DataFrame) =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val bf0 = graft.SparkEntry.queries("sim_topk_bruteforce")(s, dir)
         .select($"query_id", $"cand_id")
+      // The FIVE independent materializations (brute-force truth, the IVF
+      // candidate set, three graph serves) overlap on driver threads
+      // (guide §2.6 — each is a chain of tiny jobs dominated by per-job
+      // scheduling gaps on an otherwise idle box; concurrent jobs
+      // back-fill). Each graph serve runs on its OWN cloned session:
+      // hnswWalk scopes spark.sql.adaptive.enabled per session, and
+      // cloning removes the concurrent save/restore race (ADVICE r17);
+      // the serve's visited set comes back LOCAL, rebuilt on the calling
+      // session. ONE candidate-set evaluation feeds BOTH the ivf top-k
+      // and the budget count (the eval previously built the IVF
+      // quantizer + assignment twice in the same query); the checkpoint
+      // truncates at the candidate set — the serving working set the row
+      // measures.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bfF = Future(rebuild(bf0))
+      val ivfF = Future(ivfCandidatePairs(s, dir).localCheckpoint())
+      val visF = Future(rebuild(
+        GraphAnn.hnswWalkStored(s.newSession(), GraphAnn.hnswIndexDir(s, dir))))
+      val nndF =
+        if (GraphAnn.nndBuildMode(Dedup.embeddingsCount(s, dir))) None
+        else Some(Future(rebuild(
+          GraphAnn.hnswWalkStored(s.newSession(), GraphAnn.nndIndexDir(s, dir)))))
+      val incrF = Future {
+        val s2 = s.newSession()
+        val incrIdx = GraphAnn.hnswIncrIndexDir(s2, dir)
+        val incrNodes = s2.read.parquet(s"$incrIdx/nodes")
+        rebuild(GraphAnn.hnswWalkStored(s2, incrIdx,
+          Some(incrNodes.filter(!GraphAnn.incrArrival($"vec_id")))))
+      }
+      val bf = Await.result(bfF, Duration.Inf)
+      val ivfCands = Await.result(ivfF, Duration.Inf)
       // one grading harness per ANN method: recall@k of its top-k against
       // the brute-force truth PLUS its measured candidate budget (n_cand =
       // scored candidates, i.e. distance computations paid) — the
@@ -1690,7 +1731,20 @@ object Similarity {
           .select($"query_id", $"node".as("cand_id"))
         gradeTopk(s, bf, method, topk, cands)
       }
-      val ivfTop = graft.SparkEntry.queries("sim_ivf_topk")(s, dir)
+      val e = embWithNorm(s, dir)
+      val qf = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      val wTop = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id".asc)
+      // the sim_ivf_topk ranking over the shared candidate set (identical
+      // expressions; that query's trailing ORDER BY is irrelevant to the
+      // equi-join grade and is skipped)
+      val ivfTop = ivfCands
+        .join(broadcast(qf), Seq("query_id"))
+        .join(e.as("c"), $"cand_id" === $"c.vec_id")
+        .select($"query_id", $"cand_id",
+          round(Exprs.dot($"qv", $"c.v") / ($"qnrm" * $"c.nrm"), 6).as("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter($"rk" <= 10)
         .select($"query_id", $"cand_id")
       // ONE search per graph method pays for both the top-k and the budget
       // count. ALL FOUR methods are graded in this oracle-checked row
@@ -1707,16 +1761,11 @@ object Similarity {
       //    method of coverage and the row prices serves, not rebuilds;
       //  - incr: the incrementally-maintained index, base-frozen entries;
       //  - ivf: the inverted-list probe at nprobe=3.
-      val vis = GraphAnn.hnswWalkStored(s, GraphAnn.hnswIndexDir(s, dir))
-      val nndVis =
-        if (GraphAnn.nndBuildMode(Dedup.embeddingsCount(s, dir))) vis
-        else GraphAnn.hnswWalkStored(s, GraphAnn.nndIndexDir(s, dir))
-      val incrIdx = GraphAnn.hnswIncrIndexDir(s, dir)
-      val incrNodes = s.read.parquet(s"$incrIdx/nodes")
-      val incrVis = GraphAnn.hnswWalkStored(s, incrIdx,
-        Some(incrNodes.filter(!GraphAnn.incrArrival($"vec_id"))))
+      val vis = Await.result(visF, Duration.Inf)
+      val nndVis = nndF.map(f => Await.result(f, Duration.Inf)).getOrElse(vis)
+      val incrVis = Await.result(incrF, Duration.Inf)
       grade("hnsw", vis)
-        .union(gradeTopk(s, bf, "ivf", ivfTop, ivfCandidatePairs(s, dir)))
+        .union(gradeTopk(s, bf, "ivf", ivfTop, ivfCands))
         .union(grade("nnd", nndVis))
         .union(grade("incr", incrVis))
         .transform(d => QueryDef.smallSort(d, $"method", $"query_id"))
