@@ -43,6 +43,19 @@ object R18Probe {
         case None => println(s"-- $header --\n$txt")
       }
     }
+    // second dump target: <arg1 path with "_before" replaced by "_after">
+    def dump2(df: org.apache.spark.sql.DataFrame, header: String): Unit = {
+      val saved = args.lift(1).map(_.replace("_before", "_after"))
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      saved match {
+        case Some(out) if out != args(1) =>
+          java.nio.file.Files.write(java.nio.file.Paths.get(out),
+            (s"-- $header @ $sfDir --\n" + txt).getBytes("UTF-8"))
+          println(s"wrote $out")
+        case _ => println(s"-- $header --\n$txt")
+      }
+    }
     def timed(label: String)(thunk: => Unit): Unit = {
       val t0 = System.nanoTime()
       thunk
@@ -95,7 +108,11 @@ object R18Probe {
         }
 
       case "pagerank_iter" =>
-        // one pagerank iteration's frame over the cached edge layout
+        // one pagerank iteration's frame over the cached edge layout —
+        // dumps BOTH the r17 shuffle-join form ("before") and the r18
+        // state-broadcast form ("after") from the same inputs (the
+        // GraphPlanProbe force-either-branch discipline); arg(1) is used
+        // as a directory: <out>/pr_pagerank_iter_{before,after}.txt
         val edges0 = operators.Graph.pagerankEdges(s, sfDir)
         val edges = edges0.select($"a", $"b")
           .union(edges0.select($"b".as("a"), $"a".as("b")))
@@ -104,12 +121,16 @@ object R18Probe {
         val nNodes = deg.count()
         val r0 = operators.Graph.PrScale / nNodes
         val ranks = deg.select($"node", lit(r0).as("r")).localCheckpoint()
-        val shares = ranks.join(deg, "node")
-          .select($"node", expr("r DIV deg").as("share"))
-        val incoming = edges.join(shares, edges("a") === shares("node"))
-          .groupBy(edges("b").as("node"))
-          .agg(sum($"share").as("acc"))
-        dump(incoming, s"pagerank one-iteration frame (n_nodes=$nNodes)")
+        def iterFrame(bc: Boolean) = {
+          val shares0 = ranks.join(if (bc) broadcast(deg) else deg, "node")
+            .select($"node", expr("r DIV deg").as("share"))
+          val shares = if (bc) broadcast(shares0) else shares0
+          edges.join(shares, edges("a") === shares("node"))
+            .groupBy(edges("b").as("node"))
+            .agg(sum($"share").as("acc"))
+        }
+        dump(iterFrame(false), s"pagerank one-iteration frame, r17 shuffle form (n_nodes=$nNodes)")
+        dump2(iterFrame(true), s"pagerank one-iteration frame, r18 broadcast form (n_nodes=$nNodes)")
 
       case "hits_iter" =>
         val inc = s.read.parquet(operators.Graph.purchaseIncidence(s, sfDir))
@@ -121,9 +142,11 @@ object R18Probe {
         val h0 = operators.Graph.PrScale / nHubs
         val hub = edgesByC.select($"c").distinct()
           .select($"c", lit(h0).as("h")).localCheckpoint()
-        val authRaw = edgesByC.join(hub, "c")
-          .groupBy($"p").agg(sum($"h").as("raw"))
-        dump(authRaw, s"hits one-half-step frame (n_hubs=$nHubs)")
+        def halfStep(bc: Boolean) =
+          edgesByC.join(if (bc) broadcast(hub) else hub, "c")
+            .groupBy($"p").agg(sum($"h").as("raw"))
+        dump(halfStep(false), s"hits one-half-step frame, r17 shuffle form (n_hubs=$nHubs)")
+        dump2(halfStep(true), s"hits one-half-step frame, r18 broadcast form (n_hubs=$nHubs)")
 
       case "ppjoin_time" =>
         val docs = Tables.documents(s, sfDir)

@@ -214,6 +214,19 @@ object Graph {
     */
   final val TriangleBroadcastEdgeCap = 2000000L
 
+  /** Node-count cap for broadcasting an ITERATION STATE VECTOR (rank /
+    * hub / authority scores: a node string + a long, ~80 MB at the cap)
+    * into the per-iteration edge join — the state-vector sibling of
+    * [[TriangleBroadcastEdgeCap]] (r18, VERDICT r17 #6). Under the cap
+    * each fixed-point iteration joins the CACHED edge list against a
+    * broadcast state vector: no exchange and no per-iteration sort on the
+    * edge side, no exchange of the state side — the only per-iteration
+    * shuffle left is the map-side-combined contribution aggregation.
+    * Above it the pre-partitioned shuffle join stands (the at-scale
+    * plan, where the state vector no longer fits an executor).
+    */
+  final val StateBroadcastNodeCap = 2000000L
+
   /** Triangle profile of an undirected edge list (u < v, distinct) —
     * exposed for TriangleSpec's hand-computable graphs.
     */
@@ -285,30 +298,52 @@ object Graph {
     */
   def pagerank(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    // undirected: materialize both directions once, PRE-PARTITIONED on the
-    // source key and cached — the cached InMemoryRelation keeps
-    // hashpartitioning(a), so each iteration's join against the rank
-    // vector shuffles only the O(nodes) state side, never the edge list
-    // (the big side moves once for the whole run, not once per round)
-    val edges = pairs.select(col("a"), col("b"))
+    // undirected: both directions, materialized once (see the two cache
+    // layouts below)
+    val edges0 = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a"))
-      .cache()
-    val deg = edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).cache()
+    val deg = edges0.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")).cache()
     val n = deg.count() // 1-row driver scalar (model-collect discipline)
     val r0 = PrScale / n
     val base = 15L * r0 / 100L // (1 - d) · r0, in integer micro-units
+    // the same count feeds the state-vector broadcast valve (r18, VERDICT
+    // r17 #6). UNDER [[StateBroadcastNodeCap]] nodes: the source DEGREE is
+    // attached to the cached edge list ONCE (an edge's share divisor is a
+    // static property of its source), so one iteration = ONE broadcast
+    // join of the cached edge list against the rank vector with the share
+    // computed in the join projection + the map-side-combined destination
+    // aggregate — no per-iteration shuffle or sort of anything. The r17
+    // form paid a rank⋈deg join AND a sort-merge edge join per round (the
+    // checkpointed rank vector is a no-stats LogicalRDD, so the planner
+    // re-sorted the cached edge list every round). ABOVE the cap the rank
+    // vector no longer fits an executor and the r17 plan stands: edges
+    // pre-partitioned on the source key, each round co-shuffles only the
+    // O(nodes) state side. Integer micro-unit arithmetic is partitioning-
+    // independent, so the trajectory is bit-identical in both regimes.
+    val bcState = n <= StateBroadcastNodeCap
+    val edges =
+      if (bcState)
+        edges0.join(broadcast(deg), edges0("a") === deg("node"))
+          .select(col("a"), col("b"), col("deg")).cache()
+      else edges0.repartition(col("a")).cache()
     var ranks = deg.select(col("node"), lit(r0).as("r"))
     for (_ <- 1 to PrIters) {
-      val shares = ranks.join(deg, "node")
-        .select(col("node"), expr("r DIV deg").as("share"))
-      val incoming = edges.join(shares, edges("a") === shares("node"))
-        .groupBy(edges("b").as("node"))
-        .agg(sum(col("share")).as("acc"))
+      val incoming =
+        if (bcState)
+          edges.join(broadcast(ranks), edges("a") === ranks("node"))
+            .groupBy(edges("b").as("node"))
+            .agg(sum(expr("r DIV deg")).as("acc"))
+        else {
+          val shares = ranks.join(deg, "node")
+            .select(col("node"), expr("r DIV deg").as("share"))
+          edges.join(shares, edges("a") === shares("node"))
+            .groupBy(edges("b").as("node"))
+            .agg(sum(col("share")).as("acc"))
+        }
       ranks = incoming
         .select(col("node"),
           (lit(base) + expr(s"$PrDampNum * acc DIV 100")).as("r"))
-        .localCheckpoint() // truncate the per-round 2-join lineage
+        .localCheckpoint() // truncate the per-round lineage
     }
     // safe to drop now: every iteration ran eagerly (localCheckpoint), and
     // the returned frame reads only the final checkpointed vector
@@ -329,9 +364,25 @@ object Graph {
     // co-shuffles only the O(nodes) state side, and the groupBy output of
     // one half-step arrives already hash-partitioned for the next
     val e0 = edges0.select($"c", $"p")
-    val edgesByC = e0.repartition($"c").cache()
-    val edgesByP = e0.repartition($"p").cache()
-    val nHubs = edgesByC.select($"c").distinct().count() // 1-row driver scalar
+    // ONE plain cache feeds the valve counts; the per-key pre-partitioned
+    // copies are built only ABOVE the broadcast valve (r18): under it the
+    // half-step joins broadcast the score vector, so a keyed layout buys
+    // nothing and the second repartition+materialization was pure setup
+    // cost. Above [[StateBroadcastNodeCap]] the r17 layout stands — one
+    // pre-partitioned copy per join key, each half-step co-shuffles only
+    // the O(nodes) state side. The nAuths count is one extra 1-row action,
+    // amortized over 2 × HitsIters half-step joins it pins the strategy
+    // for. Integer micro-unit arithmetic is partitioning-independent, so
+    // the trajectory is bit-identical in both regimes.
+    val eCached = e0.cache()
+    val nHubs = eCached.select($"c").distinct().count() // 1-row driver scalar
+    val bcState = nHubs <= StateBroadcastNodeCap
+    val edgesByC = if (bcState) eCached else e0.repartition($"c").cache()
+    val edgesByP = if (bcState) eCached else e0.repartition($"p").cache()
+    // auth-vector valve input: filled from the FIRST half-step's
+    // checkpointed aggregate (its row count IS the distinct-p count —
+    // one cheap scan of materialized rows, not a fresh distinct+count job)
+    var nAuths = -1L
     val h0 = PrScale / nHubs
     var hub = edgesByC.select($"c").distinct().select($"c", lit(h0).as("h"))
     var auth: DataFrame = null
@@ -340,23 +391,27 @@ object Graph {
       // sum and the normalization both read the materialized vector, so
       // the edge join runs exactly once per half-step (and the lineage is
       // truncated per round, the pagerank lesson)
-      val authRaw = edgesByC.join(hub, "c")
+      val hubB = if (bcState) broadcast(hub) else hub
+      val authRaw = edgesByC.join(hubB, "c")
         .groupBy($"p").agg(sum($"h").as("raw")).localCheckpoint()
+      if (nAuths < 0) nAuths = authRaw.count()
       val totalA = authRaw.agg(sum($"raw")).collect().head.getLong(0)
       // exact 128-bit intermediate: raw·SCALE ≲ 1e29 stays inside
       // DECIMAL(38,0); DIV floors back to micro-units (BIGINT)
       auth = authRaw.select($"p",
         expr(s"CAST(raw AS DECIMAL(38,0)) * $PrScale DIV CAST($totalA AS DECIMAL(38,0))")
           .as("a"))
-      val hubRaw = edgesByP.join(auth, "p")
+      val authB =
+        if (bcState && nAuths <= StateBroadcastNodeCap) broadcast(auth) else auth
+      val hubRaw = edgesByP.join(authB, "p")
         .groupBy($"c").agg(sum($"a").as("raw")).localCheckpoint()
       val totalH = hubRaw.agg(sum($"raw")).collect().head.getLong(0)
       hub = hubRaw.select($"c",
         expr(s"CAST(raw AS DECIMAL(38,0)) * $PrScale DIV CAST($totalH AS DECIMAL(38,0))")
           .as("h"))
     }
-    edgesByC.unpersist()
-    edgesByP.unpersist()
+    eCached.unpersist()
+    if (!bcState) { edgesByC.unpersist(); edgesByP.unpersist() }
     val topA = auth.orderBy($"a".desc, $"p")
       .limit(HitsTopK).select(lit("auth").as("kind"), $"p".as("node"), $"a".as("score_micro"))
     val topH = hub.orderBy($"h".desc, $"c")
