@@ -418,8 +418,15 @@ object Dedup {
     * `shh` CTE — same engine-identical collision semantics as
     * dd_ngram_jaccard's keying).
     */
-  private[operators] def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val shh = sh.select(col("doc_id"), Exprs.hash60(col("shingle")).as("h"))
+  private[operators] def jaccardFor(cands: DataFrame, sh: DataFrame): DataFrame =
+    jaccardForHashed(cands,
+      sh.select(col("doc_id"), Exprs.hash60(col("shingle")).as("h")))
+
+  /** [[jaccardFor]] over an ALREADY-HASHED (doc_id, h) shingle frame —
+    * callers holding a cached hashed table (dd_lsh_eval shares one between
+    * the verify and the exact-truth side, r18) skip re-hashing per use.
+    */
+  private[operators] def jaccardForHashed(cands: DataFrame, shh: DataFrame): DataFrame = {
     val counts = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cands
       .join(shh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -454,14 +461,27 @@ object Dedup {
   /** Prefix-filtered EXACT Jaccard pairs at threshold 1/2 (see the
     * dd_ppjoin comment) — exposed for PpJoinSpec's brute-force equality.
     */
-  def ppJoinPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+  def ppJoinPairs(s: SparkSession, docs: DataFrame): DataFrame =
+    ppJoinPairsFrom(s, docs, None)
+
+  /** [[ppJoinPairs]] with an optional pre-built HASHED shingle table
+    * (columns doc_id, h — [[docShinglesOf]] output hashed, restricted to
+    * exactly `docs`' documents). dd_lsh_eval passes its own cached table
+    * (r18): the eval previously re-shingled and re-hashed the corpus a
+    * second time inside the truth side of the same query. Per-doc
+    * shingling is document-local, so a stratum's shingle table is the
+    * filter of the full one — the caller's restriction is equivalence-
+    * preserving by construction.
+    */
+  private[operators] def ppJoinPairsFrom(s: SparkSession, docs: DataFrame,
+      shOpt: Option[DataFrame]): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // feeds the df rollup, the ordering join, both verify sides and the
     // size rollup — cache once; rows are (doc_id, 8-byte h), never text
-    val sh = docShinglesOf(s, docs, 3)
+    val sh = shOpt.getOrElse(docShinglesOf(s, docs, 3)
       .select($"doc_id", Exprs.hash60($"shingle").as("h"))
-      .cache()
+      .cache())
     val dfr = sh.groupBy($"h").agg(count(lit(1)).as("df"))
     val ordered = sh.join(dfr, Seq("h"))
       .withColumn("pos", row_number().over(
@@ -582,6 +602,11 @@ object Dedup {
       s: SparkSession, docs: DataFrame, truthStride: Int = 1): DataFrame = {
     import s.implicits._
     val sh = docShinglesOf(s, docs, 3).cache()
+    // ONE hashed shingle table shared by the verify side (three reads per
+    // jaccardFor) AND the exact-truth side (r18): the eval previously
+    // re-hashed the cached strings per consumer and re-shingled the whole
+    // corpus again inside ppJoinPairs — md5 work, paid twice in one query.
+    val shh = sh.select($"doc_id", Exprs.hash60($"shingle").as("h")).cache()
     val sig = minhashSignatures(sh, 32)
     val buckets = minhashBandBuckets(sig, 32, 8)
     val cands = buckets.as("x")
@@ -589,19 +614,29 @@ object Dedup {
         $"x.band" === $"y.band" && $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct().cache()
-    val nCand = cands.count()
-    val verified = jaccardFor(cands, sh).filter($"jaccard" >= 0.5).cache()
-    val nVerified = verified.count()
+    // the exact truth is independent of the LSH chain — overlap it with
+    // the candidate/verify counts on a driver thread (guide §2.6; its
+    // 3.5 s job previously serialized after ~3 s of LSH jobs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val truthShh =
+      if (truthStride > 1) shh.filter($"doc_id" % truthStride === 0) else shh
     val truthDocs =
       if (truthStride > 1) docs.filter($"doc_id" % truthStride === 0) else docs
-    val nTrue = ppJoinPairs(s, truthDocs).count() // the independent exact truth
+    val nTrueF = Future(
+      ppJoinPairsFrom(s, truthDocs, Some(truthShh)).count())
+    val nCand = cands.count()
+    val verified = jaccardForHashed(cands, shh).filter($"jaccard" >= 0.5).cache()
+    val nVerified = verified.count()
     val nHit =
       if (truthStride > 1)
         verified
           .filter($"doc_a" % truthStride === 0 && $"doc_b" % truthStride === 0)
           .count()
       else nVerified
-    cands.unpersist(); verified.unpersist(); sh.unpersist()
+    val nTrue = Await.result(nTrueF, Duration.Inf) // the independent exact truth
+    cands.unpersist(); verified.unpersist(); sh.unpersist(); shh.unpersist()
     Seq((nTrue, nCand, nVerified, nHit))
       .toDF("n_true", "n_cand", "n_verified", "n_hit")
       .select($"n_true", $"n_cand", $"n_verified", $"n_hit",
@@ -1536,11 +1571,16 @@ object Dedup {
   def cascadeAttribution(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // s1/s2 are read by every downstream stage AND by several arms of the
+    // final union (exact dups, url dups, the LSH near stage's corpus, the
+    // keeps anti-join) — cached (r18), each arm previously re-evaluated
+    // the full-text md5 fingerprint + window subtree per reference
     val s1 = docs
       .select($"doc_id", $"source", $"text",
         Exprs.fingerprint($"text").as("content_hash"))
       .withColumn("s1_keep",
         min($"doc_id").over(Window.partitionBy($"content_hash")))
+      .cache()
     val exactDups = s1.filter($"doc_id" =!= $"s1_keep")
       .select($"doc_id", lit("exact").as("stage"), $"s1_keep".as("dup_of"))
     val surv1 = s1.filter($"doc_id" === $"s1_keep")
@@ -1550,6 +1590,7 @@ object Dedup {
           UrlCuration.dirtyUrl($"source", $"doc_id")).as("canon_url"))
       .withColumn("s2_keep",
         min($"doc_id").over(Window.partitionBy($"canon_url")))
+      .cache()
     val urlDups = s2.filter($"doc_id" =!= $"s2_keep")
       .select($"doc_id", lit("url").as("stage"), $"s2_keep".as("dup_of"))
     val surv2 = s2.filter($"doc_id" === $"s2_keep").select($"doc_id", $"text")
