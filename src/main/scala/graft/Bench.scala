@@ -315,7 +315,18 @@ object Bench {
     val sharedTotal = shared.map(_._2).sum
     val prevSharedTotal = shared.map(r => prevMedians(r._1)).sum
     val totalRatio = if (prevSharedTotal > 0) sharedTotal / prevSharedTotal else 1.0
-    val totalDrifted = totalRatio > 1.2
+    // MEDIAN-OF-RATIOS GUARD (VERDICT r17 #8): a uniform +15-20 % load
+    // inflation slid under the 1.2× TOTAL gate twice (r08, r17) and
+    // ratcheted the basis. The per-query ratio median is insensitive to a
+    // few genuinely-slower queries (real regressions/changes move a few
+    // rows a lot; load moves every row a little), so a clean optimization
+    // round passes while broad inflation (median > 1.1) blocks the
+    // refresh. Refresh-gate-only change: measurements are untouched.
+    val ratios = shared.collect {
+      case r if prevMedians(r._1) > 0 => r._2 / prevMedians(r._1)
+    }
+    val medianRatio = if (ratios.isEmpty) 1.0 else median(ratios)
+    val totalDrifted = totalRatio > 1.2 || medianRatio > 1.1
     val retriedJson = retried.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Memoized-artifact transparency (VERDICT r13 #5): queries served from a
     // per-JVM memo (trained BPE model, persisted ANN indexes, materialized
@@ -325,7 +336,7 @@ object Bench {
     val coldBuild = ColdBuilds.snapshot.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","runs":$runs,"shuffle_partitions":$shuffle,"queries":$qs,"queries_nosort":$qsNoSort,"load_contaminated":$contaminated,"regressed_vs_prev":$regressed,"failed":$failed,"retried":$retriedJson,"basis_total_ratio":$totalRatio%.3f,"cold_build":$coldBuild,"sf":"$sfDir"}"""
+      f"""{"metric":"total_sec_all_queries","value":$total%.3f,"unit":"sec","runs":$runs,"shuffle_partitions":$shuffle,"queries":$qs,"queries_nosort":$qsNoSort,"load_contaminated":$contaminated,"regressed_vs_prev":$regressed,"failed":$failed,"retried":$retriedJson,"basis_total_ratio":$totalRatio%.3f,"basis_median_ratio":$medianRatio%.3f,"cold_build":$coldBuild,"sf":"$sfDir"}"""
     // Full per-query detail goes to a file plus an early stdout line; the
     // FINAL stdout line is kept compact (headline queries only) so it fits
     // entirely inside the harness's bounded output-tail capture. A 3.5 kB
@@ -359,7 +370,7 @@ object Bench {
     } else if (only.isEmpty) {
       System.err.println(
         s"[bench] basis NOT refreshed (contaminated=$contaminated regressed=$regressed " +
-          f"failed=$failed total_ratio=$totalRatio%.3f)")
+          f"failed=$failed total_ratio=$totalRatio%.3f median_ratio=$medianRatio%.3f)")
     }
     println(detail)
     // dd_minhash_lsh replaced dd_ngram_jaccard in the headline (VERDICT r08

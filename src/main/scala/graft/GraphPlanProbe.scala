@@ -14,7 +14,7 @@ object GraphPlanProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cap = sys.env.get("SPARK_GRAFT_TRI_CAP").map(_.toLong)
     val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").appName("graph-plan-probe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").appName("graph-plan-probe")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -26,7 +26,7 @@ object PlanDump {
     val names = args.drop(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]").appName("plan-dump")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]").appName("plan-dump")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -7,7 +7,7 @@ object SeedProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").appName("seed-probe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").appName("seed-probe")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

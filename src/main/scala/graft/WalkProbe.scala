@@ -15,7 +15,7 @@ object WalkProbe {
     val name = if (args.nonEmpty) args(0) else "sim_hnsw_persist"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").appName("walk-probe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").appName("walk-probe")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
       .config("spark.sql.adaptive.enabled", "true")

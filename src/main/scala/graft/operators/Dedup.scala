@@ -1170,8 +1170,12 @@ object Dedup {
       // embeddings table is a single small parquet file, so the scan is
       // 1-2 input splits and the O(n²) dot loop was running near-serial
       // on a 32-core box
+      // broadcast pin on the b side (ADVICE r17): the widening relies on
+      // the UN-repartitioned side being the BNLJ build side; nothing else
+      // pins that choice, and a stats shift could silently flip the build
+      // side and re-serialize the pair scan onto 1-2 splits
       e.repartition(s.sparkContext.defaultParallelism).as("a")
-        .join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
           round(Exprs.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6).as("cos"))
         .filter($"cos" >= 0.3)

@@ -158,7 +158,11 @@ object HyperplaneLsh {
           expr(s"shiftleft(1, p % $planesPerTable)"))
           .otherwise(lit(0)).as("bit"))
       .groupBy(col("vec_id"), col("lsh_table"))
-      .agg(sum(col("bit")).cast("int").as("lsh_bucket"))
+      // bit_or, not sum (ADVICE r17): identical for the contract's unique
+      // vec_id (each plane contributes a distinct bit exactly once), and
+      // duplicate-id inputs degrade to a still-well-formed bucket word
+      // instead of a sum-corrupted one
+      .agg(expr("bit_or(bit)").cast("int").as("lsh_bucket"))
     df.join(buckets, Seq("vec_id"))
   }
 }
